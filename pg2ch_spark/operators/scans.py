@@ -1,0 +1,139 @@
+"""Group A — scans / sources / sinks (SURVEY §2.3 A).
+
+pg2ch parity: R1 snapshot scan (`pkg/replicator` COPY snapshot), R2 WAL
+change source (`pkg/consumer`), R12 sink (`pkg/utils/chutils` HTTP
+insert) — re-expressed as parquet scans, a Structured Streaming file
+source replay, and a parquet sink round-trip.
+
+Scale notes:
+- ``scan_pruned_pushdown`` exists to prove the plan, not the rows: the
+  projection and predicate must reach the parquet reader (ReadSchema /
+  PushedFilters) so a 100 TB scan touches only the needed column chunks
+  and row groups. Verified in tests/test_plans.py.
+- ``source_snapshot`` unions per-table count aggregates — an all-
+  map-side plan (parquet count pushdown), no driver-side .count() loop.
+- ``source_cdc_replay`` replays the events table through the file
+  stream source with an ``availableNow`` trigger — the exact analog of
+  pg2ch's snapshot→stream handoff, with the checkpoint dir playing the
+  role of pg2ch's kvstorage LSN tracking (R13).
+"""
+
+from __future__ import annotations
+
+import functools
+import operator as _op
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pg2ch_spark import catalog
+from pg2ch_spark.registry import register
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT * FROM nation",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan, all columns (R1 snapshot of a dimension table)."""
+    return catalog.load(spark, sf_dir, "nation")
+
+
+@register(
+    "scan_pruned_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def scan_pruned_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned, predicate-pushed scan of the fact table."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def _snapshot_oracle() -> str:
+    parts = [
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}" for t in catalog.TABLES
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("source_snapshot", oracle=_snapshot_oracle())
+def source_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-source abstraction: row count per table.
+
+    In production this is the JDBC snapshot path (pg2ch R1: COPY within
+    a tx pinned at the slot LSN); locally parquet. Counts are computed
+    as per-table aggregates and unioned — fully distributed, no
+    driver-side loop.
+    """
+    counts = [
+        catalog.load(spark, sf_dir, t)
+        .groupBy(F.lit(t).alias("table_name"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        for t in catalog.TABLES
+    ]
+    return functools.reduce(DataFrame.unionByName, counts)
+
+
+@register(
+    "sink_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a filtered slice to a parquet sink, read it back (R12 analog)."""
+    out = tempfile.mkdtemp(prefix="pg2ch_sink_")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        catalog.load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out)
+
+
+@register(
+    "source_cdc_replay",
+    oracle="""
+    SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch_s,
+           user_id, event_type, value, props
+    FROM events
+    """,
+)
+def source_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay `events` as a stream (file source, availableNow) into a batch.
+
+    pg2ch R2/R13: the change stream with offset tracking. The file
+    stream source + checkpoint dir is the Spark-native equivalent of the
+    replication slot + kvstorage LSN. ts is emitted as floor-epoch
+    seconds (D3: never raw ns timestamps).
+    """
+    from pg2ch_spark.streaming.runner import replay_available_now
+
+    schema = spark.read.parquet(catalog.table_path(sf_dir, "events")).schema
+
+    def transform(df: DataFrame) -> DataFrame:
+        # ts arrives as bigint ns (nanosAsLong); floor to epoch seconds
+        return df.select(
+            "event_id",
+            F.expr("ts div 1000000000").alias("ts_epoch_s"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+
+    return replay_available_now(
+        spark, catalog.table_path(sf_dir, "events"), schema, transform
+    )

@@ -1,0 +1,81 @@
+"""Declared-query registry — the t2 contract surface.
+
+Every operator in SURVEY §2.3 registers itself here as a callable
+``(spark, sf_dir) -> DataFrame`` plus (usually) a DuckDB oracle SQL
+string. ``__spark_entry__.queries()``/``oracle_sql()`` just re-export
+these dicts.
+
+The ``register`` decorator wraps each query so that required runtime
+confs (UTC timezone, nanos-as-long) are applied even when the driver
+hands us a fresh session.
+"""
+
+from __future__ import annotations
+
+import functools
+import textwrap
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pg2ch_spark import catalog
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+_LOADED = False
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a declared query (and its DuckDB oracle SQL, if exact-checkable)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            catalog.configure(spark)
+            return fn(spark, sf_dir)
+
+        if name in QUERIES:
+            raise ValueError(f"duplicate query key: {name}")
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = textwrap.dedent(oracle).strip()
+        return wrapped
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so registrations run (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Import order mirrors SURVEY §2.3 groups A..L.
+    from pg2ch_spark.operators import (  # noqa: F401
+        scans,
+        projection,
+        joins,
+        aggregates,
+        windows,
+        sorts,
+        setops,
+    )
+    from pg2ch_spark.functions import scalar  # noqa: F401
+    from pg2ch_spark.cdc import engines  # noqa: F401
+    from pg2ch_spark.streaming import queries as streaming_queries  # noqa: F401
+    from pg2ch_spark.llm import text, similarity  # noqa: F401
+    from pg2ch_spark.udfs import declared  # noqa: F401
+
+    _LOADED = True
+
+
+def queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    load_all()
+    return dict(ORACLES)

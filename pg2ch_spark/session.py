@@ -1,0 +1,47 @@
+"""SparkSession factory.
+
+The driver may hand us an arbitrary session, so anything correctness-
+critical must be a *runtime* conf applied per-query (see
+``catalog.configure``). This factory is for tests/bench where we own the
+session.
+
+Scale notes (100 TB design intent):
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  broadcast-join demotion/promotion are what keep a static plan honest at
+  1000 executors.
+- ``spark.sql.shuffle.partitions`` is pinned small for local[32]; on a
+  real cluster AQE's ``advisoryPartitionSizeInBytes`` takes over and the
+  initial number should be ~2-3x total cores.
+- Arrow enabled so the pandas-UDF surface (SURVEY §2.3 L) and driver
+  collects use columnar transfer instead of pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "pg2ch-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = default_parallelism()
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

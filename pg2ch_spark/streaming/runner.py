@@ -1,0 +1,100 @@
+"""Structured Streaming test runner: deterministic availableNow replays.
+
+pg2ch's consumer loop (`pkg/consumer`) reads the WAL stream until caught
+up; `Trigger.AvailableNow` is the Spark-native equivalent — process all
+available input, then stop. The checkpoint directory plays the role of
+pg2ch's kvstorage (R13): offsets + state survive restarts, giving
+at-least-once delivery into idempotent sinks (same convergence argument
+as CH collapsing/replacing merges).
+
+Two collection strategies:
+- ``replay_available_now``: row-preserving transforms → foreachBatch
+  appends to a parquet dir (a real distributed sink; scale-safe).
+- ``run_complete_to_df``: streaming aggregations → memory sink in
+  complete mode (test-only; in production this is foreachBatch into a
+  merge sink, see pg2ch_spark.cdc.merge_sink).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def _stream_source(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    # The file stream source requires a directory. The fixtures are single
+    # parquet files, so expose one through a temp dir of symlinks (in
+    # production this is a real directory of parts / a Kafka topic).
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="pg2ch_streamsrc_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        path = d
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def replay_available_now(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    transform: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """Replay a parquet path as a file stream; collect transformed rows.
+
+    foreachBatch writes each micro-batch to a parquet staging dir (the
+    pg2ch buffer-table analog, R8) which is read back as the result.
+    """
+    out = tempfile.mkdtemp(prefix="pg2ch_replay_out_")
+    ckpt = tempfile.mkdtemp(prefix="pg2ch_replay_ckpt_")
+    shutil.rmtree(out, ignore_errors=True)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        transform(_stream_source(spark, path, schema))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.read.parquet(out)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
+
+
+def run_complete_to_df(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    transform: Callable[[DataFrame], DataFrame],
+    *,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run a streaming aggregation to completion; return the final result.
+
+    Memory sink, availableNow trigger. The query name is unique per run
+    so repeated invocations in one session don't collide.
+    """
+    name = f"pg2ch_mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="pg2ch_mem_ckpt_")
+    q = (
+        transform(_stream_source(spark, path, schema))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Materialize before the temp view could be replaced by a later run.
+    result = spark.table(name).localCheckpoint(eager=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
