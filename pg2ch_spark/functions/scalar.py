@@ -1,0 +1,195 @@
+"""Group H — scalar function surface (SURVEY §2.3 H).
+
+pg2ch parity: R11 — its only "functions" are type-cast/encode when
+shaping PG values into ClickHouse literals (`pkg/utils/chutils`,
+`pkg/utils/pgutils`). The analytics function library it delegates to
+ClickHouse is provided here via built-in ``pyspark.sql.functions`` —
+all JVM-side, whole-stage-codegen'd; zero Python in the row path.
+
+Cross-engine hazards handled (SURVEY §2.5):
+- D4: ISO weekday only (Spark weekday()+1 == DuckDB isodow).
+- D3: epoch emitted as floor-seconds BIGINT in both engines.
+- ceil/floor return BIGINT in Spark but DOUBLE in DuckDB → cast.
+- libm (ln/exp) differs by ≤1 ulp across engines → round 6dp.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pg2ch_spark import catalog
+from pg2ch_spark.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                          AS up,
+           lower(p_brand)                         AS lo,
+           substring(p_name, 1, 10)               AS sub10,
+           trim(concat('  ', p_name, '  '))       AS trimmed,
+           lpad(p_brand, 12, '*')                 AS padded,
+           replace(p_name, ' ', '_')              AS underscored,
+           split_part(p_name, ' ', 1)             AS first_tok,
+           CAST(length(p_name) AS INT)            AS name_len,
+           regexp_extract(p_name, '([a-z]+)', 1)  AS first_word,
+           concat(p_brand, ':', p_type)           AS brand_type
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = catalog.load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.substring("p_name", 1, 10).alias("sub10"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("underscored"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_tok"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(year(o_orderdate)  AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = catalog.load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.year(d).cast("int").alias("y"),
+        F.month(d).cast("int").alias("m"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp")).cast("int").alias("days_since"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus30"),
+        # parquet ms timestamps read as TIMESTAMP_NTZ in Spark 4; NTZ has no
+        # direct long cast — route through TIMESTAMP (identity under UTC)
+        d.cast("timestamp").cast("long").alias("epoch_s"),
+        (F.weekday(d) + F.lit(1)).cast("int").alias("iso_dow"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(-l_extendedprice), 2)             AS abs_price,
+           CAST(ceil(l_discount * 100)  AS BIGINT)     AS ceil_disc_pct,
+           CAST(floor(l_tax * 100)      AS BIGINT)     AS floor_tax_pct,
+           round(power(l_quantity, 2), 2)              AS qty_sq,
+           l_orderkey % 7                              AS mod7,
+           CAST(sign(l_discount - 0.05) AS INT)        AS sgn,
+           round(ln(l_extendedprice), 6)               AS ln_price,
+           round(exp(l_discount), 6)                   AS exp_disc
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog.load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(-F.col("l_extendedprice")), 2).alias("abs_price"),
+        F.ceil(F.col("l_discount") * 100).cast("bigint").alias("ceil_disc_pct"),
+        F.floor(F.col("l_tax") * 100).cast("bigint").alias("floor_tax_pct"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("sgn"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)    AS max_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events payload (`props` — the analog of
+    pg2ch passing PG jsonb through as ClickHouse String, SURVEY §1.2)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.max(k).cast("int").alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column — the
+    JVM-side vector-math path (no UDF): transform + aggregate compile to
+    codegen'd loops over the array. Elements are float32; both engines
+    cast to double before squaring so the sums are bit-identical."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "fn_struct_flatten",
+    oracle="""
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, value
+    FROM events
+    """,
+)
+def fn_struct_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a struct, then project it back to flat columns (flat output
+    for cross-engine hashing — D5)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    nested = ev.select(
+        F.struct(
+            F.col("user_id"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("value"),
+        ).alias("s")
+    )
+    return nested.select(
+        F.col("s.user_id").alias("user_id"),
+        F.col("s.day").alias("day"),
+        F.col("s.value").alias("value"),
+    )

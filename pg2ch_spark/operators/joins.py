@@ -1,0 +1,281 @@
+"""Group C — joins (SURVEY §2.3 C).
+
+pg2ch itself implements no joins (SURVEY §2.1) — it delegates them to
+ClickHouse over the replicated tables. This module provides that
+delegated surface Spark-first.
+
+Scale notes (100 TB):
+- Equi-joins are declared, not scheduled: Catalyst picks broadcast vs
+  shuffled-hash vs sort-merge from stats, and AQE re-picks at runtime
+  (plus skew-split). ``join_broadcast`` pins the dimension broadcast
+  explicitly — the pattern for star-schema dims (region/nation/
+  customer) that must never shuffle the fact table twice.
+- ``join_theta_range`` keeps an equi conjunct (l_orderkey=o_orderkey)
+  so the range predicate is a post-join filter on a key-partitioned
+  join, never a cartesian product.
+- ``join_asof`` uses the event id as the ordering axis and reduces via
+  max/max_by aggregation rather than materializing per-pair rows. At
+  100 TB this plan shuffles both sides once by (user_id) — the same
+  partitioning an `applyInPandas` merge_asof variant would need, but
+  staying fully JVM-side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pg2ch_spark import catalog
+from pg2ch_spark.registry import register
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = catalog.load(spark, sf_dir, "orders")
+    c = catalog.load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "join_multiway_star",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n_lineitems
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way star join, revenue per nation.
+
+    The two tiny dims (region 5, nation 25) broadcast; the fact chain
+    joins on keys. AQE coalesces the post-agg partitions.
+    """
+    r = catalog.load(spark, sf_dir, "region")
+    n = catalog.load(spark, sf_dir, "nation")
+    c = catalog.load(spark, sf_dir, "customer")
+    o = catalog.load(spark, sf_dir, "orders")
+    li = catalog.load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = catalog.load(spark, sf_dir, "customer")
+    o = catalog.load(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = catalog.load(spark, sf_dir, "customer")
+    o = catalog.load(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT custkey, c_acctbal, n_orders
+    FROM (SELECT c_custkey AS custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0) a
+    FULL JOIN (SELECT o_custkey AS custkey, count(*) AS n_orders
+               FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey) b
+    USING (custkey)
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer on deliberately partial key sets (evens vs multiples of 3)."""
+    c = catalog.load(spark, sf_dir, "customer")
+    o = catalog.load(spark, sf_dir, "orders")
+    a = c.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("custkey"), "c_acctbal"
+    )
+    b = (
+        o.where(F.col("o_custkey") % 3 == 0)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    # join on the column name so the USING-style coalesced key matches DuckDB
+    return a.join(b, on="custkey", how="full")
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = catalog.load(spark, sf_dir, "customer")
+    o = catalog.load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT order. (Every customer has *some* order in
+    the fixtures, so the unrestricted NOT EXISTS would be degenerate —
+    the priority filter makes the anti-join observable: ~200 rows at
+    sf0.01.)"""
+    c = catalog.load(spark, sf_dir, "customer")
+    o = catalog.load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = catalog.load(spark, sf_dir, "region")
+    n = catalog.load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT c.c_custkey, n.n_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the 25-row dim — value-identical to the plain
+    join; exists to pin the plan (BroadcastHashJoin, no shuffle of the
+    probe side). Verified in tests/test_plans.py."""
+    c = catalog.load(spark, sf_dir, "customer")
+    n = catalog.load(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select("c_custkey", "n_name")
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS INT) AS days_after
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate + INTERVAL 365 DAY
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 730 DAY
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog.load(spark, sf_dir, "lineitem")
+    o = catalog.load(spark, sf_dir, "orders")
+    lo = F.col("o_orderdate") + F.expr("INTERVAL 365 DAY")
+    hi = F.col("o_orderdate") + F.expr("INTERVAL 730 DAY")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") <= hi),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("int").alias("days_after"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           max(v.event_id)                 AS prior_view_id,
+           round(arg_max(v.value, v.event_id), 2) AS prior_view_value
+    FROM events p
+    LEFT JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view' AND v.event_id < p.event_id
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: per purchase, the most recent prior view of the user.
+
+    The ordering axis is event_id (monotone, unique — determinism rule
+    D1; also dodges the ns-vs-µs timestamp hazard D3). Implemented as an
+    inequality join on the user key reduced by max/max_by — a single
+    shuffle by user_id on each side, no per-pair materialization beyond
+    the join.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id"
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("value").alias("view_value"),
+    )
+    return (
+        p.join(
+            v,
+            (p.user_id == v.v_user_id) & (v.view_id < p.purchase_id),
+            "left",
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.max("view_id").alias("prior_view_id"),
+            F.round(F.max_by("view_value", "view_id"), 2).alias("prior_view_value"),
+        )
+    )

@@ -1,0 +1,203 @@
+"""Group E — window functions (SURVEY §2.3 E).
+
+Every window carries a total order (tie-break on the table's unique
+key) — determinism rule D1: the value-hash is order-insensitive but
+top-k/first/last change the *row set* under ties.
+
+Scale notes: a window over PARTITION BY k is one shuffle by k; top-k
+per group stays bounded per partition (rank filter pushes the limit
+into the sort). Unpartitioned windows (ntile/percent_rank over the
+whole table) serialize to a single partition — acceptable for the
+15k-row customer dim, never for a fact table; at 100 TB those would be
+re-expressed via approx quantiles or a two-pass rank.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pg2ch_spark import catalog
+from pg2ch_spark.registry import register
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    QUALIFY rn <= 3
+    """,
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = catalog.load(spark, sf_dir, "orders")
+    c = catalog.load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           CAST(rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INT) AS drnk
+    FROM part
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = catalog.load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY event_id) AS gap_s,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS next_event_id
+    FROM events
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap per user in whole seconds.
+
+    Epochs are floored to seconds *before* differencing so both engines
+    subtract identical integers (D3: Spark sees µs, DuckDB ns).
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    epoch_s = F.col("ts").cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (epoch_s - F.lag(epoch_s).over(w)).alias("gap_s"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS cum_spend
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = catalog.load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+               round(sum(value), 2) AS day_value
+        FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+    )
+    SELECT user_id, day,
+           round(avg(day_value) OVER (PARTITION BY user_id ORDER BY day
+                                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 6) AS mavg7
+    FROM daily
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average of per-day event value per user.
+
+    The daily sum is rounded (2dp-exact) before the moving average so
+    both engines average identical inputs; avg over ≤7 two-decimal
+    values can never be half-way at 6dp (denominators 1..7 admit no
+    exact 5e-7 odd multiples — see tests/test_determinism.py).
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "user_id", "day", F.round(F.avg("day_value").over(w), 6).alias("mavg7")
+    )
+
+
+@register(
+    "win_ntile_dist",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER w AS INT)        AS quartile,
+           round(percent_rank() OVER w, 6)     AS pr,
+           round(cume_dist() OVER w, 6)        AS cd
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = catalog.load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d') AS first_order_day,
+           strftime(last_value(o_orderdate)  OVER w, '%Y-%m-%d') AS last_order_day
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = catalog.load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.date_format(F.first("o_orderdate").over(w), "yyyy-MM-dd").alias("first_order_day"),
+        F.date_format(F.last("o_orderdate").over(w), "yyyy-MM-dd").alias("last_order_day"),
+    ).distinct()

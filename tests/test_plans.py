@@ -1,0 +1,49 @@
+"""Physical-plan assertions — the scale story, checked, not assumed.
+
+These tests pin the plan shapes that matter at 100 TB: predicate
+pushdown + column pruning into the parquet scan, broadcast joins for
+small dims, and TakeOrderedAndProject for global top-k (no full sort).
+"""
+
+from __future__ import annotations
+
+from pg2ch_spark import registry
+from tests.conftest import SF_T2
+
+registry.load_all()
+
+
+def _plan(spark, key: str) -> str:
+    df = registry.QUERIES[key](spark, SF_T2)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prunes_and_pushes_down(spark):
+    plan = _plan(spark, "scan_pruned_pushdown")
+    assert "FileScan parquet" in plan
+    # only the 4 referenced columns are read (11 in the table)
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_shipdate" in scan_line and "l_extendedprice" not in scan_line
+    assert "PushedFilters" in plan or "DataFilters" in plan
+
+
+def test_broadcast_join_is_broadcast(spark):
+    plan = _plan(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "join_multiway_star")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = _plan(spark, "limit_topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_has_partial_aggregation(spark):
+    plan = _plan(spark, "agg_groupby_q1")
+    # partial (map-side) + final hash aggregate
+    assert plan.count("HashAggregate") >= 2
