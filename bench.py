@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {key: sec, ...}, "sf": ...}.
+
+Execution is measured end-to-end per query: build the DataFrame and
+fully materialize it through a noop sink (no driver-side collect, no
+Python row transfer — the number is the engine's, not Py4J's).
+
+Usage:
+    python bench.py                  # all queries, 1 timed run each
+    python bench.py --repeat 3      # median of 3 (BASELINE.md protocol)
+    python bench.py --keys q1,q2    # subset
+    python bench.py --oracle        # time the DuckDB oracles instead
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def _materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def run_spark(sf_dir: str, keys: list[str] | None, repeat: int) -> dict[str, float]:
+    from pg2ch_spark import registry
+    from pg2ch_spark.session import get_spark
+
+    spark = get_spark("pg2ch-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.load_all()
+    queries = registry.QUERIES
+    selected = keys or sorted(queries)
+
+    # warm-up: JVM + parquet footer caches on a trivial query
+    _materialize(queries["scan_parquet"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for key in selected:
+        runs = []
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            _materialize(queries[key](spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        times[key] = round(runs[len(runs) // 2], 4)
+    spark.stop()
+    return times
+
+
+def run_oracle(sf_dir: str, keys: list[str] | None, repeat: int) -> dict[str, float]:
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from pg2ch_spark import registry
+    from tests.oracle import duck_con
+
+    registry.load_all()
+    con = duck_con(sf_dir)
+    selected = keys or sorted(registry.ORACLES)
+    times: dict[str, float] = {}
+    for key in selected:
+        sql = registry.ORACLES.get(key)
+        if sql is None:
+            continue
+        runs = []
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        times[key] = round(runs[len(runs) // 2], 4)
+    return times
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--keys", default=None, help="comma-separated subset")
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--oracle", action="store_true", help="time DuckDB oracles instead")
+    args = ap.parse_args()
+
+    keys = args.keys.split(",") if args.keys else None
+    runner = run_oracle if args.oracle else run_spark
+    times = runner(args.sf_dir, keys, args.repeat)
+
+    result = {
+        "metric": "duckdb_oracle_suite_seconds" if args.oracle else "pyspark_suite_seconds",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_from_dir(args.sf_dir),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

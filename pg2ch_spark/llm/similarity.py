@@ -1,0 +1,194 @@
+"""Group K (vectors) — similarity search over embeddings (SURVEY §2.3 K).
+
+Vector math is built from higher-order functions (`zip_with`,
+`transform`, `aggregate`) — JVM-side, codegen'd, no UDF (SURVEY §4.3.3).
+Elements are float32 in parquet; both engines cast each element to
+double *before* multiplying and reduce sequentially, so the resulting
+doubles are bit-identical and 4dp rounding is stable.
+
+Scale notes (100 TB / billions of vectors):
+- ``sim_cosine_topk`` is brute force with a broadcast single query
+  vector → one scan, local top-k, TakeOrderedAndProject merge. That is
+  the right plan for one query at any scale.
+- ``sim_knn_join`` broadcasts the (small) query set against the corpus
+  — a scan×20 flops job with no shuffle of the corpus. For large query
+  sets the scale path is IVF: cluster-assign both sides (as in
+  ``sim_centroid_classify``), equi-join on cluster id, search within
+  the bucket — same operators, one extra groupBy.
+- ``sim_centroid_classify`` *is* the IVF building block: centroids via
+  posexplode + per-dimension avg (partial agg), assignment via a
+  broadcast join on 10 centroids.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from pg2ch_spark import catalog
+from pg2ch_spark.registry import register
+
+EMB_DIM = 64  # fixed at all scale factors (FIXTURES.md, verified)
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Σ aᵢ·bᵢ with per-element double casts (sequential, deterministic)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: str | Column) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# DuckDB-side equivalents (explicit math, same double casts and order —
+# list_cosine_similarity would compute in float32 and diverge at 4dp).
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT_SQL.format(a=a, b=b)} / ({_NORM_SQL.format(a=a)} * {_NORM_SQL.format(a=b)})"
+    )
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, round({_cos_sql('e.embedding', 'q.qe')}, 4) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 nearest to vec_id=0 by (rounded cosine DESC, vec_id)."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine("embedding", "qe"), 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "sim_knn_join",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+    pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round({_cos_sql('e.embedding', 'q.qe')}, 4) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= 3
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: top-3 neighbors for each of 20 query vectors."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine("embedding", "qe"), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+@register(
+    "sim_centroid_classify",
+    oracle=f"""
+    WITH pos AS (SELECT unnest(range(1, {EMB_DIM} + 1)) AS pos),
+    ex AS (
+        SELECT e.vec_id, e.label, p.pos, CAST(e.embedding[p.pos] AS DOUBLE) AS val
+        FROM embeddings e, pos p
+    ), cent AS (
+        SELECT label AS clabel, pos, avg(val) AS cval FROM ex GROUP BY label, pos
+    ), d AS (
+        SELECT ex.vec_id, ex.label, c.clabel,
+               round(sum((ex.val - c.cval) * (ex.val - c.cval)), 6) AS dist2
+        FROM ex JOIN cent c ON ex.pos = c.pos
+        GROUP BY ex.vec_id, ex.label, c.clabel
+    ), pred AS (
+        SELECT vec_id, label, clabel FROM d
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) = 1
+    )
+    SELECT label, clabel AS pred_label, count(*) AS n
+    FROM pred GROUP BY label, clabel
+    """,
+)
+def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label centroids → nearest-centroid prediction → confusion counts.
+
+    The IVF building block: per-dimension centroid averages (posexplode
+    + partial agg), broadcast-join assignment, integer-only output so
+    the tiny float drift between engines' centroid sums can't surface
+    (distances are rounded before the argmin rank).
+    """
+    e = catalog.load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val_f"),
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("pos"), F.col("val_f").cast("double").alias("val"))
+    cent = ex.groupBy(F.col("label").alias("clabel"), "pos").agg(F.avg("val").alias("cval"))
+    d = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.round(
+                F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))), 6
+            ).alias("dist2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "clabel")
+    pred = d.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return pred.groupBy("label", F.col("clabel").alias("pred_label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "multimodal_join",
+    oracle="""
+    SELECT d.doc_id, e.label, d.n_chars
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.lang = 'en'
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ⋈ embedding modalities on the shared id (doc_id = vec_id)."""
+    d = catalog.load(spark, sf_dir, "documents")
+    e = catalog.load(spark, sf_dir, "embeddings")
+    return (
+        d.where(F.col("lang") == "en")
+        .join(e, d.doc_id == e.vec_id)
+        .select("doc_id", "label", "n_chars")
+    )

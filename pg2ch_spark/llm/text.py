@@ -1,0 +1,239 @@
+"""Group K (text) — LLM-data-pipeline text operators (SURVEY §2.3 K).
+
+The training-data-pipeline surface over `documents`: exact dedup,
+token statistics, per-source quality stats, TF-IDF, MinHash-LSH
+near-dedup. All are pure DataFrame ops — tokenization is `split` +
+`explode` (JVM-side), hashing is `md5`/`xxhash64` (JVM-side); no
+Python in any hot path.
+
+Scale notes (100 TB of documents):
+- exact dedup: hash-groupBy on md5(text) — one shuffle on a 16-byte
+  key instead of the full text; keep-first by doc_id makes the kept
+  set deterministic.
+- token stats / tf-idf: explode multiplies rows ~100× — partial
+  aggregation (map-side combine) collapses them before the shuffle.
+- MinHash-LSH: signatures are 16 min-aggregates per doc (one narrow
+  shuffle by doc), banding turns O(n²) similarity into equi-joins on
+  band hashes — the standard shuffle-friendly near-dup plan. The
+  verify step computes exact Jaccard only for candidate pairs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pg2ch_spark import catalog
+from pg2ch_spark.registry import register
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, token) — fixture texts are clean single-space."""
+    return docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+
+
+@register(
+    "text_exact_dedup",
+    oracle="""
+    WITH h AS (SELECT doc_id, lang, md5(text) AS th FROM documents),
+    kept AS (
+        SELECT doc_id, lang FROM h
+        QUALIFY row_number() OVER (PARTITION BY th ORDER BY doc_id) = 1
+    )
+    SELECT lang, count(*) AS n_docs FROM kept GROUP BY lang
+    """,
+)
+def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on md5(text), keep lowest doc_id; per-lang kept counts.
+
+    (sf0.01 has zero duplicate texts so the counts equal raw per-lang
+    counts; sf0.1 has 8 dups — exercised in bench.)
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    w = Window.partitionBy("th").orderBy("doc_id")
+    kept = (
+        docs.withColumn("th", F.md5(F.col("text").cast("binary")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ), counted AS (
+        SELECT lang, token, count(*) AS n FROM toks GROUP BY lang, token
+    )
+    SELECT lang, token, n FROM counted
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) <= 20
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens per language by (count DESC, token) — D1 tie-break."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    counted = _tokens(docs).groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counted.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 20)
+        .select("lang", "token", "n")
+    )
+
+
+@register(
+    "text_stats_per_source",
+    oracle="""
+    SELECT source, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+           string_agg(DISTINCT lang, '|' ORDER BY lang) AS langs
+    FROM documents GROUP BY source
+    """,
+)
+def text_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats (the 'quality dashboard' aggregate)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.array_join(F.sort_array(F.collect_set("lang")), "|").alias("langs"),
+    )
+
+
+@register(
+    "text_tfidf_top",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(ln(1 + tf.tf) * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS score
+        FROM tf JOIN df USING (term), n
+        WHERE tf.doc_id < 10
+    )
+    SELECT doc_id, term, score FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 5
+    """,
+)
+def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (ln(1+tf)·ln(N/df)) top-5 terms for a 10-doc sample.
+
+    Ranked on the *rounded* score (then term) so both engines rank
+    identical values — raw ln() may differ in the last ulp across
+    libm implementations.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.where(F.col("doc_id") < 10)
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.log(F.lit(1) + F.col("tf")) * F.log(F.col("n").cast("double") / F.col("df")),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 5)
+        .select("doc_id", "term", "score")
+    )
+
+
+N_HASHES = 16
+# 2 bands × 8 rows: LSH s-curve threshold ≈ (1/2)^(1/8) ≈ 0.92 — tuned to
+# the 0.9 verify threshold below. (The fixture corpus is intrinsically
+# self-similar — 74% of all pairs exceed 0.5 token-set Jaccard — so loose
+# banding would degenerate to an all-pairs join; measured at sf0.01.)
+N_BANDS = 2
+
+
+@register("text_near_dedup_minhash")  # rows-only: MinHash is not portably SQL-expressible
+def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs, exact-Jaccard verified.
+
+    Pipeline (all JVM-side, no UDFs):
+      1. distinct (doc_id, token) pairs
+      2. 16 minhash signatures: min(xxhash64(seed_i ‖ token)) per doc
+      3. 4 bands × 4 rows: band key = hash of the 4 signatures
+      4. equi-self-join on (band, key) → candidate pairs (a < b)
+      5. exact Jaccard on token sets for candidates only; keep ≥ 0.9
+
+    Scale: step 4 replaces the O(n²) all-pairs comparison with a
+    shuffle on band keys; step 5 touches only candidates. This is the
+    canonical 100 TB near-dedup plan (cf. MinHashLSH in Spark ML —
+    reimplemented here to stay in pure SQL expressions).
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token")).distinct()
+
+    sig_cols = [
+        F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("token")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    sigs = toks.groupBy("doc_id").agg(*sig_cols)
+
+    rows_per_band = N_HASHES // N_BANDS
+    band_frames = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_frames.append(
+            sigs.select(
+                "doc_id", F.lit(b).alias("band"), F.hash(*cols).alias("band_key")
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("band_key").alias("bk")
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("band_key").alias("bk")
+    )
+    candidates = (
+        left.join(right, ["band", "bk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
+    common = (
+        candidates.join(ta, "doc_a").join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= 0.9)

@@ -1,0 +1,269 @@
+"""Group J — Structured Streaming queries (SURVEY §2.3 J).
+
+All run with Trigger.AvailableNow over the events parquet (the
+deterministic replay harness — SURVEY §3.2 Entry 2); results are
+collected to batch DataFrames so the batch-SQL oracles apply.
+
+pg2ch parity: the streaming loop itself is R2 (consumer) + R8
+(micro-batch buffering) + R13 (checkpointed offsets);
+``stream_foreachbatch_upsert`` is the full R8→R9→R12 flush-merge path
+through the ReplacingMergeSink.
+
+Determinism and semantics pinned by experiment (tests/test_streaming_semantics.py):
+- session_window merges events at exactly gap distance (new session iff
+  diff > gap) — the gaps-and-islands oracle uses strict `>`.
+- Event times are floored to whole seconds *before* windowing so both
+  engines bucket identical integers (D3: Spark µs vs DuckDB ns).
+
+Scale notes: every query here is an incremental stateful agg backed by
+the state store — at 100 TB/day the same code runs with a real rate
+source, RocksDB state store, and watermark-driven state eviction; the
+availableNow file replay is only the test harness.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pg2ch_spark import catalog
+from pg2ch_spark.cdc.derive import CDC_CTE
+from pg2ch_spark.registry import register
+from pg2ch_spark.streaming.runner import replay_available_now, run_complete_to_df
+
+
+def _events_schema(spark: SparkSession, sf_dir: str):
+    catalog.configure(spark)
+    return spark.read.parquet(catalog.table_path(sf_dir, "events")).schema
+
+
+def _with_event_time(df: DataFrame) -> DataFrame:
+    """ts arrives as bigint ns (nanosAsLong conf): build µs event time."""
+    return df.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _win_start_s(col: str = "window") -> F.Column:
+    return F.col(f"{col}.start").cast("long").alias("win_start_s")
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start_s,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per (1-hour tumbling window, event_type)."""
+    res = run_complete_to_df(
+        spark,
+        catalog.table_path(sf_dir, "events"),
+        _events_schema(spark, sf_dir),
+        lambda df: _with_event_time(df)
+        .groupBy(F.window("ets", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    return res.select(_win_start_s(), "event_type", "n")
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(floor(epoch(time_bucket(INTERVAL '30 minutes', ts))) AS BIGINT) AS b,
+               event_type
+        FROM events
+    ), expanded AS (
+        SELECT b AS win_start_s, event_type FROM m
+        UNION ALL
+        SELECT b - 1800 AS win_start_s, event_type FROM m
+    )
+    SELECT win_start_s, event_type, count(*) AS n
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts over 1-hour windows sliding every 30 minutes (each event
+    lands in exactly two windows — the oracle expands them explicitly)."""
+    res = run_complete_to_df(
+        spark,
+        catalog.table_path(sf_dir, "events"),
+        _events_schema(spark, sf_dir),
+        lambda df: _with_event_time(df)
+        .groupBy(F.window("ets", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    return res.select(_win_start_s(), "event_type", "n")
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+    ), o AS (
+        SELECT user_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e
+    ), flagged AS (
+        SELECT user_id, t,
+               CASE WHEN pt IS NULL OR t - pt > 1800 THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ), s AS (
+        SELECT user_id, t,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), g AS (
+        SELECT user_id, sid, count(*) AS n, max(t) - min(t) AS span FROM s
+        GROUP BY user_id, sid
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(span) AS BIGINT) AS total_span_s
+    FROM g GROUP BY user_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session count/size/span with a 30-minute gap.
+
+    session_window's semantics (merge at exactly the gap; new session
+    iff diff > gap) drive the strict `>` in the islands oracle. Event
+    times floored to seconds first so both engines see identical gaps.
+    The per-user rollup of the session rows happens batch-side on the
+    collected result — streaming allows a single stateful aggregation.
+    """
+    sessions = run_complete_to_df(
+        spark,
+        catalog.table_path(sf_dir, "events"),
+        _events_schema(spark, sf_dir),
+        lambda df: df.withColumn("ets", F.timestamp_seconds(F.expr("ts div 1000000000")))
+        .groupBy(F.session_window("ets", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    span = (
+        F.col("session_window.end").cast("long")
+        - F.col("session_window.start").cast("long")
+        - F.lit(1800)
+    )
+    return (
+        sessions.select("user_id", "n", span.alias("span"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("span").cast("bigint").alias("total_span_s"),
+        )
+    )
+
+
+@register(
+    "stream_watermark_late",
+    oracle="""
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start_s,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour watermark + tumbling agg in update mode.
+
+    With an availableNow single replay nothing is late (the watermark
+    only advances between batches), so the final counts equal the batch
+    result — this query documents the late-data policy: events later
+    than 1h behind max event time would be dropped from their window.
+    """
+    res = run_complete_to_df(
+        spark,
+        catalog.table_path(sf_dir, "events"),
+        _events_schema(spark, sf_dir),
+        lambda df: _with_event_time(df)
+        .withWatermark("ets", "1 hour")
+        .groupBy(F.window("ets", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n")),
+        output_mode="update",
+    )
+    return res.select(_win_start_s(), "n")
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT DISTINCT event_id, user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on event_id (exactly-once projection of
+    an at-least-once stream — how pg2ch survives WAL replays, R13)."""
+    return replay_available_now(
+        spark,
+        catalog.table_path(sf_dir, "events"),
+        _events_schema(spark, sf_dir),
+        lambda df: df.select("event_id", "user_id", "event_type").dropDuplicates(["event_id"]),
+    )
+
+
+@register(
+    "stream_stateful_count",
+    oracle="SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
+)
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running count — the minimal state-store aggregation."""
+    return run_complete_to_df(
+        spark,
+        catalog.table_path(sf_dir, "events"),
+        _events_schema(spark, sf_dir),
+        lambda df: df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")),
+    )
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle=CDC_CTE
+    + """
+    SELECT key, ver, op, value FROM cdc
+    QUALIFY row_number() OVER (PARTITION BY key ORDER BY ver DESC) = 1
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch MERGE into a keyed state table via foreachBatch —
+    the full pg2ch buffer→flush→merge path (R8/R9/R12). Final state is
+    identical to ``cdc_replacing_final``: the merge is idempotent under
+    replay, which is the whole convergence argument (SURVEY §1.1)."""
+    import tempfile
+
+    from pg2ch_spark.cdc.merge_sink import ReplacingMergeSink
+
+    state_path = tempfile.mkdtemp(prefix="pg2ch_upsert_state_") + "/state"
+    sink = ReplacingMergeSink(spark, state_path, key_col="key", ver_col="ver")
+
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("user_id").alias("key"),
+            F.col("event_id").alias("ver"),
+            op.alias("op"),
+            "value",
+        )
+
+    import shutil
+    import tempfile as _tf
+
+    ckpt = _tf.mkdtemp(prefix="pg2ch_upsert_ckpt_")
+    from pg2ch_spark.streaming.runner import _stream_source
+
+    q = (
+        transform(_stream_source(spark, catalog.table_path(sf_dir, "events"), _events_schema(spark, sf_dir)))
+        .writeStream.foreachBatch(sink.merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = sink.state()
+    assert result is not None
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result

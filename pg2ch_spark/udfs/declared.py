@@ -1,0 +1,129 @@
+"""Group L — the declared UDF/UDAF/UDTF surface (SURVEY §2.3 L).
+
+UDFs are the slow path and the rest of the engine avoids them; this
+module is the *declared* escape hatch, demonstrating each flavor with
+its correct Spark mechanism:
+
+- scalar pandas UDF (Arrow-vectorized, SCALAR eval)
+- grouped-agg pandas UDF (UDAF)
+- ``mapInPandas`` (UDTF-shaped: 1 row → N rows)
+- plain row-at-a-time Python UDF (kept to document the non-vectorized
+  path; ~10-100× slower than the pandas variants — never use in a hot
+  path at scale)
+
+Scale note: pandas UDFs move data JVM↔Python via Arrow record batches
+(`spark.sql.execution.arrow.maxRecordsPerBatch` controls batch shape);
+the per-batch overhead is amortized, but a built-in expression is
+always preferred when one exists — compare ``udf_python_scalar``'s
+oracle, which is just lower+replace.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from pg2ch_spark import catalog
+from pg2ch_spark.registry import register
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT c_custkey,
+           round((c_acctbal - avg(c_acctbal) OVER ()) / stddev_samp(c_acctbal) OVER (), 6) AS z
+    FROM customer
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score of account balance via a vectorized (Arrow) pandas UDF.
+
+    The stats are precomputed with a distributed agg and broadcast in;
+    the UDF itself is pure elementwise arithmetic on pandas Series.
+    """
+
+    @pandas_udf("double")
+    def zscore(x: pd.Series, mu: pd.Series, sigma: pd.Series) -> pd.Series:
+        return (x - mu) / sigma
+
+    c = catalog.load(spark, sf_dir, "customer")
+    stats = c.agg(
+        F.avg("c_acctbal").alias("mu"), F.stddev_samp("c_acctbal").alias("sigma")
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .select(
+            "c_custkey",
+            F.round(zscore("c_acctbal", "mu", "sigma"), 6).alias("z"),
+        )
+    )
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_discount) / sum(l_discount), 2) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-weighted average price per return flag via a grouped-agg
+    pandas UDF (UDAF flavor)."""
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, weight: pd.Series) -> float:
+        return float((price * weight).sum() / weight.sum())
+
+    li = catalog.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_discount"), 2).alias("wavg_price")
+    )
+
+
+@register(
+    "udf_table_mapinpandas",
+    oracle="""
+    SELECT doc_id, string_split(text, ' ')[i] AS token, CAST(i AS INT) AS position
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        FROM documents
+    )
+    """,
+)
+def udf_table_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-shaped row expansion: documents → (doc_id, token, position)
+    via mapInPandas (Arrow-batched; each input batch yields one output
+    frame — no per-row Python)."""
+
+    def explode_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ")
+            lens = toks.str.len()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].repeat(lens).to_numpy(),
+                    "token": [t for lst in toks for t in lst],
+                    "position": [i for n in lens for i in range(1, n + 1)],
+                }
+            )
+
+    docs = catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(explode_tokens, "doc_id long, token string, position int")
+
+
+@register(
+    "udf_python_scalar",
+    oracle="SELECT p_partkey, replace(lower(p_name), ' ', '-') AS slug FROM part",
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the documented slow path — the oracle
+    shows the built-in equivalent a real pipeline should use)."""
+    slug = F.udf(lambda s: s.lower().replace(" ", "-"), "string")
+    p = catalog.load(spark, sf_dir, "part")
+    return p.select("p_partkey", slug("p_name").alias("slug"))
