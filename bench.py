@@ -48,18 +48,21 @@ def run_spark(sf_dir: str, keys: list[str] | None, repeat: int) -> dict[str, flo
     queries = registry.QUERIES
     selected = keys or sorted(queries)
 
-    # warm-up: JVM + parquet footer caches on a trivial query
+    # Global warm-up: JVM/C2, parquet footer caches, and the Python
+    # worker pool (pandas-UDF workers fork + import lazily — ~10s once;
+    # without this it gets billed to whichever UDF query runs first).
     _materialize(queries["scan_parquet"](spark, sf_dir))
+    _materialize(queries["udf_pandas_scalar"](spark, sf_dir))
 
     times: dict[str, float] = {}
     for key in selected:
         runs = []
-        for _ in range(repeat):
+        for i in range(repeat + 1):  # first run warms codegen/JIT, untimed
             t0 = time.perf_counter()
             _materialize(queries[key](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
-        runs.sort()
-        times[key] = round(runs[len(runs) // 2], 4)
+        timed = sorted(runs[1:])
+        times[key] = round(timed[len(timed) // 2], 4)
     spark.stop()
     return times
 

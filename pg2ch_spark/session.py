@@ -41,6 +41,15 @@ def get_spark(app_name: str = "pg2ch-spark", *, shuffle_partitions: int | None =
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Local-scale parallelism: the sf0.1 fixtures are ~15 MB files, which
+        # the 128 MB default splits into ~3 input partitions — 3 of 32 cores
+        # busy. 4 MB splits restore parallelism for local bench; on a real
+        # cluster with TB-scale inputs the default is correct and this knob
+        # should be left alone (override via SPARK_GRAFT_MAX_PARTITION_BYTES).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

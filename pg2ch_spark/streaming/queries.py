@@ -252,16 +252,21 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tf
 
     ckpt = _tf.mkdtemp(prefix="pg2ch_upsert_ckpt_")
-    from pg2ch_spark.streaming.runner import _stream_source
+    from pg2ch_spark.streaming.runner import _few_state_partitions, _stream_source
 
-    q = (
-        transform(_stream_source(spark, catalog.table_path(sf_dir, "events"), _events_schema(spark, sf_dir)))
-        .writeStream.foreachBatch(sink.merge)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _few_state_partitions(spark):
+        q = (
+            transform(
+                _stream_source(
+                    spark, catalog.table_path(sf_dir, "events"), _events_schema(spark, sf_dir)
+                )
+            )
+            .writeStream.foreachBatch(sink.merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     result = sink.state()
     assert result is not None
     result = result.localCheckpoint(eager=True)

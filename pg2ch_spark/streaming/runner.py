@@ -27,6 +27,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+class _few_state_partitions:
+    """Temporarily lower shuffle partitions while a streaming query plans.
+
+    The state store creates one instance per shuffle partition per
+    stateful operator; at test scale 32 partitions ≈ 32 near-empty state
+    stores whose per-batch commit overhead dominates. 8 is plenty
+    locally. (The partition count is baked into the checkpoint at first
+    run — production jobs size it to the cluster up front.)
+    """
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark = spark
+        self.n = n
+        self.old: str | None = None
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        if self.old is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def _stream_source(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     # The file stream source requires a directory. The fixtures are single
     # parquet files, so expose one through a temp dir of symlinks (in
@@ -56,14 +81,15 @@ def replay_available_now(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("append").parquet(out)
 
-    q = (
-        transform(_stream_source(spark, path, schema))
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _few_state_partitions(spark):
+        q = (
+            transform(_stream_source(spark, path, schema))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     result = spark.read.parquet(out)
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
@@ -84,16 +110,17 @@ def run_complete_to_df(
     """
     name = f"pg2ch_mem_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="pg2ch_mem_ckpt_")
-    q = (
-        transform(_stream_source(spark, path, schema))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _few_state_partitions(spark):
+        q = (
+            transform(_stream_source(spark, path, schema))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # Materialize before the temp view could be replaced by a later run.
     result = spark.table(name).localCheckpoint(eager=True)
     shutil.rmtree(ckpt, ignore_errors=True)
