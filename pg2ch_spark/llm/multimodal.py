@@ -29,6 +29,8 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+from pg2ch_spark.registry import register
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -118,3 +120,70 @@ def metadata_only(media: DataFrame) -> DataFrame:
     """Metadata projection — must NOT read payload bytes (column pruning);
     asserted in tests via the physical plan."""
     return media.select("media_id", "kind", "mime", "width", "height", "duration_ms")
+
+
+# ---------------------------------------------------------------------------
+# Declared query: the full multimodal plumbing under a differential check.
+# The "decode" is a deterministic fake (the real one is stubbed — no image
+# libs in this container), which makes the mapInPandas path EXACTLY
+# checkable: the DuckDB oracle computes the same formulas in SQL.
+
+_EXTRACT_SCHEMA = "media_id long, kind string, n_bytes long, width int, height int, brightness int"
+
+
+@register(
+    "multimodal_extract",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           strlen(text) AS n_bytes,
+           CAST(strlen(text) % 640 + 16 AS INTEGER) AS width,
+           CAST((strlen(text) * 7) % 480 + 16 AS INTEGER) AS height,
+           CAST(list_sum(list_transform(range(1, 17), i -> ord(substr(text, i, 1)))) % 256
+                AS INTEGER) AS brightness
+    FROM documents
+    """,
+)
+def multimodal_extract(spark, sf_dir: str) -> DataFrame:
+    """Opaque-binary decode/feature-extract over mapInPandas (Arrow
+    batches). Payloads are the documents' bytes carried as a `binary`
+    column; the decoder is a deterministic fake standing in for a real
+    image decode (stubbed per brief — see `decode_image`). The
+    plumbing under test — binary column through a repartition, Arrow
+    batch shape, UDF signature, row alignment — is exactly what a real
+    decoder needs; the oracle recomputes the fake's arithmetic in SQL,
+    so the whole Python path is hash-checked, not just row-counted.
+    """
+    from pg2ch_spark import catalog
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+    def fake_decode(payload: bytes) -> tuple[int, int, int]:
+        n = len(payload)
+        return (n % 640 + 16, (n * 7) % 480 + 16, sum(payload[:16]) % 256)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "brightness": [d[2] for d in decoded],
+                }
+            )
+
+    # same batch-size-bounding repartition as extract_features
+    bucketed = media.repartition(F.spark_partition_id(), F.length("payload"))
+    return bucketed.mapInPandas(run, _EXTRACT_SCHEMA)

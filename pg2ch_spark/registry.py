@@ -65,7 +65,7 @@ def load_all() -> None:
     from pg2ch_spark.functions import scalar  # noqa: F401
     from pg2ch_spark.cdc import engines  # noqa: F401
     from pg2ch_spark.streaming import queries as streaming_queries  # noqa: F401
-    from pg2ch_spark.llm import text, similarity  # noqa: F401
+    from pg2ch_spark.llm import text, similarity, neardup, quality, multimodal  # noqa: F401
     from pg2ch_spark.udfs import declared  # noqa: F401
 
     _LOADED = True
