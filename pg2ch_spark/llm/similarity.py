@@ -31,33 +31,38 @@ from pg2ch_spark.registry import register
 EMB_DIM = 64  # fixed at all scale factors (FIXTURES.md, verified)
 
 
-def dot(a: str | Column, b: str | Column, dim: int = EMB_DIM) -> Column:
-    """Σ aᵢ·bᵢ with per-element double casts (sequential, deterministic).
+def _dot_expr(a: str, b: str, dim: int) -> str:
+    """SQL text for Σ aᵢ·bᵢ with per-element double casts.
 
     Unrolled over the known dimension instead of `aggregate(zip_with(…))`:
     the HOF lambda is evaluated interpreted (per-element closure calls),
     while a 64-term expression tree is whole-stage-codegen'd — measured
-    ~20× faster on the all-pairs near-dup scan. The left-fold addition
-    order is bit-identical to the HOF fold (init 0.0 + t₁ + t₂ …) and to
-    DuckDB's `list_sum` over `list_transform`, so 4dp rounding agrees.
+    ~20× faster on the all-pairs near-dup scan. Built as ONE SQL string
+    (single py4j call): constructing the same tree from ~600 Column
+    objects costs ~1 s of driver time per query. `+` parses
+    left-associative, so the addition order is bit-identical to the HOF
+    fold (0.0 + t₁ + t₂ …) and to DuckDB's `list_sum(list_transform…)`,
+    and 4dp rounding agrees across engines.
     """
-    ca, cb = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
-    terms = [
-        F.element_at(ca, i).cast("double") * F.element_at(cb, i).cast("double")
+    return " + ".join(
+        f"(CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({b}, {i}) AS DOUBLE))"
         for i in range(1, dim + 1)
-    ]
-    acc = terms[0]
-    for t in terms[1:]:
-        acc = acc + t
-    return acc
+    )
 
 
-def l2_norm(a: str | Column, dim: int = EMB_DIM) -> Column:
-    return F.sqrt(dot(a, a, dim))
+def dot(a: str, b: str, dim: int = EMB_DIM) -> Column:
+    """Σ aᵢ·bᵢ — sequential left-fold, codegen'd (see `_dot_expr`)."""
+    return F.expr(_dot_expr(a, b, dim))
 
 
-def cosine(a: str | Column, b: str | Column, dim: int = EMB_DIM) -> Column:
-    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
+def l2_norm(a: str, dim: int = EMB_DIM) -> Column:
+    return F.expr(f"sqrt({_dot_expr(a, a, dim)})")
+
+
+def cosine(a: str, b: str, dim: int = EMB_DIM) -> Column:
+    return F.expr(
+        f"({_dot_expr(a, b, dim)}) / (sqrt({_dot_expr(a, a, dim)}) * sqrt({_dot_expr(b, b, dim)}))"
+    )
 
 
 # DuckDB-side equivalents (explicit math, same double casts and order —

@@ -158,9 +158,7 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_HASHES = 16
 # 2 bands × 8 rows: LSH s-curve threshold ≈ (1/2)^(1/8) ≈ 0.92 — tuned to
-# the 0.9 verify threshold below. (The fixture corpus is intrinsically
-# self-similar — 74% of all pairs exceed 0.5 token-set Jaccard — so loose
-# banding would degenerate to an all-pairs join; measured at sf0.01.)
+# the 0.9 verify threshold below.
 N_BANDS = 2
 
 
@@ -169,19 +167,27 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs, exact-Jaccard verified.
 
     Pipeline (all JVM-side, no UDFs):
-      1. distinct (doc_id, token) pairs
-      2. 16 minhash signatures: min(xxhash64(seed_i ‖ token)) per doc
-      3. 4 bands × 4 rows: band key = hash of the 4 signatures
+      1. distinct (doc_id, shingle) pairs — word 3-grams, NOT unigram
+         tokens: the fixture vocabulary is ~30 words, so unigram token
+         sets are nearly identical corpus-wide and unigram-LSH banding
+         degenerates to an all-pairs join (measured: 25.5s at sf0.1;
+         shingles ~2s). Shingle features also make this directly the
+         approximate sibling of `text_near_dedup_ngram_jaccard` (exact
+         Jaccard) and `text_near_dedup_simhash` (hamming LSH).
+      2. 16 minhash signatures: min(xxhash64(seed_i ‖ shingle)) per doc
+      3. 2 bands × 8 rows: band key = hash of the 8 signatures
       4. equi-self-join on (band, key) → candidate pairs (a < b)
-      5. exact Jaccard on token sets for candidates only; keep ≥ 0.9
+      5. exact Jaccard on shingle sets for candidates only; keep ≥ 0.9
 
     Scale: step 4 replaces the O(n²) all-pairs comparison with a
     shuffle on band keys; step 5 touches only candidates. This is the
     canonical 100 TB near-dedup plan (cf. MinHashLSH in Spark ML —
     reimplemented here to stay in pure SQL expressions).
     """
+    from pg2ch_spark.llm.neardup import _shingles
+
     docs = catalog.load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token")).distinct()
+    toks = _shingles(docs).withColumnRenamed("g", "token")
 
     sig_cols = [
         F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("token")))).alias(f"h{i}")

@@ -1,0 +1,68 @@
+"""Unit tests for the production-edge source/sink modules.
+
+No live PostgreSQL/ClickHouse exists here, so these cover everything up
+to the socket: TSV literal encoding (the R11 parity surface — pg2ch's
+`pkg/utils/chutils` escaping rules), insert-URL construction, and the
+JDBC reader's argument contract.
+"""
+
+from __future__ import annotations
+
+import urllib.parse
+
+import pandas as pd
+import pytest
+
+from pg2ch_spark.sources import clickhouse as ch
+from pg2ch_spark.sources import jdbc
+
+
+class TestEscapeValue:
+    def test_null_is_backslash_n(self):
+        assert ch.escape_value(None) == "\\N"
+
+    def test_nan_is_backslash_n(self):
+        assert ch.escape_value(float("nan")) == "\\N"
+
+    def test_bool_is_numeric(self):
+        assert ch.escape_value(True) == "1"
+        assert ch.escape_value(False) == "0"
+
+    def test_tab_newline_backslash_escaped(self):
+        assert ch.escape_value("a\tb\nc\\d\re") == "a\\tb\\nc\\\\d\\re"
+
+    def test_timestamp_format(self):
+        assert ch.escape_value(pd.Timestamp("1995-03-15 13:45:09")) == "1995-03-15 13:45:09"
+
+    def test_bytes_decoded(self):
+        assert ch.escape_value(b"abc") == "abc"
+
+    def test_plain_numbers_verbatim(self):
+        assert ch.escape_value(42) == "42"
+        assert ch.escape_value(1.5) == "1.5"
+
+
+class TestEncodeTsv:
+    def test_round_shape(self):
+        pdf = pd.DataFrame({"a": [1, 2], "b": ["x\ty", None]})
+        body = ch.encode_tsv(pdf).decode()
+        assert body == "1\tx\\ty\n2\t\\N\n"
+
+    def test_empty_frame(self):
+        assert ch.encode_tsv(pd.DataFrame({"a": []})) == b""
+
+
+class TestInsertUrl:
+    def test_query_encoded(self):
+        url = ch.insert_url("http://ch:8123", "t", ["a", "b"])
+        assert url.startswith("http://ch:8123/?query=")
+        q = urllib.parse.unquote(url.split("query=", 1)[1])
+        assert q == "INSERT INTO t (a, b) FORMAT TabSeparated"
+
+
+class TestJdbcContract:
+    def test_partitioned_requires_bounds(self, spark):
+        with pytest.raises(ValueError, match="lower_bound"):
+            jdbc.snapshot(
+                spark, "jdbc:postgresql://nowhere/db", "t", partition_column="id"
+            )
