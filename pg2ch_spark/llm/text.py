@@ -187,6 +187,8 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg2ch_spark.llm.neardup import _shingles
 
     docs = catalog.load(spark, sf_dir, "documents")
+    # (measured: materializing the 1.1M-row shingle table costs more
+    # than recomputing it per branch — the scan+explode is cheap)
     toks = _shingles(docs).withColumnRenamed("g", "token")
 
     sig_cols = [

@@ -37,9 +37,13 @@ class _few_state_partitions:
     run — production jobs size it to the cluster up front.)
     """
 
-    def __init__(self, spark: SparkSession, n: int = 8):
+    def __init__(self, spark: SparkSession, n: int | None = None):
         self.spark = spark
-        self.n = n
+        # measured at sf0.1: 2 beats 8 by 0.3-1.2s/query (state-store
+        # commit overhead scales with instance count, and the test
+        # streams hold a few thousand keys); production jobs size this
+        # to the cluster via the env override before first run.
+        self.n = n if n is not None else int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "2"))
         self.old: str | None = None
 
     def __enter__(self):

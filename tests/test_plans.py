@@ -47,3 +47,36 @@ def test_q1_has_partial_aggregation(spark):
     plan = _plan(spark, "agg_groupby_q1")
     # partial (map-side) + final hash aggregate
     assert plan.count("HashAggregate") >= 2
+
+def test_simhash_candidates_avoid_nested_loop(spark):
+    """Band-LSH candidate generation must be equi-joins (shuffle- or
+    broadcast-hash), never a BroadcastNestedLoopJoin — an OR-join over
+    band values would be O(n²) at corpus scale."""
+    plan = _plan(spark, "text_near_dedup_simhash")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assignment_is_broadcast(spark):
+    """Centroid assignment must broadcast the tiny centroid table."""
+    plan = _plan(spark, "sim_ann_ivf")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lang_id_profile_is_broadcast(spark):
+    """The 5×40-bigram profile must broadcast against the gram stream."""
+    plan = _plan(spark, "text_lang_id")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quality_score_has_no_shuffle(spark):
+    """Per-document scoring is a map-only pipeline — any Exchange means
+    an accidental shuffle crept in."""
+    plan = _plan(spark, "text_quality_score")
+    assert "Exchange" not in plan
+
+
+def test_near_dup_embedding_is_arrow_batched(spark):
+    """The all-pairs kernel runs in mapInPandas (Arrow), with the
+    threshold filter applied after it (never pushed into a join)."""
+    plan = _plan(spark, "sim_near_dup_embedding")
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
