@@ -272,3 +272,85 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = result.localCheckpoint(eager=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_custom_state",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, value, event_id,
+               max(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_max
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (prior_max IS NULL OR value > prior_max) AS BIGINT)
+               AS n_peaks,
+           max(value) AS max_value
+    FROM w GROUP BY user_id
+    """,
+)
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    peak detector — count events whose value exceeds the user's prior
+    running maximum, carrying (running_max, n_peaks) in the state store.
+
+    This is the operator class Spark's built-in aggregations can't
+    express (the update depends on arbitrary per-key state, not an
+    algebraic fold over a window); pg2ch's analog is the per-table
+    engine handler holding its buffer/version state (SURVEY R5-R8).
+    Arrival order within a micro-batch is not guaranteed, so the batch
+    is sorted by event_id before folding — the same discipline as
+    version-ordered CDC apply. The oracle expresses the identical
+    semantics as a window scan, so the check is exact.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_peaks", LongType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("running_max", DoubleType()), StructField("n_peaks", LongType())]
+    )
+
+    def fold_peaks(key, batches, state: GroupState):
+        if state.exists:
+            running_max, n_peaks = state.get
+        else:
+            running_max, n_peaks = None, 0
+        for pdf in batches:
+            pdf = pdf.sort_values("event_id")
+            for v in pdf["value"]:
+                if running_max is None or v > running_max:
+                    n_peaks += 1
+                    running_max = v if running_max is None else max(running_max, v)
+        state.update((running_max, n_peaks))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_peaks": [n_peaks], "max_value": [running_max]}
+        )
+
+    return run_complete_to_df(
+        spark,
+        catalog.table_path(sf_dir, "events"),
+        _events_schema(spark, sf_dir),
+        lambda df: df.groupBy("user_id").applyInPandasWithState(
+            fold_peaks,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        ),
+        output_mode="update",
+    )
