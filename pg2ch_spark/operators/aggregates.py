@@ -228,3 +228,33 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price")
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a pathologically skewed key.
+
+    `events.event_type` has 5 values for the whole table — the shape
+    where a naive groupBy sends ~1/5 of 100 TB through 5 reducers.
+    Phase 1 salts the key with `pmod(event_id, 16)` (deterministic, no
+    rand()) and aggregates (key, salt) — 80 evenly-sized partials;
+    phase 2 folds the partials. Value-identical to the plain GROUP BY
+    (the oracle), so the correctness check also proves the rewrite is
+    semantics-preserving. AQE's skew-join splitting handles the join
+    version of this automatically; salting is the aggregation-side
+    pattern you apply yourself.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    partial = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16))).groupBy(
+        "event_type", "_salt"
+    ).agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv"))
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("bigint").alias("n"),
+        F.round(F.sum("pv"), 2).alias("total"),
+    )

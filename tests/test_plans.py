@@ -8,22 +8,22 @@ small dims, and TakeOrderedAndProject for global top-k (no full sort).
 from __future__ import annotations
 
 from pg2ch_spark import registry
+from pg2ch_spark.plans import physical_plan, scan_columns
 from tests.conftest import SF_T2
 
 registry.load_all()
 
 
 def _plan(spark, key: str) -> str:
-    df = registry.QUERIES[key](spark, SF_T2)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return physical_plan(registry.QUERIES[key](spark, SF_T2))
 
 
 def test_scan_prunes_and_pushes_down(spark):
     plan = _plan(spark, "scan_pruned_pushdown")
     assert "FileScan parquet" in plan
-    # only the 4 referenced columns are read (11 in the table)
-    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
-    assert "l_shipdate" in scan_line and "l_extendedprice" not in scan_line
+    # only the referenced columns are read (16 in the table)
+    cols = scan_columns(registry.QUERIES["scan_pruned_pushdown"](spark, SF_T2))
+    assert "l_shipdate" in cols and "l_extendedprice" not in cols and len(cols) <= 4
     assert "PushedFilters" in plan or "DataFilters" in plan
 
 
