@@ -193,3 +193,32 @@ def fn_struct_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.day").alias("day"),
         F.col("s.value").alias("value"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, user_id) AS xored,
+           event_id << 2 AS shl,
+           event_id >> 3 AS shr,
+           CAST(bit_count(event_id) AS INTEGER) AS popcnt
+    FROM events WHERE event_id < 1000
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: and/or/xor, shifts, popcount — all-integer, so
+    cross-engine exact by construction. (Spark `^` is xor; DuckDB `^`
+    is power — its oracle uses `xor()`.)"""
+    ev = catalog.load(spark, sf_dir, "events")
+    return ev.where(F.col("event_id") < 1000).select(
+        "event_id",
+        F.expr("event_id & 255").alias("low_byte"),
+        F.expr("event_id | 4096").alias("with_flag"),
+        F.expr("event_id ^ user_id").alias("xored"),
+        F.expr("shiftleft(event_id, 2)").alias("shl"),
+        F.expr("shiftright(event_id, 3)").alias("shr"),
+        F.bit_count("event_id").alias("popcnt"),
+    )

@@ -201,3 +201,37 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.first("o_orderdate").over(w), "yyyy-MM-dd").alias("first_order_day"),
         F.date_format(F.last("o_orderdate").over(w), "yyyy-MM-dd").alias("last_order_day"),
     ).distinct()
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS sum_30d
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, rolling 30-day order total.
+
+    RANGE (value-distance) frames complement the ROWS frames used
+    elsewhere in group E: the frame includes all *peer* rows within 30
+    days of the current order's date, however many orders that is —
+    identical peer semantics in both engines, so the check is exact.
+    Order key is integer epoch-days (deterministic; no timestamp
+    hashing — D3).
+    """
+    o = catalog.load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.expr("datediff(o_orderdate, DATE'1970-01-01')"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
+    )
