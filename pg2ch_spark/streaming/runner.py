@@ -106,15 +106,20 @@ def run_complete_to_df(
     transform: Callable[[DataFrame], DataFrame],
     *,
     output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming aggregation to completion; return the final result.
 
     Memory sink, availableNow trigger. The query name is unique per run
     so repeated invocations in one session don't collide.
+    ``state_partitions`` overrides the local default (2): JVM-side
+    stateful aggs want few state stores, but Python-heavy stateful
+    operators (applyInPandasWithState) parallelize per partition and
+    want more.
     """
     name = f"pg2ch_mem_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="pg2ch_mem_ckpt_")
-    with _few_state_partitions(spark):
+    with _few_state_partitions(spark, state_partitions):
         q = (
             transform(_stream_source(spark, path, schema))
             .writeStream.format("memory")
