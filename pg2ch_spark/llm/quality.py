@@ -264,3 +264,51 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("wins")).cast("long").alias("n_fp"),
         F.array_min("wins").alias("fp_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring (perplexity-style quality filter)
+
+
+@register(
+    "text_lm_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), freq AS (
+        SELECT token, CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM toks) AS p
+        FROM toks GROUP BY token
+    )
+    SELECT t.doc_id, count(*) AS n_tokens,
+           round(avg(ln(f.p)), 4) AS avg_logp
+    FROM toks t JOIN freq f USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM scoring: corpus token frequencies → per-document mean
+    log-probability (the monotone core of perplexity = exp(−avg_logp)).
+    The classic cheap LM-based quality filter: gibberish scores far
+    below fluent text. The frequency table is vocabulary-sized —
+    broadcast; the token stream aggregates map-side first.
+
+    avg(ln p) is a sum of ~40 doubles ≈ −200: cross-engine sum-order
+    and libm-ulp differences are ~1e-13, invisible at 4dp (D2).
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    total = toks.select(F.count(F.lit(1)).alias("tot"))
+    freq = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(total))
+        .select("token", (F.col("c").cast("double") / F.col("tot")).alias("p"))
+    )
+    return (
+        toks.join(F.broadcast(freq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log("p")), 4).alias("avg_logp"),
+        )
+    )

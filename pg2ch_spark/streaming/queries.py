@@ -364,3 +364,30 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         # outweighs the extra parallelism at this key count; keep the
         # few-state-stores default
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, count(*) AS n, round(sum(e.value), 2) AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream joins to
+    the static customer dimension (broadcast — the dim is re-read per
+    batch, so at scale keep it small or snapshotted), then aggregates
+    per market segment. This is the enrichment pattern pg2ch delegates
+    to ClickHouse dictionaries; in Spark it is just a join inside the
+    streaming query."""
+    cust = catalog.load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    res = run_complete_to_df(
+        spark,
+        catalog.table_path(sf_dir, "events"),
+        _events_schema(spark, sf_dir),
+        lambda df: df.join(F.broadcast(cust), df.user_id == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")),
+    )
+    return res
