@@ -60,6 +60,31 @@ def configure(spark: SparkSession) -> None:
         pass  # static in some builds; Arrow is an optimization, not a requirement
 
 
+def tune(spark: SparkSession) -> None:
+    """Apply perf confs to whatever session the driver hands us.
+
+    Both are runtime-settable SQL confs, so they must not live only in
+    our own session factory (session.py) — under a vanilla driver
+    session the ~15 MB local fixtures split into 1-3 input partitions
+    (128 MB default) and 3 of 32 cores do all the work. 4 MB splits
+    restore parallelism locally; on a real cluster with TB inputs,
+    override via env back to the default.
+
+    Called once per query by the registry wrapper, BEFORE the query
+    body runs — never from :func:`load` — so queries that temporarily
+    override the shuffle width (streaming state-partition sizing) are
+    not clobbered by a mid-body table load.
+    """
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+    )
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 

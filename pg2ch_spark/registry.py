@@ -35,6 +35,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             catalog.configure(spark)
+            catalog.tune(spark)
             return fn(spark, sf_dir)
 
         if name in QUERIES:
@@ -52,7 +53,17 @@ def load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    # Import order mirrors SURVEY §2.3 groups A..L.
+    # Registration order is part of the external contract: downstream
+    # correctness tooling checks queries in registration order and may
+    # cap how many it verifies per run. Groups whose results have not
+    # yet been externally verified register FIRST (cdc, streaming, llm,
+    # udfs, scalar fns), then the long-verified relational core
+    # (SURVEY §2.3 groups A..G).
+    from pg2ch_spark.cdc import engines  # noqa: F401
+    from pg2ch_spark.streaming import queries as streaming_queries  # noqa: F401
+    from pg2ch_spark.llm import text, similarity, neardup, quality, multimodal  # noqa: F401
+    from pg2ch_spark.udfs import declared  # noqa: F401
+    from pg2ch_spark.functions import scalar  # noqa: F401
     from pg2ch_spark.operators import (  # noqa: F401
         scans,
         projection,
@@ -62,11 +73,6 @@ def load_all() -> None:
         sorts,
         setops,
     )
-    from pg2ch_spark.functions import scalar  # noqa: F401
-    from pg2ch_spark.cdc import engines  # noqa: F401
-    from pg2ch_spark.streaming import queries as streaming_queries  # noqa: F401
-    from pg2ch_spark.llm import text, similarity, neardup, quality, multimodal  # noqa: F401
-    from pg2ch_spark.udfs import declared  # noqa: F401
 
     _LOADED = True
 
