@@ -34,7 +34,17 @@ class ReplacingMergeSink:
 
     def state(self) -> DataFrame | None:
         if not os.path.exists(self.path):
-            return None
+            # Crash recovery: _commit renames current -> .old before
+            # promoting staging. A failure between the two renames
+            # leaves only .old — and the streaming checkpoint has
+            # already acked earlier batches, so losing it would break
+            # the at-least-once-but-convergent contract. Promote it
+            # back; the in-flight batch replays from the checkpoint.
+            old = self.path + ".old"
+            if os.path.exists(old):
+                os.rename(old, self.path)
+            else:
+                return None
         return self.spark.read.parquet(self.path)
 
     def merge(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
@@ -52,9 +62,15 @@ class ReplacingMergeSink:
         self._commit(final)
 
     def _commit(self, df: DataFrame) -> None:
+        """Two-rename commit; any single crash point loses at most the
+        in-flight batch (replayed from the checkpoint): before the first
+        rename the current state is intact; between renames ``state()``
+        recovers from ``.old``; after the second rename the stale
+        ``.old`` is swept here on the next commit."""
         tmp = self.path + ".staging"
         df.write.mode("overwrite").parquet(tmp)
         old = self.path + ".old"
+        shutil.rmtree(old, ignore_errors=True)  # stale leftover from a crash
         if os.path.exists(self.path):
             os.rename(self.path, old)
         os.rename(tmp, self.path)

@@ -69,7 +69,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-integer scoring (distinct-bigram hits against a top-40 profile)
     with deterministic tie-breaks, so the cross-engine check is exact.
     """
-    docs = catalog.load(spark, sf_dir, "documents")
+    # Guard: Spark's sequence(1, n) DESCENDS ([1,0]) when n < 1, so a
+    # 1-char doc would emit spurious bigrams (substring at pos 0) where
+    # the oracle's range(1, len) emits none. Dropping sub-bigram docs
+    # matches the oracle exactly on any corpus.
+    docs = catalog.load(spark, sf_dir, "documents").where(F.length("text") >= 2)
     grams = docs.select(
         "doc_id",
         "lang",
@@ -244,7 +248,16 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # local fixture is a single parquet split — spread rows across cores
     # first. (At 100 TB input splits provide this for free; a 5000-row
     # round-robin exchange is noise either way.)
-    docs = catalog.load(spark, sf_dir, "documents").repartition(32)
+    #
+    # Guard: docs shorter than k+w-1 chars have no complete winnowing
+    # window — the oracle's WHERE clause drops them, and Spark's
+    # sequence(1, n) with n < 1 DESCENDS (slice at start=0 then throws).
+    # Filtering them out matches the oracle exactly on any corpus.
+    docs = (
+        catalog.load(spark, sf_dir, "documents")
+        .where(F.length("text") >= _SHINGLE_K + _WINNOW_W - 1)
+        .repartition(32)
+    )
     harr = docs.select(
         "doc_id",
         F.expr(

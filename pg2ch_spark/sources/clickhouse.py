@@ -41,14 +41,30 @@ _ESCAPES = {
 
 def escape_value(v: object) -> str:
     """One value → one ClickHouse TabSeparated literal."""
-    if v is None or v != v:  # None or float('nan')
+    if v is None:
         return "\\N"
+    try:
+        # pd.isna covers float nan, pd.NaT and pd.NA (for which `v != v`
+        # raises: NA propagates through comparisons and is ambiguous in
+        # bool context). Array-likes make isna return an array — not a
+        # null, fall through to the string path.
+        if pd.isna(v):
+            return "\\N"
+    except (TypeError, ValueError):
+        pass
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, bytes):
         v = v.decode("utf-8", errors="replace")
     if isinstance(v, pd.Timestamp):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        # DateTime64 sub-second precision must not be silently dropped;
+        # whole-second values stay in the plain DateTime form.
+        if v.microsecond or v.nanosecond:
+            s += f".{v.microsecond:06d}"
+            if v.nanosecond:
+                s += f"{v.nanosecond:03d}"
+        return s
     s = str(v)
     out = []
     for ch in s:
@@ -65,9 +81,22 @@ def encode_tsv(pdf: pd.DataFrame) -> bytes:
     return buf.getvalue().encode("utf-8")
 
 
+def quote_ident(name: str) -> str:
+    """Backtick-quote one identifier (ClickHouse rules: backslash and
+    backtick escaped inside). Dotted table names quote each part."""
+    parts = name.split(".")
+    quoted = []
+    for p in parts:
+        if not p:
+            raise ValueError(f"empty identifier component in {name!r}")
+        quoted.append("`" + p.replace("\\", "\\\\").replace("`", "\\`") + "`")
+    return ".".join(quoted)
+
+
 def insert_url(endpoint: str, table: str, columns: list[str]) -> str:
+    cols = ", ".join(quote_ident(c) for c in columns)
     q = urllib.parse.quote(
-        f"INSERT INTO {table} ({', '.join(columns)}) FORMAT TabSeparated"
+        f"INSERT INTO {quote_ident(table)} ({cols}) FORMAT TabSeparated"
     )
     return f"{endpoint.rstrip('/')}/?query={q}"
 

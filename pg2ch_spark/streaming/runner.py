@@ -56,6 +56,15 @@ class _few_state_partitions:
             self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
+def _num_input_rows(progress) -> int:
+    """numInputRows across PySpark progress representations (object
+    attribute in 4.x, plain dict in older json-parsed forms)."""
+    try:
+        return int(progress.numInputRows)
+    except AttributeError:
+        return int(progress["numInputRows"])
+
+
 def _stream_source(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     # The file stream source requires a directory. The fixtures are single
     # parquet files, so expose one through a temp dir of symlinks (in
@@ -130,6 +139,20 @@ def run_complete_to_df(
             .start()
         )
         q.awaitTermination()
+    if output_mode != "complete":
+        # The memory sink in update/append mode APPENDS every
+        # re-emission of a key, so reading the sink table as the final
+        # answer is only correct when exactly one data micro-batch ran.
+        # Our single-file sources guarantee that; a >1000-file source
+        # dir or maxFilesPerTrigger would silently break it — enforce
+        # the assumption instead of relying on it.
+        data_batches = sum(1 for p in q.recentProgress if _num_input_rows(p) > 0)
+        if data_batches > 1:
+            raise AssertionError(
+                f"memory sink in {output_mode} mode saw {data_batches} data "
+                "batches; re-updated keys would appear as stale duplicates. "
+                "Use a keyed merge sink (cdc.merge_sink) for multi-batch runs."
+            )
     # Materialize before the temp view could be replaced by a later run.
     result = spark.table(name).localCheckpoint(eager=True)
     shutil.rmtree(ckpt, ignore_errors=True)

@@ -34,6 +34,21 @@ class TestEscapeValue:
     def test_timestamp_format(self):
         assert ch.escape_value(pd.Timestamp("1995-03-15 13:45:09")) == "1995-03-15 13:45:09"
 
+    def test_pandas_na_and_nat_are_null(self):
+        # pd.NA raises on `v != v` (ambiguous bool) — must not crash
+        assert ch.escape_value(pd.NA) == "\\N"
+        assert ch.escape_value(pd.NaT) == "\\N"
+
+    def test_timestamp_subsecond_precision_kept(self):
+        assert (
+            ch.escape_value(pd.Timestamp("1995-03-15 13:45:09.123456"))
+            == "1995-03-15 13:45:09.123456"
+        )
+        assert (
+            ch.escape_value(pd.Timestamp("1995-03-15 13:45:09.123456789"))
+            == "1995-03-15 13:45:09.123456789"
+        )
+
     def test_bytes_decoded(self):
         assert ch.escape_value(b"abc") == "abc"
 
@@ -57,7 +72,13 @@ class TestInsertUrl:
         url = ch.insert_url("http://ch:8123", "t", ["a", "b"])
         assert url.startswith("http://ch:8123/?query=")
         q = urllib.parse.unquote(url.split("query=", 1)[1])
-        assert q == "INSERT INTO t (a, b) FORMAT TabSeparated"
+        assert q == "INSERT INTO `t` (`a`, `b`) FORMAT TabSeparated"
+
+    def test_identifiers_quoted(self):
+        assert ch.quote_ident("db.t") == "`db`.`t`"
+        assert ch.quote_ident("we`ird") == "`we\\`ird`"
+        with pytest.raises(ValueError):
+            ch.quote_ident("db..t")
 
 
 class TestJdbcContract:
