@@ -35,6 +35,8 @@ Scale notes (100 TB of documents / billions of vectors):
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -264,24 +266,45 @@ _COS_MIN = 0.45  # measured: 14 pairs at sf0.01, 144 at sf0.1
 def sim_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: rounded cosine ≥ 0.45, a < b.
 
-    Exact threshold scan is intrinsically all-pairs; at billions of
-    vectors run `sim_ann_ivf`-style bucketing or random-hyperplane LSH
-    first and apply this only within buckets.
+    Block nested-loop via shuffle, NO driver materialization: each
+    vector is assigned one of NB blocks and replicated to every block
+    *pair* it participates in (an explode, NB rows per input row), then
+    ``applyInPandas`` computes one (|A| × |B|) tile of the similarity
+    matrix per block pair with vectorized numpy. Per-task memory is
+    O(2·N/NB·d) regardless of total N — at billions of vectors raise NB
+    (replication grows linearly, tile memory shrinks linearly); the
+    earlier implementation broadcast the whole table from the driver,
+    which caps out at driver memory.
+
+    Exact threshold scan is intrinsically all-pairs (O(N²/NB) tiles);
+    at real scale run `sim_ann_ivf`-style bucketing or random-
+    hyperplane LSH first and apply this kernel only within buckets.
     """
     import numpy as np
     import pandas as pd
 
+    nb = int(os.environ.get("SPARK_GRAFT_SIM_BLOCKS", "8"))
     e = catalog.load(spark, sf_dir, "embeddings")
 
-    # One side of the product is shipped whole to every task (Spark
-    # broadcast var); the streamed side is partitioned, so each task
-    # computes an (m × N) block of the similarity matrix with
-    # vectorized numpy. At billions of vectors the broadcast becomes a
-    # block-replication shuffle (tag rows with block ids, applyInPandas
-    # per block pair) — same kernel, bounded memory per task.
-    bp = e.select("vec_id", "embedding").toPandas()
-    b_ids = bp["vec_id"].to_numpy()
-    B = np.stack(bp["embedding"].to_numpy()).astype(np.float64)
+    # Replicate each row to all NB unordered block pairs that contain
+    # its block: row with block b joins groups (min(b,o), max(b,o)) for
+    # every other block o — each group sees exactly the rows of its two
+    # blocks, each unordered vector pair meets in exactly one group.
+    tagged = e.select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % nb).cast("int").alias("blk"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {nb - 1}),"
+                "           o -> struct(least(blk, o) AS pi, greatest(blk, o) AS pj))"
+            )
+        ).alias("pk"),
+    ).select("vec_id", "embedding", "blk", F.col("pk.pi").alias("pi"), F.col("pk.pj").alias("pj"))
 
     def _norm_fold(M: "np.ndarray") -> "np.ndarray":
         # dimension-ordered left fold — see bit-exactness note below
@@ -290,9 +313,7 @@ def sim_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc += M[:, k] * M[:, k]
         return np.sqrt(acc)
 
-    bc = spark.sparkContext.broadcast((b_ids, B, _norm_fold(B)))
-
-    def run(batches):
+    def _tile(ids_a, A, ids_b, B):
         # Bit-exactness vs the JVM expression and the DuckDB oracle:
         # the fold accumulates dimension k as a separate vectorized
         # `+=` pass, so every pair's dot product is summed in the SAME
@@ -300,22 +321,44 @@ def sim_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         # — numpy elementwise ops are IEEE-exact and never reassociate
         # across passes (only axis *reductions* would). Verified: the
         # output hash-matches the oracle at sf0.01 and sf0.1.
-        ids_b, Bm, nb = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids_a = pdf["vec_id"].to_numpy()
-            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            dots = np.zeros((len(A), len(Bm)))
-            for k in range(A.shape[1]):
-                dots += np.outer(A[:, k], Bm[:, k])
-            cos = dots / np.outer(_norm_fold(A), nb)
-            ai, bj = np.nonzero(ids_a[:, None] < ids_b[None, :])
-            yield pd.DataFrame(
-                {"vec_a": ids_a[ai], "vec_b": ids_b[bj], "c_raw": cos[ai, bj]}
-            )
+        dots = np.zeros((len(A), len(B)))
+        for k in range(A.shape[1]):
+            dots += np.outer(A[:, k], B[:, k])
+        return dots / np.outer(_norm_fold(A), _norm_fold(B))
 
-    out = e.repartition(32, "vec_id").mapInPandas(run, "vec_a long, vec_b long, c_raw double")
+    _empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                           "vec_b": pd.Series(dtype="int64"),
+                           "c_raw": pd.Series(dtype="float64")})
+
+    def block_pair(key, pdf):
+        pi, pj = int(key[0]), int(key[1])
+        a_side = pdf[pdf["blk"] == pi]
+        ids_a = a_side["vec_id"].to_numpy()
+        if pi == pj:
+            if len(ids_a) < 2:
+                return _empty
+            A = np.stack(a_side["embedding"].to_numpy()).astype(np.float64)
+            cos = _tile(ids_a, A, ids_a, A)
+            ai, bj = np.nonzero(ids_a[:, None] < ids_a[None, :])
+            return pd.DataFrame(
+                {"vec_a": ids_a[ai], "vec_b": ids_a[bj], "c_raw": cos[ai, bj]}
+            )
+        b_side = pdf[pdf["blk"] == pj]
+        ids_b = b_side["vec_id"].to_numpy()
+        if not len(ids_a) or not len(ids_b):
+            return _empty
+        A = np.stack(a_side["embedding"].to_numpy()).astype(np.float64)
+        B = np.stack(b_side["embedding"].to_numpy()).astype(np.float64)
+        cos = _tile(ids_a, A, ids_b, B)
+        ai, bj = np.nonzero(np.ones((len(ids_a), len(ids_b)), dtype=bool))
+        va, vb = ids_a[ai], ids_b[bj]
+        # cross-block pair orientation: output requires vec_a < vec_b
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "c_raw": cos[ai, bj]})
+
+    out = tagged.groupBy("pi", "pj").applyInPandas(
+        block_pair, "vec_a long, vec_b long, c_raw double"
+    )
     # round + threshold JVM-side so the rounding semantics are Spark's
     # (same as every other declared query), not numpy's
     return out.select(

@@ -76,7 +76,26 @@ def test_quality_score_has_no_shuffle(spark):
 
 
 def test_near_dup_embedding_is_arrow_batched(spark):
-    """The all-pairs kernel runs in mapInPandas (Arrow), with the
-    threshold filter applied after it (never pushed into a join)."""
+    """The block-pair kernel runs in applyInPandas (Arrow grouped map),
+    with the threshold filter applied after it (never pushed into a
+    join)."""
     plan = _plan(spark, "sim_near_dup_embedding")
-    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    assert "FlatMapGroupsInPandas" in plan or "applyinpandas" in plan.lower()
+
+
+def test_near_dup_embedding_never_touches_the_driver(spark, monkeypatch):
+    """Building the query must not materialize anything on the driver —
+    no toPandas/collect (a driver OOM at billions of vectors) and no
+    sparkContext.broadcast of table data."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):  # pragma: no cover - should never fire
+        raise AssertionError("driver-side materialization in query construction")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    monkeypatch.setattr(
+        type(spark.sparkContext), "broadcast", _boom, raising=True
+    )
+    df = registry.QUERIES["sim_near_dup_embedding"](spark, SF_T2)
+    assert df is not None  # plan constructed lazily, driver untouched
