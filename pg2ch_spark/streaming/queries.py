@@ -32,9 +32,20 @@ from pg2ch_spark.registry import register
 from pg2ch_spark.streaming.runner import replay_available_now, run_complete_to_df
 
 
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def _events_schema(spark: SparkSession, sf_dir: str):
-    catalog.configure(spark)
-    return spark.read.parquet(catalog.table_path(sf_dir, "events")).schema
+    """Events schema, cached per path: the schema is declared (parquet
+    footer), stable across sessions, and re-reading it cost a full
+    spark.read round-trip per streaming query."""
+    path = catalog.table_path(sf_dir, "events")
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        catalog.configure(spark)
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
+    return schema
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
@@ -227,11 +238,10 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full pg2ch buffer→flush→merge path (R8/R9/R12). Final state is
     identical to ``cdc_replacing_final``: the merge is idempotent under
     replay, which is the whole convergence argument (SURVEY §1.1)."""
-    import tempfile
-
     from pg2ch_spark.cdc.merge_sink import ReplacingMergeSink
+    from pg2ch_spark.streaming.runner import scratch_dir
 
-    state_path = tempfile.mkdtemp(prefix="pg2ch_upsert_state_") + "/state"
+    state_path = scratch_dir("pg2ch_upsert_state_") + "/state"
     sink = ReplacingMergeSink(spark, state_path, key_col="key", ver_col="ver")
 
     op = (
@@ -249,9 +259,8 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     import shutil
-    import tempfile as _tf
 
-    ckpt = _tf.mkdtemp(prefix="pg2ch_upsert_ckpt_")
+    ckpt = scratch_dir("pg2ch_upsert_ckpt_")
     from pg2ch_spark.streaming.runner import _few_state_partitions, _stream_source
 
     with _few_state_partitions(spark):
