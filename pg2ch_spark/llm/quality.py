@@ -73,15 +73,20 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-char doc would emit spurious bigrams (substring at pos 0) where
     # the oracle's range(1, len) emits none. Dropping sub-bigram docs
     # matches the oracle exactly on any corpus.
-    docs = catalog.load(spark, sf_dir, "documents").where(F.length("text") >= 2)
-    grams = docs.select(
-        "doc_id",
+    # repartition: the fixture is one input split; the per-row bigram
+    # generation below is the hot loop and must run on all cores (at
+    # 100 TB the input splits provide this for free).
+    docs = (
+        catalog.load(spark, sf_dir, "documents")
+        .where(F.length("text") >= 2)
+        .repartition(32)
+    )
+
+    train = docs.where(F.col("doc_id") % _TRAIN_MOD != 0).select(
         "lang",
         F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
         "text",
-    ).select("doc_id", "lang", F.expr("substring(text, CAST(i AS INT), 2)").alias("bg"))
-
-    train = grams.where(F.col("doc_id") % _TRAIN_MOD != 0)
+    ).select("lang", F.expr("substring(text, CAST(i AS INT), 2)").alias("bg"))
     counted = train.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("n"))
     wp = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bg"))
     profile = (
@@ -90,9 +95,19 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lang").alias("plang"), "bg")
     )
 
-    test_grams = grams.where(F.col("doc_id") % _TRAIN_MOD == 0).select(
-        "doc_id", "lang", "bg"
-    ).distinct()
+    # Per-doc DISTINCT bigrams computed in-row (array_distinct before
+    # the explode) — the first implementation exploded every position
+    # and ran a full-stream .distinct() shuffle for the same result.
+    test_grams = docs.where(F.col("doc_id") % _TRAIN_MOD == 0).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, length(text) - 1),"
+                "                         i -> substring(text, i, 2)))"
+            )
+        ).alias("bg"),
+    )
     hits = (
         test_grams.join(F.broadcast(profile), "bg")
         .groupBy("doc_id", "lang", "plang")

@@ -17,9 +17,10 @@ Design (idiomatic Spark, not a port):
 TSV literal rules mirrored from ClickHouse's TabSeparated format (the
 format pg2ch emits): ``\\N`` for NULL; tab/newline/backslash/CR
 escaped; dates as ``YYYY-MM-DD``; datetimes as ``YYYY-MM-DD hh:mm:ss``;
-booleans as 0/1. No live ClickHouse exists in this container, so the
-HTTP step raises unless an endpoint is reachable; everything up to the
-socket is tested (tests/test_sources.py).
+booleans as 0/1. No live ClickHouse exists in this container; encoding
+is unit-tested (tests/test_sources.py) and the full partitioned POST
+path is exercised end-to-end against a local HTTP stub server with
+byte-for-byte body assertions (tests/test_clickhouse_e2e.py).
 """
 
 from __future__ import annotations
@@ -109,7 +110,7 @@ def insert_partition(
     for pdf in rows:
         body = encode_tsv(pdf[columns])
         req = urllib.request.Request(url, data=body, method="POST")
-        with urllib.request.urlopen(req) as resp:  # pragma: no cover (no CH here)
+        with urllib.request.urlopen(req) as resp:
             if resp.status not in (200, 204):
                 raise RuntimeError(f"clickhouse insert failed: {resp.status}")
 
