@@ -25,6 +25,7 @@ single-file test fixtures.
 from __future__ import annotations
 
 import os
+import weakref
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -89,13 +90,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# DataFrames are immutable logical plans — reusing one across queries is
+# safe, and skips the ~50 ms file-listing + footer-schema round-trip
+# that spark.read.parquet pays per call (the fixtures never change
+# underneath us; physical planning still re-reads session confs per
+# action). Keyed weakly by session so a stopped session's plans die.
+_LOAD_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table with normalized schema."""
-    configure(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns since epoch -> µs TimestampType (integer division, no float)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Load one table with normalized schema (memoized per session)."""
+    global _LOAD_CACHE
+    if _LOAD_CACHE is None:
+        _LOAD_CACHE = weakref.WeakKeyDictionary()
+    try:
+        per_session = _LOAD_CACHE.setdefault(spark, {})
+    except TypeError:  # session not weakref-able in some builds
+        per_session = {}
+    key = (sf_dir, name)
+    df = per_session.get(key)
+    if df is None:
+        configure(spark)
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # ns since epoch -> µs TimestampType (integer division, no float)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        per_session[key] = df
     return df
 
 
