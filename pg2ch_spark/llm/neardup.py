@@ -57,17 +57,27 @@ _SHINGLE_SQL = """
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, g) — distinct word-3-gram shingles. JVM-side only."""
+    """(doc_id, g) — distinct word-3-gram shingles. JVM-side only.
+
+    Distinctness is per document, so it is computed IN-ROW
+    (array_distinct before the explode) — a post-explode .distinct()
+    would shuffle the whole shingle stream for the same result. The
+    repartition spreads the single-split local fixture across cores
+    before the per-row hot loop (free via input splits at real scale).
+    """
     return (
-        docs.select("doc_id", F.split("text", " ").alias("a"))
+        docs.repartition(32)
+        .select("doc_id", F.split("text", " ").alias("a"))
         .where(F.size("a") >= 3)
         .select(
             "doc_id",
             F.explode(
-                F.expr("transform(sequence(0, size(a) - 3), i -> concat_ws(' ', a[i], a[i+1], a[i+2]))")
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(a) - 3),"
+                    "                         i -> concat_ws(' ', a[i], a[i+1], a[i+2])))"
+                )
             ).alias("g"),
         )
-        .distinct()
     )
 
 
@@ -229,7 +239,9 @@ def text_near_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     needed — this is the precise-but-costlier sibling of MinHash-LSH.
     """
     docs = catalog.load(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    # sh feeds three plan branches (sizes + both join sides); without a
+    # barrier each recomputes the split+shingle pipeline from the scan.
+    sh = _shingles(docs).localCheckpoint(eager=True)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "g")
     b = sh.select(F.col("doc_id").alias("doc_b"), "g")
