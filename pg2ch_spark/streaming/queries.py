@@ -368,10 +368,11 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         ),
         output_mode="update",
-        # measured: 2 partitions 4.7s, 16 partitions 10.6s at sf0.1 —
-        # per-partition Python-worker spin-up for the state operator
-        # outweighs the extra parallelism at this key count; keep the
-        # few-state-stores default
+        # measured at sf0.1 (r2, after the session-conf fixes): 1→2.6s,
+        # 2→1.8s, 8→1.0s, 16→0.97s — the Python state workers
+        # parallelize per partition, opposite of the JVM stateful aggs
+        # (which want few state stores). 8 saturates this key count.
+        state_partitions=8,
     )
 
 
