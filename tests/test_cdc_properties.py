@@ -88,3 +88,38 @@ def test_merge_sink_out_of_order_batches_converge(spark):
     got = sink.state().count()
     want = _replacing_final(cdc).count()
     assert got == want
+
+
+def test_buffered_sink_converges_like_single_tier(spark):
+    """Two-tier buffer→merge (pg2ch R8/R9) must reach the same final
+    state as the per-batch sink under replayed, out-of-order batches —
+    while committing the O(state) merge only every merge_every batches
+    (per-batch cost is an O(batch) buffer append)."""
+    from pg2ch_spark.cdc.merge_sink import BufferedMergeSink, ReplacingMergeSink
+
+    cdc = _random_cdc(spark, seed=5)
+    base = tempfile.mkdtemp(prefix="pg2ch_sinktest_")
+    single = ReplacingMergeSink(spark, base + "/single", key_col="key", ver_col="ver")
+    two_tier = BufferedMergeSink(
+        spark, base + "/buffered", key_col="key", ver_col="ver", merge_every=3
+    )
+
+    batches = [
+        cdc.where((F.col("ver") % 4) == i) for i in range(4)
+    ]
+    # out-of-order + replayed delivery
+    schedule = [batches[2], batches[0], batches[0], batches[3], batches[1], batches[3], batches[1]]
+    for b in schedule:
+        single.merge(b)
+        two_tier.merge(b)
+
+    got = sorted(
+        (r.key, r.ver, r.value) for r in two_tier.state().select("key", "ver", "value").collect()
+    )
+    want = sorted(
+        (r.key, r.ver, r.value) for r in single.state().select("key", "ver", "value").collect()
+    )
+    assert got == want
+    # 7 batches, threshold 3 -> 2 threshold merges + 1 flush-on-read;
+    # the single-tier sink paid the O(state) rewrite 7 times.
+    assert two_tier.merges_done == 3
