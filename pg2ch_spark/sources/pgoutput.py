@@ -1,0 +1,497 @@
+"""pgoutput logical-replication decode — the Spark analog of pg2ch's
+WAL consumer (SURVEY §2.1 R2 change source + R3 decode; reference
+layout `pkg/consumer` + `pkg/decoder`).
+
+The wire format is PostgreSQL's public ``pgoutput`` logical replication
+output plugin (documented in the PostgreSQL manual, "Logical
+Replication Message Formats"; protocol version 1). Each replication
+frame is one binary message:
+
+    'B' Begin      final_lsn i64, commit_ts i64 (µs since 2000-01-01), xid i32
+    'C' Commit     flags i8, commit_lsn i64, end_lsn i64, commit_ts i64
+    'O' Origin     origin_lsn i64, name cstr
+    'R' Relation   oid i32, namespace cstr, relname cstr,
+                   replica_identity i8, ncols i16,
+                   ncols × (flags i8, name cstr, type_oid i32, typmod i32)
+    'Y' Type       oid i32, namespace cstr, name cstr
+    'I' Insert     oid i32, 'N', TupleData
+    'U' Update     oid i32, optional ('K'|'O', TupleData), 'N', TupleData
+    'D' Delete     oid i32, 'K'|'O', TupleData
+    'T' Truncate   nrels i32, options i8, nrels × oid i32
+    'M' Message    flags i8, lsn i64, prefix cstr, len i32, payload
+
+    TupleData      ncols i16, ncols × ('n' | 'u' | 't' len i32 bytes
+                                             | 'b' len i32 bytes)
+
+All integers are big-endian (network order). Strings are C-style
+null-terminated.
+
+Design (Spark-first, not a port):
+- ``parse_message`` / ``MessageStream`` are pure functions over bytes —
+  fully unit-testable offline with synthetic frames, no live PG needed.
+- ``WalDecoder`` folds a frame stream into *version-stamped CDC rows*
+  (op, lsn, seq, values) — the exact input shape of the CDC engines
+  (pg2ch_spark.cdc): ReplacingMergeTree version = (commit lsn, seq in
+  tx), the same ordering pg2ch derives from the WAL.
+- ``decode_frames`` runs the decoder distributed via ``mapInPandas``
+  over a binary ``frame`` column. Relation metadata travels as a
+  *preamble* replayed to every partition — mirroring PostgreSQL itself,
+  which re-sends Relation messages on every stream (re)start, so a
+  partition is exactly "a stream that just (re)started".
+- The live replication-protocol client (START_REPLICATION over a
+  walsender connection) needs a PG driver absent from this container;
+  ``replication_stream`` documents the recipe and raises cleanly. The
+  decode path — the hard part — is real and tested.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator
+
+# ---------------------------------------------------------------------------
+# Wire-level parsing
+
+_EPOCH_2000_US = 946_684_800_000_000  # 2000-01-01 in µs since unix epoch
+
+
+class PgOutputError(ValueError):
+    pass
+
+
+def _cstr(buf: bytes, off: int) -> tuple[str, int]:
+    end = buf.index(b"\x00", off)
+    return buf[off:end].decode("utf-8"), end + 1
+
+
+def _i8(buf: bytes, off: int) -> tuple[int, int]:
+    return buf[off], off + 1
+
+
+def _i16(buf: bytes, off: int) -> tuple[int, int]:
+    return struct.unpack_from(">h", buf, off)[0], off + 2
+
+
+def _i32(buf: bytes, off: int) -> tuple[int, int]:
+    return struct.unpack_from(">i", buf, off)[0], off + 4
+
+
+def _u32(buf: bytes, off: int) -> tuple[int, int]:
+    return struct.unpack_from(">I", buf, off)[0], off + 4
+
+
+def _i64(buf: bytes, off: int) -> tuple[int, int]:
+    return struct.unpack_from(">q", buf, off)[0], off + 8
+
+
+@dataclass(frozen=True)
+class Column:
+    flags: int  # 1 = part of the replica-identity key
+    name: str
+    type_oid: int
+    typmod: int
+
+
+@dataclass(frozen=True)
+class Relation:
+    oid: int
+    namespace: str
+    name: str
+    replica_identity: int
+    columns: tuple[Column, ...]
+
+    @property
+    def key_columns(self) -> tuple[str, ...]:
+        return tuple(c.name for c in self.columns if c.flags & 1)
+
+
+@dataclass(frozen=True)
+class Begin:
+    final_lsn: int
+    commit_ts_us: int  # µs since unix epoch
+    xid: int
+
+
+@dataclass(frozen=True)
+class Commit:
+    flags: int
+    commit_lsn: int
+    end_lsn: int
+    commit_ts_us: int
+
+
+@dataclass(frozen=True)
+class Insert:
+    rel_oid: int
+    new: tuple
+
+
+@dataclass(frozen=True)
+class Update:
+    rel_oid: int
+    old: tuple | None  # replica-identity tuple when key changed / FULL
+    new: tuple
+
+
+@dataclass(frozen=True)
+class Delete:
+    rel_oid: int
+    old: tuple
+
+
+@dataclass(frozen=True)
+class Truncate:
+    rel_oids: tuple[int, ...]
+    cascade: bool
+    restart_identity: bool
+
+
+@dataclass(frozen=True)
+class Origin:
+    lsn: int
+    name: str
+
+
+@dataclass(frozen=True)
+class TypeMsg:
+    oid: int
+    namespace: str
+    name: str
+
+
+@dataclass(frozen=True)
+class LogicalMessage:
+    transactional: bool
+    lsn: int
+    prefix: str
+    payload: bytes
+
+
+# Sentinel for TOAST columns the WAL did not re-send ('u'): the value is
+# unchanged from the previous row version. Distinct from SQL NULL.
+UNCHANGED = object()
+
+
+def _tuple_data(buf: bytes, off: int) -> tuple[tuple, int]:
+    ncols, off = _i16(buf, off)
+    out = []
+    for _ in range(ncols):
+        kind = buf[off : off + 1]
+        off += 1
+        if kind == b"n":
+            out.append(None)
+        elif kind == b"u":
+            out.append(UNCHANGED)
+        elif kind in (b"t", b"b"):
+            ln, off = _i32(buf, off)
+            raw = buf[off : off + ln]
+            off += ln
+            out.append(raw.decode("utf-8") if kind == b"t" else raw)
+        else:
+            raise PgOutputError(f"bad TupleData column kind {kind!r}")
+    return tuple(out), off
+
+
+def parse_message(buf: bytes):
+    """One pgoutput frame → a typed message object."""
+    if not buf:
+        raise PgOutputError("empty frame")
+    tag, off = buf[0:1], 1
+    if tag == b"B":
+        lsn, off = _i64(buf, off)
+        ts, off = _i64(buf, off)
+        xid, off = _i32(buf, off)
+        return Begin(lsn, ts + _EPOCH_2000_US, xid)
+    if tag == b"C":
+        flags, off = _i8(buf, off)
+        clsn, off = _i64(buf, off)
+        elsn, off = _i64(buf, off)
+        ts, off = _i64(buf, off)
+        return Commit(flags, clsn, elsn, ts + _EPOCH_2000_US)
+    if tag == b"O":
+        lsn, off = _i64(buf, off)
+        name, off = _cstr(buf, off)
+        return Origin(lsn, name)
+    if tag == b"R":
+        oid, off = _u32(buf, off)
+        ns, off = _cstr(buf, off)
+        name, off = _cstr(buf, off)
+        ident, off = _i8(buf, off)
+        ncols, off = _i16(buf, off)
+        cols = []
+        for _ in range(ncols):
+            fl, off = _i8(buf, off)
+            cname, off = _cstr(buf, off)
+            toid, off = _u32(buf, off)
+            tmod, off = _i32(buf, off)
+            cols.append(Column(fl, cname, toid, tmod))
+        return Relation(oid, ns or "pg_catalog", name, ident, tuple(cols))
+    if tag == b"Y":
+        oid, off = _u32(buf, off)
+        ns, off = _cstr(buf, off)
+        name, off = _cstr(buf, off)
+        return TypeMsg(oid, ns, name)
+    if tag == b"I":
+        oid, off = _u32(buf, off)
+        marker = buf[off : off + 1]
+        off += 1
+        if marker != b"N":
+            raise PgOutputError(f"Insert expects 'N' tuple, got {marker!r}")
+        new, off = _tuple_data(buf, off)
+        return Insert(oid, new)
+    if tag == b"U":
+        oid, off = _u32(buf, off)
+        marker = buf[off : off + 1]
+        off += 1
+        old = None
+        if marker in (b"K", b"O"):
+            old, off = _tuple_data(buf, off)
+            marker = buf[off : off + 1]
+            off += 1
+        if marker != b"N":
+            raise PgOutputError(f"Update expects 'N' tuple, got {marker!r}")
+        new, off = _tuple_data(buf, off)
+        return Update(oid, old, new)
+    if tag == b"D":
+        oid, off = _u32(buf, off)
+        marker = buf[off : off + 1]
+        off += 1
+        if marker not in (b"K", b"O"):
+            raise PgOutputError(f"Delete expects 'K'/'O' tuple, got {marker!r}")
+        old, off = _tuple_data(buf, off)
+        return Delete(oid, old)
+    if tag == b"T":
+        nrels, off = _i32(buf, off)
+        options, off = _i8(buf, off)
+        oids = []
+        for _ in range(nrels):
+            oid, off = _u32(buf, off)
+            oids.append(oid)
+        return Truncate(tuple(oids), bool(options & 1), bool(options & 2))
+    if tag == b"M":
+        flags, off = _i8(buf, off)
+        lsn, off = _i64(buf, off)
+        prefix, off = _cstr(buf, off)
+        ln, off = _i32(buf, off)
+        return LogicalMessage(bool(flags & 1), lsn, prefix, buf[off : off + ln])
+    raise PgOutputError(f"unknown message tag {tag!r}")
+
+
+# ---------------------------------------------------------------------------
+# Text-format value decoding (pgoutput sends column values in the type's
+# text output format unless binary transfer was negotiated)
+
+_INT_OIDS = {20, 21, 23, 26}  # int8, int2, int4, oid
+_FLOAT_OIDS = {700, 701, 1700}  # float4, float8, numeric
+_BOOL_OID = 16
+
+
+def decode_value(raw, type_oid: int):
+    """Text-format value → Python value (None/UNCHANGED pass through)."""
+    if raw is None or raw is UNCHANGED or isinstance(raw, bytes):
+        return raw
+    if type_oid in _INT_OIDS:
+        return int(raw)
+    if type_oid in _FLOAT_OIDS:
+        return float(raw)
+    if type_oid == _BOOL_OID:
+        return raw == "t"
+    return raw  # text, varchar, timestamps, json… stay strings
+
+
+# ---------------------------------------------------------------------------
+# WAL fold: frames → version-stamped CDC rows
+
+@dataclass
+class CdcRow:
+    """One decoded change, version-stamped for the CDC engines.
+
+    ``ver = (lsn, seq)``: commit LSN orders transactions exactly as
+    pg2ch's kvstorage LSN does; ``seq`` orders changes within one
+    transaction. ``scalar_ver`` packs both into one int64 for engines
+    that want a single version column (20 bits of intra-tx sequence —
+    1M changes per tx — under 43 bits of LSN ≈ 8 EB of WAL addresses).
+    """
+
+    relation: str
+    op: str  # 'I' | 'U' | 'D' | 'T'
+    lsn: int
+    seq: int
+    xid: int
+    values: dict = field(default_factory=dict)
+    old_key: dict | None = None
+
+    @property
+    def scalar_ver(self) -> int:
+        return (self.lsn << 20) | (self.seq & 0xFFFFF)
+
+
+class WalDecoder:
+    """Stateful fold over a pgoutput frame stream.
+
+    Holds the relation registry (Relation messages must precede the
+    first change of their table — guaranteed by PostgreSQL per stream
+    session) and the current transaction context. Changes are buffered
+    per transaction and emitted at Commit with the commit LSN — the
+    same commit-batch discipline pg2ch applies before flushing, which
+    is what makes replays idempotent (a re-sent uncommitted tx never
+    reaches the sink).
+    """
+
+    def __init__(self):
+        self.relations: dict[int, Relation] = {}
+        self._tx: list[CdcRow] | None = None
+        self._xid = 0
+
+    def _rel(self, oid: int) -> Relation:
+        rel = self.relations.get(oid)
+        if rel is None:
+            raise PgOutputError(f"change for unknown relation oid {oid} (no Relation frame seen)")
+        return rel
+
+    def _decode_tuple(self, rel: Relation, tup: tuple) -> dict:
+        if len(tup) != len(rel.columns):
+            raise PgOutputError(
+                f"{rel.name}: tuple has {len(tup)} columns, relation has {len(rel.columns)}"
+            )
+        return {
+            c.name: decode_value(v, c.type_oid) for c, v in zip(rel.columns, tup)
+        }
+
+    def push(self, frame: bytes) -> Iterator[CdcRow]:
+        """Feed one frame; yields the transaction's rows at Commit."""
+        msg = parse_message(frame)
+        if isinstance(msg, Relation):
+            self.relations[msg.oid] = msg
+        elif isinstance(msg, Begin):
+            self._tx = []
+            self._xid = msg.xid
+        elif isinstance(msg, (Insert, Update, Delete)):
+            if self._tx is None:
+                raise PgOutputError("change frame outside a transaction")
+            rel = self._rel(msg.rel_oid)
+            seq = len(self._tx)
+            if isinstance(msg, Insert):
+                self._tx.append(
+                    CdcRow(rel.name, "I", 0, seq, self._xid, self._decode_tuple(rel, msg.new))
+                )
+            elif isinstance(msg, Update):
+                old = self._decode_tuple(rel, msg.old) if msg.old is not None else None
+                self._tx.append(
+                    CdcRow(
+                        rel.name, "U", 0, seq, self._xid,
+                        self._decode_tuple(rel, msg.new), old_key=old,
+                    )
+                )
+            else:
+                self._tx.append(
+                    CdcRow(
+                        rel.name, "D", 0, seq, self._xid,
+                        {}, old_key=self._decode_tuple(rel, msg.old),
+                    )
+                )
+        elif isinstance(msg, Truncate):
+            if self._tx is None:
+                raise PgOutputError("truncate frame outside a transaction")
+            for oid in msg.rel_oids:
+                self._tx.append(
+                    CdcRow(self._rel(oid).name, "T", 0, len(self._tx), self._xid, {})
+                )
+        elif isinstance(msg, Commit):
+            rows, self._tx = self._tx or [], None
+            for row in rows:
+                row.lsn = msg.commit_lsn
+                yield row
+        # Origin / Type / LogicalMessage: metadata, nothing to emit
+        return
+
+
+def decode_stream(frames: Iterable[bytes]) -> Iterator[CdcRow]:
+    """Pure-Python fold: pgoutput frames → committed CDC rows in order."""
+    dec = WalDecoder()
+    for frame in frames:
+        yield from dec.push(frame)
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+
+def decode_frames(frames_df, preamble: list[bytes], value_columns: list[str]):
+    """Distributed decode: binary pgoutput frames → CDC-row DataFrame.
+
+    ``frames_df`` must have a binary ``frame`` column plus ``part`` —
+    a WAL-segment id to partition by (frames of one transaction must
+    share a segment, exactly like WAL files). ``preamble`` carries the
+    Relation frames and is replayed into the decoder of every
+    partition — the same thing PostgreSQL does by re-sending Relation
+    messages when a stream (re)starts, so each partition behaves like
+    a fresh replication session.
+
+    Output schema: relation, op, lsn, seq, ver (packed), xid, and one
+    string column per requested value column (text output format —
+    cast downstream, exactly as pg2ch casts CH-side, R11).
+    """
+    import pandas as pd
+
+    out_fields = "relation string, op string, lsn long, seq long, ver long, xid long"
+    for c in value_columns:
+        out_fields += f", {c} string"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for _, seg in pdf.groupby("part", sort=True):
+                dec = WalDecoder()
+                for frame in preamble:
+                    for _ in dec.push(bytes(frame)):
+                        raise PgOutputError("preamble must not contain committed changes")
+                rows = []
+                for frame in seg.sort_values("idx")["frame"]:
+                    for r in dec.push(bytes(frame)):
+                        rec = {
+                            "relation": r.relation,
+                            "op": r.op,
+                            "lsn": r.lsn,
+                            "seq": r.seq,
+                            "ver": r.scalar_ver,
+                            "xid": r.xid,
+                        }
+                        source = r.values if r.op != "D" else (r.old_key or {})
+                        for c in value_columns:
+                            v = source.get(c)
+                            rec[c] = None if v in (None, UNCHANGED) else str(v)
+                        rows.append(rec)
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return (
+        frames_df.repartition("part")
+        .mapInPandas(run, out_fields)
+    )
+
+
+def replication_stream(*_args, **_kwargs):
+    """Live walsender client — not available in this container.
+
+    The production recipe (public PostgreSQL protocol):
+    1. ``CREATE_REPLICATION_SLOT slot LOGICAL pgoutput EXPORT_SNAPSHOT``
+       — take the JDBC snapshot (sources.jdbc.snapshot) at the exported
+       snapshot name (R1), so the handoff is gapless.
+    2. ``START_REPLICATION SLOT slot LOGICAL <lsn> (proto_version '1',
+       publication_names '…')`` on a walsender connection; each
+       XLogData payload is one pgoutput frame — feed them to
+       :class:`WalDecoder` (or land the raw frames and use
+       :func:`decode_frames`).
+    3. Acknowledge ``lsn`` back only after the sink commit — the same
+       flush-then-ack ordering pg2ch uses for at-least-once delivery.
+
+    Requires a PostgreSQL driver speaking the replication protocol
+    (e.g. psycopg's replication support); none ships in this container.
+    """
+    raise NotImplementedError(
+        "live replication needs a walsender-capable PG driver; "
+        "see the docstring for the production recipe and use "
+        "decode_frames()/WalDecoder for the decode path"
+    )

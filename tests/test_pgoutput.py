@@ -1,0 +1,255 @@
+"""pgoutput decoder tests: synthetic binary frames built byte-by-byte
+from the public protocol spec, parsed back and folded into CDC rows —
+pure-Python first, then distributed through the mapInPandas path and a
+ReplacingMergeSink-style final state.
+
+The encoder lives HERE, not in the engine: production never encodes
+pgoutput (PostgreSQL does); tests need it to fabricate WAL.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pg2ch_spark.sources import pgoutput as pg
+from pg2ch_spark.sources.pgoutput import UNCHANGED
+
+# ---------------------------------------------------------------------------
+# Synthetic frame encoder (inverse of the parser, test-only)
+
+
+def _cstr(s: str) -> bytes:
+    return s.encode() + b"\x00"
+
+
+def _tuple(*vals) -> bytes:
+    out = struct.pack(">h", len(vals))
+    for v in vals:
+        if v is None:
+            out += b"n"
+        elif v is UNCHANGED:
+            out += b"u"
+        elif isinstance(v, bytes):
+            out += b"b" + struct.pack(">i", len(v)) + v
+        else:
+            s = str(v).encode()
+            out += b"t" + struct.pack(">i", len(s)) + s
+    return out
+
+
+def begin(lsn: int, xid: int, ts_us: int = 0) -> bytes:
+    return b"B" + struct.pack(">qqi", lsn, ts_us, xid)
+
+
+def commit(lsn: int, ts_us: int = 0) -> bytes:
+    return b"C" + struct.pack(">bqqq", 0, lsn, lsn + 8, ts_us)
+
+
+def relation(oid: int, name: str, cols: list[tuple[int, str, int]], ns: str = "public") -> bytes:
+    body = struct.pack(">I", oid) + _cstr(ns) + _cstr(name) + b"d"
+    body += struct.pack(">h", len(cols))
+    for flags, cname, toid in cols:
+        body += struct.pack(">b", flags) + _cstr(cname) + struct.pack(">Ii", toid, -1)
+    return b"R" + body
+
+
+def insert(oid: int, *vals) -> bytes:
+    return b"I" + struct.pack(">I", oid) + b"N" + _tuple(*vals)
+
+
+def update(oid: int, new: tuple, old: tuple | None = None, old_kind: bytes = b"K") -> bytes:
+    body = struct.pack(">I", oid)
+    if old is not None:
+        body += old_kind + _tuple(*old)
+    return b"U" + body + b"N" + _tuple(*new)
+
+
+def delete(oid: int, *key_vals) -> bytes:
+    return b"D" + struct.pack(">I", oid) + b"K" + _tuple(*key_vals)
+
+
+def truncate(*oids, options: int = 0) -> bytes:
+    return b"T" + struct.pack(">ib", len(oids), options) + b"".join(
+        struct.pack(">I", o) for o in oids
+    )
+
+
+USERS_OID = 16384
+USERS = relation(USERS_OID, "users", [(1, "id", 23), (0, "name", 25), (0, "score", 701)])
+
+
+# ---------------------------------------------------------------------------
+# Wire-level parsing
+
+
+class TestParse:
+    def test_begin_commit(self):
+        b = pg.parse_message(begin(1000, 77, ts_us=5))
+        assert (b.final_lsn, b.xid) == (1000, 77)
+        assert b.commit_ts_us == 5 + 946_684_800_000_000
+        c = pg.parse_message(commit(1000))
+        assert (c.commit_lsn, c.end_lsn) == (1000, 1008)
+
+    def test_relation_columns_and_key(self):
+        r = pg.parse_message(USERS)
+        assert (r.oid, r.namespace, r.name) == (USERS_OID, "public", "users")
+        assert [c.name for c in r.columns] == ["id", "name", "score"]
+        assert r.key_columns == ("id",)
+
+    def test_insert_tuple_kinds(self):
+        m = pg.parse_message(insert(USERS_OID, 1, None, 2.5))
+        assert m.new == ("1", None, "2.5")
+
+    def test_update_with_old_key(self):
+        m = pg.parse_message(update(USERS_OID, new=(2, "bob", 1.0), old=(1, None, None)))
+        assert m.old == ("1", None, None)
+        assert m.new == ("2", "bob", "1.0")
+
+    def test_update_without_old_key(self):
+        m = pg.parse_message(update(USERS_OID, new=(2, "bob", 1.0)))
+        assert m.old is None
+
+    def test_delete_key_tuple(self):
+        m = pg.parse_message(delete(USERS_OID, 9, None, None))
+        assert m.old == ("9", None, None)
+
+    def test_unchanged_toast_marker(self):
+        m = pg.parse_message(insert(USERS_OID, 1, UNCHANGED, 0.0))
+        assert m.new[1] is UNCHANGED
+
+    def test_binary_column(self):
+        m = pg.parse_message(insert(USERS_OID, 1, b"\x00\xffraw", 0.0))
+        assert m.new[1] == b"\x00\xffraw"
+
+    def test_truncate(self):
+        m = pg.parse_message(truncate(USERS_OID, 99, options=3))
+        assert m.rel_oids == (USERS_OID, 99)
+        assert m.cascade and m.restart_identity
+
+    def test_unknown_tag_raises(self):
+        with pytest.raises(pg.PgOutputError):
+            pg.parse_message(b"Zjunk")
+
+    def test_value_decode_by_oid(self):
+        assert pg.decode_value("42", 23) == 42
+        assert pg.decode_value("2.5", 701) == 2.5
+        assert pg.decode_value("t", 16) is True
+        assert pg.decode_value("f", 16) is False
+        assert pg.decode_value("abc", 25) == "abc"
+        assert pg.decode_value(None, 23) is None
+
+
+# ---------------------------------------------------------------------------
+# WAL fold semantics
+
+
+class TestDecodeStream:
+    def _wal(self) -> list[bytes]:
+        return [
+            USERS,
+            begin(100, 1),
+            insert(USERS_OID, 1, "alice", 1.5),
+            insert(USERS_OID, 2, "bob", 2.0),
+            commit(100),
+            begin(200, 2),
+            update(USERS_OID, new=(2, "bobby", 3.5)),
+            delete(USERS_OID, 1, None, None),
+            commit(200),
+        ]
+
+    def test_rows_emitted_at_commit_with_lsn_versions(self):
+        rows = list(pg.decode_stream(self._wal()))
+        assert [(r.op, r.lsn, r.seq) for r in rows] == [
+            ("I", 100, 0),
+            ("I", 100, 1),
+            ("U", 200, 0),
+            ("D", 200, 1),
+        ]
+        assert rows[0].values == {"id": 1, "name": "alice", "score": 1.5}
+        assert rows[2].values == {"id": 2, "name": "bobby", "score": 3.5}
+        assert rows[3].old_key == {"id": 1, "name": None, "score": None}
+        # scalar version preserves (lsn, seq) order
+        vers = [r.scalar_ver for r in rows]
+        assert vers == sorted(vers)
+
+    def test_uncommitted_tx_emits_nothing(self):
+        wal = [USERS, begin(300, 3), insert(USERS_OID, 5, "eve", 0.0)]  # no commit
+        assert list(pg.decode_stream(wal)) == []
+
+    def test_change_before_relation_raises(self):
+        with pytest.raises(pg.PgOutputError, match="unknown relation"):
+            list(pg.decode_stream([begin(1, 1), insert(USERS_OID, 1, "x", 0.0)]))
+
+    def test_truncate_rows(self):
+        wal = [USERS, begin(50, 9), truncate(USERS_OID), commit(50)]
+        rows = list(pg.decode_stream(wal))
+        assert [(r.op, r.relation) for r in rows] == [("T", "users")]
+
+
+# ---------------------------------------------------------------------------
+# Distributed decode + replacing-merge final state
+
+
+def test_decode_frames_distributed_matches_pure_python(spark):
+    # Two WAL segments (≙ two partitions), interleaved tables of one txn each
+    seg0 = [
+        begin(100, 1),
+        insert(USERS_OID, 1, "alice", 1.5),
+        insert(USERS_OID, 2, "bob", 2.0),
+        commit(100),
+    ]
+    seg1 = [
+        begin(200, 2),
+        update(USERS_OID, new=(2, "bobby", 3.5)),
+        insert(USERS_OID, 3, None, None),
+        commit(200),
+    ]
+    frames = [(0, i, f) for i, f in enumerate(seg0)] + [(1, i, f) for i, f in enumerate(seg1)]
+    frames_df = spark.createDataFrame(frames, "part int, idx int, frame binary")
+
+    out = pg.decode_frames(frames_df, preamble=[USERS], value_columns=["id", "name", "score"])
+    got = sorted(
+        (r.op, r.lsn, r.seq, r.id, r.name, r.score) for r in out.collect()
+    )
+    want_rows = list(pg.decode_stream([USERS] + seg0 + seg1))
+    want = sorted(
+        (
+            r.op,
+            r.lsn,
+            r.seq,
+            str(r.values["id"]) if r.op != "D" else None,
+            None if r.values.get("name") is None else str(r.values["name"]),
+            None if r.values.get("score") is None else str(r.values["score"]),
+        )
+        for r in want_rows
+    )
+    assert got == want
+
+    # Replacing-merge the decoded log by key -> final table state,
+    # closing the loop to the CDC engines (R3 -> R5/R6).
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("ver").desc())
+    final = (
+        out.where(F.col("op") != "T")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .where(F.col("op") != "D")
+        .select("id", "name", "score")
+    )
+    state = {r.id: (r.name, r.score) for r in final.collect()}
+    assert state == {"1": ("alice", "1.5"), "2": ("bobby", "3.5"), "3": (None, None)}
+
+
+def test_decode_frames_preamble_rejects_committed_changes(spark):
+    frames_df = spark.createDataFrame(
+        [(0, 0, begin(10, 1)), (0, 1, insert(USERS_OID, 1, "x", 0.0)), (0, 2, commit(10))],
+        "part int, idx int, frame binary",
+    )
+    bad_preamble = [USERS, begin(5, 7), insert(USERS_OID, 9, "pre", 0.0), commit(5)]
+    out = pg.decode_frames(frames_df, preamble=bad_preamble, value_columns=["id"])
+    with pytest.raises(Exception, match="preamble"):
+        out.collect()
