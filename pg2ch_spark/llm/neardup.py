@@ -451,14 +451,33 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p0") + 1).alias("pos"),
         F.col("val_f").cast("double").alias("val"),
     )
+    # Centroids as per-label ARRAYS (64 doubles), so assignment below is
+    # an in-row zip_with fold over N×k rows — the first implementation
+    # equi-joined the position explode against per-position centroid
+    # rows (N·d·k joined rows, then a (vec, centroid) re-aggregation:
+    # 1.28M rows at sf0.1 vs 20k now).
     cent = ex.groupBy(F.col("label").alias("cl"), "pos").agg(F.avg("val").alias("cval"))
-    d = (
-        ex.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "cl")
-        .agg(F.round(F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))), 6).alias("dist2"))
+    cent_arr = (
+        cent.groupBy("cl")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
+        .select("cl", F.expr("transform(pc, x -> x.cval)").alias("cvals"))
+    )
+    d = e.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id",
+        "cl",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(embedding, cvals,"
+                "                   (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+                "          CAST(0 AS DOUBLE), (a, b) -> a + b)"
+            ),
+            6,
+        ).alias("dist2"),
     )
     w = Window.partitionBy("vec_id").orderBy("dist2", "cl")
-    ranked = d.withColumn("_rn", F.row_number().over(w))
+    # ranked feeds both the assignment and the probe branches — without
+    # a barrier each recomputes the centroid aggregation from the scan.
+    ranked = d.withColumn("_rn", F.row_number().over(w)).localCheckpoint(eager=True)
     assign = ranked.where(F.col("_rn") == 1).select("vec_id", F.col("cl").alias("bucket"))
     probes = (
         ranked.where((F.col("vec_id") < _N_QUERIES) & (F.col("_rn") <= _N_PROBES))
