@@ -187,9 +187,12 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg2ch_spark.llm.neardup import _shingles
 
     docs = catalog.load(spark, sf_dir, "documents")
-    # (measured: materializing the 1.1M-row shingle table costs more
-    # than recomputing it per branch — the scan+explode is cheap)
-    toks = _shingles(docs).withColumnRenamed("g", "token")
+    # toks feeds FOUR branches (signatures, both verify sides, sizes).
+    # r1 measured recompute as cheaper, but that was with the old
+    # shuffle-based _shingles; with in-row distinct shingles the
+    # materialized table wins: checkpointed 1.5s stable vs 1.5-4.1s
+    # GC-bimodal recomputing the explode 4x (sf0.1).
+    toks = _shingles(docs).withColumnRenamed("g", "token").localCheckpoint(eager=True)
 
     sig_cols = [
         F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("token")))).alias(f"h{i}")
