@@ -1,0 +1,293 @@
+"""Round-2 extensions (SURVEY §2.3 addendum): hyperplane-LSH embedding
+near-dup (the declared scale path for `sim_near_dup_embedding`, now a
+first-class operator with an exact oracle), exact interpolated
+percentiles, rank-distribution windows, and an event funnel.
+
+Registered LAST (registry.load_all) so the externally-unverified r1
+groups keep their early registration slots.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pg2ch_spark import catalog
+from pg2ch_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH near-dup — approximate sibling of
+# sim_near_dup_embedding: vectors only meet when ALL signature bits
+# agree, turning the all-pairs scan into a bucket equi-join.
+
+_N_PLANES = 16
+_N_BANDS = 4  # 4 bands × 4 planes: P(collide in ≥1 band) ≈ 0.96 at cos 0.9
+_DIM = 64
+_LSH_COS_MIN = 0.45
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 — a fixed constant, inlined
+    into BOTH the Spark expression and the oracle SQL (signs are not
+    data-derived, so cross-engine identity is by construction)."""
+    return [
+        [
+            1.0 if hashlib.md5(f"h{p}:{d}".encode()).digest()[0] & 1 else -1.0
+            for d in range(_DIM)
+        ]
+        for p in range(_N_PLANES)
+    ]
+
+
+_PLANES = _hyperplanes()
+
+
+def _oracle_lsh() -> str:
+    plane_rows = ",\n            ".join(
+        f"({p}, {_PLANES[p]})" for p in range(_N_PLANES)
+    )
+    return f"""
+    WITH planes(p, h) AS (VALUES
+            {plane_rows}
+    ),
+    bits AS (
+        SELECT e.vec_id, pl.p // {_N_PLANES // _N_BANDS} AS band,
+               CASE WHEN list_sum(list_transform(range(1, {_DIM + 1}),
+                                  i -> CAST(e.embedding[i] AS DOUBLE) * pl.h[i])) > 0
+                    THEN 1 << (pl.p % {_N_PLANES // _N_BANDS}) ELSE 0 END AS bit
+        FROM embeddings e, planes pl
+    ),
+    sig AS (
+        SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS bval
+        FROM bits GROUP BY vec_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           round(list_sum(list_transform(range(1, {_DIM + 1}),
+                          i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, {_DIM + 1}),
+                          i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, {_DIM + 1}),
+                          i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))),
+                 4) AS cos_sim
+    FROM cand c
+    JOIN embeddings x ON x.vec_id = c.vec_a
+    JOIN embeddings y ON y.vec_id = c.vec_b
+    WHERE round(list_sum(list_transform(range(1, {_DIM + 1}),
+                          i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, {_DIM + 1}),
+                          i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, {_DIM + 1}),
+                          i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))),
+                 4) >= {_LSH_COS_MIN}
+    """
+
+
+@register("sim_lsh_hyperplane", oracle=_oracle_lsh())
+def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup: 16 sign bits in 4 bands of 4 —
+    candidates must agree on at least one FULL band (union of band
+    equi-joins, the same shuffle-friendly shape as the SimHash LSH) —
+    then exact cosine on candidates only.
+
+    This is the scale path `sim_near_dup_embedding`'s docstring
+    promises: at billions of vectors the all-pairs tile scan becomes a
+    shuffle on band keys (collision ≈ 0.96 at cos 0.9, tunable by band
+    count; a single 16-bit bucket finds nothing even at sf0.01).
+    Signatures are in-row zip_with folds against CONSTANT ±1
+    hyperplanes — same left-to-right order as the oracle's list_sum,
+    so every sign (and thus every bucket) is bit-identical.
+    """
+    e = catalog.load(spark, sf_dir, "embeddings")
+    bits_per_band = _N_PLANES // _N_BANDS
+    band_exprs = []
+    for band in range(_N_BANDS):
+        terms = []
+        for j in range(bits_per_band):
+            p = band * bits_per_band + j
+            # HOF fold, NOT the unrolled form similarity.py uses for
+            # cosine: 16 sign dots in ONE projection are ~4k expression
+            # nodes — past the codegen method-size limit, so the
+            # unrolled form falls back to interpreted eval and measures
+            # 0.55s vs 0.19s for the HOF loop (sf0.1, warm). The fold
+            # order still matches the oracle's list_sum left-to-right.
+            arr = "array(" + ", ".join(f"{v}D" for v in _PLANES[p]) + ")"
+            terms.append(
+                f"CASE WHEN aggregate(zip_with(embedding, {arr},"
+                f" (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, b) -> a + b) > 0"
+                f" THEN {1 << j}L ELSE 0L END"
+            )
+        band_exprs.append(F.expr(" + ".join(terms)).alias(f"bv{band}"))
+    # one row per vector with all band values; checkpointed — it feeds
+    # the candidate join sides and both cosine sides. The repartition
+    # spreads the single-split fixture across cores: the 16 sign folds
+    # are interpreted HOFs (~1k lambda evals/row), the per-row hot loop
+    # here (input splits provide the spread for free at real scale).
+    sig = (
+        e.repartition(32)
+        .select("vec_id", "embedding", *band_exprs)
+        .localCheckpoint(eager=True)
+    )
+
+    # ONE self-equi-join on exploded (band, value) rows instead of a
+    # union of per-band joins: same candidate set, 1 shuffle instead
+    # of 4 (the SimHash query predates this shape).
+    band_struct = ", ".join(f"struct({b} AS band, bv{b} AS bval)" for b in range(_N_BANDS))
+    bands_long = sig.select(
+        "vec_id", F.explode(F.expr(f"array({band_struct})")).alias("bb")
+    ).select("vec_id", "bb.band", "bb.bval")
+    cand = (
+        bands_long.select(F.col("vec_id").alias("vec_a"), "band", "bval")
+        .join(
+            bands_long.select(F.col("vec_id").alias("vec_b"), "band", "bval"),
+            ["band", "bval"],
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+    from pg2ch_spark.llm.similarity import cosine
+
+    a = sig.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = sig.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", F.round(cosine("ea", "eb"), 4).alias("cos_sim"))
+        .where(F.col("cos_sim") >= _LSH_COS_MIN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated percentiles (linear interpolation — both engines
+# implement the SQL-standard continuous quantile)
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per return flag. `percentile` sorts
+    within each group — at 100 TB switch to `approx_percentile` (KLL
+    sketch, mergeable map-side) and accept the documented error bound;
+    the exact form is the oracle-checkable contract."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            # one buffered pass for all three quantiles, not three
+            F.expr("percentile(l_extendedprice, array(0.25D, 0.50D, 0.95D))").alias("ps"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("ps")[0], 4).alias("p25"),
+            F.round(F.col("ps")[1], 4).alias("p50"),
+            F.round(F.col("ps")[2], 4).alias("p95"),
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-distribution windows
+
+
+@register(
+    "win_pct_rank_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+)
+def win_pct_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per priority class — the distribution
+    ranks both engines define identically (SQL standard, tie-stable)."""
+    o = catalog.load(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event funnel (signup → purchase within an hour)
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+    ),
+    s AS (
+        SELECT user_id, min(t) AS t_signup FROM e WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT s.user_id,
+               max(CASE WHEN e.event_type = 'purchase'
+                         AND e.t > s.t_signup AND e.t <= s.t_signup + 3600
+                        THEN 1 ELSE 0 END) AS converted
+        FROM s JOIN e USING (user_id)
+        GROUP BY s.user_id
+    )
+    SELECT count(*) AS n_signed_up,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(CAST(sum(converted) AS DOUBLE) / count(*), 4) AS conversion
+    FROM conv
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup → purchase-within-1h funnel. Times floored to epoch
+    seconds first (D3) so both engines compare identical integers; the
+    per-user min-signup aggregate shuffles once on user_id and the
+    conversion join reuses that partitioning."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("t")
+    )
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_signup"))
+    )
+    conv = (
+        s.join(ev, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("t") > F.col("t_signup"))
+                    & (F.col("t") <= F.col("t_signup") + 3600),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_signed_up"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(F.sum("converted").cast("double") / F.count(F.lit(1)), 4).alias("conversion"),
+    )

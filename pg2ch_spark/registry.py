@@ -73,6 +73,10 @@ def load_all() -> None:
         sorts,
         setops,
     )
+    # Round-2 additions register last: the driver verifies queries in
+    # registration order with a cap, and earlier groups have seniority
+    # until their results are externally confirmed.
+    from pg2ch_spark.operators import extended  # noqa: F401
 
     _LOADED = True
 
