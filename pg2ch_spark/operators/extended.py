@@ -124,44 +124,62 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" THEN {1 << j}L ELSE 0L END"
             )
         band_exprs.append(F.expr(" + ".join(terms)).alias(f"bv{band}"))
-    # one row per vector with all band values; checkpointed — it feeds
-    # the candidate join sides and both cosine sides. The repartition
-    # spreads the single-split fixture across cores: the 16 sign folds
-    # are interpreted HOFs (~1k lambda evals/row), the per-row hot loop
-    # here (input splits provide the spread for free at real scale).
-    sig = (
-        e.repartition(32)
-        .select("vec_id", "embedding", *band_exprs)
-        .localCheckpoint(eager=True)
-    )
+    # The repartition spreads the single-split fixture across cores:
+    # the 16 sign folds are interpreted HOFs (~1k lambda evals/row),
+    # the per-row hot loop here (input splits provide the spread for
+    # free at real scale).
+    sig = e.repartition(32).select("vec_id", "embedding", *band_exprs)
 
-    # ONE self-equi-join on exploded (band, value) rows instead of a
-    # union of per-band joins: same candidate set, 1 shuffle instead
-    # of 4 (the SimHash query predates this shape).
+    # Verification happens INSIDE each (band, value) bucket with the
+    # same bit-exact numpy tile kernel as sim_near_dup_embedding —
+    # embeddings shuffle once to their buckets and pairs never leave
+    # them, instead of materializing |candidates| array-joined rows
+    # (23% of all pairs at this similarity regime — hyperplane LSH
+    # discriminates weakly when near means cos≈0.5). A pair whose
+    # signature agrees on two bands is scored in both buckets with
+    # bit-identical results, so the final distinct collapses it.
+    import numpy as np
+    import pandas as pd
+
     band_struct = ", ".join(f"struct({b} AS band, bv{b} AS bval)" for b in range(_N_BANDS))
     bands_long = sig.select(
-        "vec_id", F.explode(F.expr(f"array({band_struct})")).alias("bb")
-    ).select("vec_id", "bb.band", "bb.bval")
-    cand = (
-        bands_long.select(F.col("vec_id").alias("vec_a"), "band", "bval")
-        .join(
-            bands_long.select(F.col("vec_id").alias("vec_b"), "band", "bval"),
-            ["band", "bval"],
-        )
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+        "vec_id",
+        "embedding",
+        F.explode(F.expr(f"array({band_struct})")).alias("bb"),
+    ).select("vec_id", "embedding", "bb.band", "bb.bval")
+
+    _empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "c_raw": pd.Series(dtype="float64"),
+        }
     )
 
-    from pg2ch_spark.llm.similarity import cosine
+    def bucket_pairs(key, pdf):
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return _empty
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        # dimension-ordered fold — same IEEE order as the oracle's
+        # list_sum (see llm/neardup.py for the bit-exactness argument)
+        dots = np.zeros((len(M), len(M)))
+        nrm = np.zeros(len(M))
+        for k in range(M.shape[1]):
+            dots += np.outer(M[:, k], M[:, k])
+            nrm += M[:, k] * M[:, k]
+        nrm = np.sqrt(nrm)
+        cos = dots / np.outer(nrm, nrm)
+        ai, bj = np.nonzero(ids[:, None] < ids[None, :])
+        return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bj], "c_raw": cos[ai, bj]})
 
-    a = sig.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = sig.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    scored = bands_long.groupBy("band", "bval").applyInPandas(
+        bucket_pairs, "vec_a long, vec_b long, c_raw double"
+    )
     return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select("vec_a", "vec_b", F.round(cosine("ea", "eb"), 4).alias("cos_sim"))
+        scored.select("vec_a", "vec_b", F.round("c_raw", 4).alias("cos_sim"))
         .where(F.col("cos_sim") >= _LSH_COS_MIN)
+        .distinct()
     )
 
 
