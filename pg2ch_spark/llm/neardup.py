@@ -180,19 +180,26 @@ def text_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # classic "persist the signatures" step of every LSH pipeline.
     sig = sig.localCheckpoint(eager=True)
 
-    # Candidate generation: union of per-band equi-joins (shuffle-friendly;
-    # an OR-join would plan as a nested loop — see module docstring).
+    # Candidate generation: ONE equi-self-join on exploded (band, value)
+    # rows — band-agreement semantics identical to the oracle's OR-join
+    # but shuffle-friendly (an OR-join would plan as a nested loop — see
+    # module docstring), and a single shuffle where the first
+    # implementation unioned four per-band joins.
     band_cols = [f"b{b}" for b in range(_N_BANDS)]
-    left = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in band_cols])
-    right = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(c).alias(f"b_{c}") for c in band_cols])
-    cand = None
-    for c in band_cols:
-        part = left.join(
-            right,
-            (F.col(f"a_{c}") == F.col(f"b_{c}")) & (F.col("doc_a") < F.col("doc_b")),
-        ).select("doc_a", "doc_b")
-        cand = part if cand is None else cand.unionByName(part)
-    pairs = cand.distinct()
+    band_struct = ", ".join(f"struct({b} AS band, b{b} AS bval)" for b in range(_N_BANDS))
+    bands_long = sig.select(
+        "doc_id", F.explode(F.expr(f"array({band_struct})")).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bval")
+    pairs = (
+        bands_long.select(F.col("doc_id").alias("doc_a"), "band", "bval")
+        .join(
+            bands_long.select(F.col("doc_id").alias("doc_b"), "band", "bval"),
+            ["band", "bval"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
     a_sig = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in band_cols])
     b_sig = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(c).alias(f"b_{c}") for c in band_cols])
