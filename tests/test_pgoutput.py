@@ -253,3 +253,67 @@ def test_decode_frames_preamble_rejects_committed_changes(spark):
     out = pg.decode_frames(frames_df, preamble=bad_preamble, value_columns=["id"])
     with pytest.raises(Exception, match="preamble"):
         out.collect()
+
+
+# ---------------------------------------------------------------------------
+# Property tests: random tuples round-trip through encode→parse, and a
+# mid-stream Relation message re-types the table (PostgreSQL sends a new
+# Relation before the first change that uses a new schema).
+
+from hypothesis import given, settings, strategies as st
+
+_val = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+        max_size=40,
+    ),
+    st.binary(max_size=40),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_val, min_size=1, max_size=8))
+def test_tuple_roundtrip(vals):
+    cols = [(0, f"c{i}", 25) for i in range(len(vals))]
+    rel = relation(999, "t", cols)
+    msg = pg.parse_message(insert(999, *vals))
+    parsed = msg.new
+    for raw, v in zip(parsed, vals):
+        if v is None:
+            assert raw is None
+        elif isinstance(v, bytes):
+            assert raw == v
+        else:
+            assert raw == str(v)
+    # and the full fold decodes against the relation
+    rows = list(pg.decode_stream([rel, begin(7, 1), insert(999, *vals), commit(7)]))
+    assert len(rows) == 1 and len(rows[0].values) == len(vals)
+
+
+def test_relation_replacement_mid_stream():
+    """A second Relation frame for the same oid re-types the table; later
+    changes decode with the NEW column set (how pgoutput communicates
+    ADD COLUMN — the registry must not hold the stale shape)."""
+    rel_v1 = relation(777, "t", [(1, "id", 23)])
+    rel_v2 = relation(777, "t", [(1, "id", 23), (0, "note", 25)])
+    wal = [
+        rel_v1,
+        begin(10, 1),
+        insert(777, 5),
+        commit(10),
+        rel_v2,  # schema change: column added
+        begin(20, 2),
+        insert(777, 6, "hello"),
+        commit(20),
+    ]
+    rows = list(pg.decode_stream(wal))
+    assert rows[0].values == {"id": 5}
+    assert rows[1].values == {"id": 6, "note": "hello"}
+
+
+def test_tuple_arity_mismatch_raises():
+    rel = relation(555, "t", [(1, "id", 23), (0, "x", 25)])
+    with pytest.raises(pg.PgOutputError, match="columns"):
+        list(pg.decode_stream([rel, begin(1, 1), insert(555, 1), commit(1)]))
