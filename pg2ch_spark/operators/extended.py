@@ -309,3 +309,67 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").cast("bigint").alias("n_converted"),
         F.round(F.sum("converted").cast("double") / F.count(F.lit(1)), 4).alias("conversion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling — row expansion through mapInPandas
+
+
+_FRAME_BYTES = 16
+_FRAME_STRIDE = 3  # keep every 3rd frame
+
+
+@register(
+    "multimodal_framesample",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id AS media_id, text, strlen(text) AS n_bytes
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id, CAST(k AS INT) AS frame_idx,
+           md5(substr(text, k * {_FRAME_BYTES * _FRAME_STRIDE} + 1, {_FRAME_BYTES})) AS frame_hash
+    FROM media, unnest(range(0, (n_bytes - 1) // {_FRAME_BYTES * _FRAME_STRIDE} + 1)) AS t(k)
+    WHERE n_bytes > 0
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing: one binary payload row expands to
+    every {stride}-th fixed-size frame inside mapInPandas (batch in →
+    frame rows out, no per-row Python round trip). The frame *decode*
+    is the documented fake — md5 of the frame bytes stands in for a
+    real codec (absent from this container, multimodal.decode_image) —
+    so the expansion path, batch shape, and row alignment are exactly
+    oracle-checked rather than row-counted.
+
+    Scale: sampling runs where the payload lives; output carries the
+    16-byte hash, not the frame, so the shuffle after sampling moves
+    ~1% of the input bytes.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    media = docs.where(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    step = _FRAME_BYTES * _FRAME_STRIDE
+
+    def sample(batches):
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    continue
+                for k in range((len(raw) - 1) // step + 1):
+                    frame = raw[k * step : k * step + _FRAME_BYTES]
+                    ids.append(mid)
+                    idxs.append(k)
+                    hashes.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_hash": hashes})
+
+    return media.repartition(32).mapInPandas(
+        sample, "media_id long, frame_idx int, frame_hash string"
+    )
