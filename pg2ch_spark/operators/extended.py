@@ -373,3 +373,111 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.repartition(32).mapInPandas(
         sample, "media_id long, frame_idx int, frame_hash string"
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means quantizer training — the iterative algorithm behind a real IVF
+# index (sim_ann_ivf uses per-label centroids as its stand-in quantizer)
+
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def _oracle_kmeans() -> str:
+    """Lloyd's algorithm unrolled — each iteration is one assign CTE +
+    one recompute CTE, so the oracle is plain SQL."""
+    sql = f"""
+    WITH ex AS (
+        SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val
+        FROM embeddings, unnest(range(1, 65)) AS t(pos)
+    ),
+    c0 AS (
+        SELECT vec_id % {_KM_K} AS cl, pos, round(avg(val), 6) AS cval
+        FROM ex GROUP BY 1, 2
+    )"""
+    prev = "c0"
+    for it in range(1, _KM_ITERS + 1):
+        sql += f""",
+    d{it} AS (
+        SELECT ex.vec_id, c.cl,
+               round(sum((ex.val - c.cval) * (ex.val - c.cval)), 6) AS dist2
+        FROM ex JOIN {prev} c USING (pos)
+        GROUP BY 1, 2
+    ),
+    a{it} AS (
+        SELECT vec_id, cl, dist2 FROM d{it}
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cl) = 1
+    ),
+    c{it} AS (
+        SELECT a.cl, ex.pos, round(avg(ex.val), 6) AS cval
+        FROM ex JOIN a{it} a USING (vec_id)
+        GROUP BY 1, 2
+    )"""
+        prev = f"c{it}"
+    sql += f"""
+    SELECT cl AS cluster, count(*) AS n_members,
+           round(sum(dist2), 2) AS inertia
+    FROM a{_KM_ITERS} GROUP BY cl
+    """
+    return sql
+
+
+@register("sim_ann_kmeans_train", oracle=_oracle_kmeans())
+def sim_ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train an IVF coarse quantizer with 2 unrolled Lloyd iterations:
+    deterministic init (mean of vec_id % k residue classes), assign to
+    nearest centroid by rounded squared distance, recompute per-dim
+    means. Output: cluster sizes + inertia after the last assignment.
+
+    Cross-engine exactness for an ITERATIVE float algorithm: centroids
+    are rounded to 6dp after every recompute, so both engines feed
+    bit-identical quantizers into the next iteration; distances round
+    at 6dp (ties broken by cluster id) exactly as `sim_ann_ivf` does.
+    The driver loop lives in Python but every step is a DataFrame op —
+    at scale each iteration is two shuffles (assign broadcast-join +
+    recompute agg), the canonical distributed-k-means plan; the
+    centroid table (k×d rounded doubles) is what `sim_ann_ivf` would
+    consume in place of its per-label stand-in.
+    """
+    e = catalog.load(spark, sf_dir, "embeddings")
+    ex = e.select("vec_id", F.posexplode("embedding").alias("p0", "val_f")).select(
+        "vec_id", (F.col("p0") + 1).alias("pos"), F.col("val_f").cast("double").alias("val")
+    )
+    cent = (
+        ex.withColumn("cl", F.col("vec_id") % _KM_K)
+        .groupBy("cl", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("cval"))
+    )
+    assign = None
+    for _ in range(_KM_ITERS):
+        cent_arr = (
+            cent.groupBy("cl")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
+            .select("cl", F.expr("transform(pc, x -> x.cval)").alias("cvals"))
+        )
+        d = e.crossJoin(F.broadcast(cent_arr)).select(
+            "vec_id",
+            "cl",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(embedding, cvals,"
+                    "                   (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+                    "          CAST(0 AS DOUBLE), (a, b) -> a + b)"
+                ),
+                6,
+            ).alias("dist2"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist2", "cl")
+        assign = (
+            d.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("vec_id", "cl", "dist2")
+            .localCheckpoint(eager=True)  # barrier: next iteration reads it twice
+        )
+        cent = ex.join(assign.select("vec_id", "cl"), "vec_id").groupBy("cl", "pos").agg(
+            F.round(F.avg("val"), 6).alias("cval")
+        )
+    return assign.groupBy(F.col("cl").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("dist2"), 2).alias("inertia"),
+    )
