@@ -249,20 +249,23 @@ def text_near_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     # sh feeds three plan branches (sizes + both join sides); without a
     # barrier each recomputes the split+shingle pipeline from the scan.
     sh = _shingles(docs).localCheckpoint(eager=True)
+    # Per-doc set sizes ride along as broadcast-joined constants BEFORE
+    # the shingle self-join and become extra grouping keys — the first
+    # implementation joined the sizes table onto the ~1.1M-row
+    # intersection result twice (two more shuffles of the pair stream).
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "g")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "g")
+    sided = sh.join(F.broadcast(sz), "doc_id")
+    a = sided.select(F.col("doc_id").alias("doc_a"), "g", F.col("n").alias("n_a"))
+    b = sided.select(F.col("doc_id").alias("doc_b"), "g", F.col("n").alias("n_b"))
     inter = (
         a.join(b, "g")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("ni"))
     )
     jac = F.col("ni").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("ni"))
     return (
-        inter.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
-        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
-        .where(jac >= _JACCARD_MIN)
+        inter.where(jac >= _JACCARD_MIN)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
