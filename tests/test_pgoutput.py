@@ -317,3 +317,37 @@ def test_tuple_arity_mismatch_raises():
     rel = relation(555, "t", [(1, "id", 23), (0, "x", 25)])
     with pytest.raises(pg.PgOutputError, match="columns"):
         list(pg.decode_stream([rel, begin(1, 1), insert(555, 1), commit(1)]))
+
+
+def test_wal_to_buffered_merge_sink_end_to_end(spark, tmp_path):
+    """Full reference pipeline in one test: pgoutput frames (R2) →
+    distributed decode (R3) → replacing-merge through the two-tier
+    BufferedMergeSink (R6+R8/R9), with a replayed segment proving the
+    at-least-once convergence argument end-to-end."""
+    import pyspark.sql.functions as F
+
+    from pg2ch_spark.cdc.merge_sink import BufferedMergeSink
+
+    segs = [
+        [begin(100, 1), insert(USERS_OID, 1, "a", 1.0), insert(USERS_OID, 2, "b", 2.0), commit(100)],
+        [begin(200, 2), update(USERS_OID, new=(1, "a2", 1.5)), commit(200)],
+        [begin(300, 3), delete(USERS_OID, 2, None, None), commit(300)],
+    ]
+    frames = [
+        (si, i, f) for si, seg in enumerate(segs) for i, f in enumerate(seg)
+    ]
+    frames_df = spark.createDataFrame(frames, "part int, idx int, frame binary")
+    decoded = pg.decode_frames(
+        frames_df, preamble=[USERS], value_columns=["id", "name", "score"]
+    ).localCheckpoint(eager=True)
+
+    sink = BufferedMergeSink(
+        spark, str(tmp_path / "state"), key_col="id", ver_col="ver", merge_every=2
+    )
+    for si in range(len(segs)):
+        batch = decoded.where(F.col("lsn") == 100 * (si + 1))
+        sink.merge(batch)
+    sink.merge(decoded.where(F.col("lsn") == 200))  # replayed delivery
+
+    final = sink.state().where(F.col("op") != "D").select("id", "name").collect()
+    assert {(r.id, r.name) for r in final} == {("1", "a2")}
