@@ -99,3 +99,19 @@ def test_near_dup_embedding_never_touches_the_driver(spark, monkeypatch):
     )
     df = registry.QUERIES["sim_near_dup_embedding"](spark, SF_T2)
     assert df is not None  # plan constructed lazily, driver untouched
+
+
+def test_framesample_prunes_payload_scan(spark):
+    """Frame sampling reads only doc_id + text from the documents scan
+    (the metadata columns never reach the Arrow batches)."""
+    cols = scan_columns(registry.QUERIES["multimodal_framesample"](spark, SF_T2))
+    assert "text" in cols and "doc_id" in cols
+    assert "source" not in cols and "lang" not in cols
+
+
+def test_percentiles_single_buffered_pass(spark):
+    """All three quantiles come from ONE percentile aggregate buffer
+    (the three-separate-aggregates form triples the sort buffers)."""
+    plan = _plan(spark, "agg_percentiles")
+    assert plan.count("percentile") <= plan.count("HashAggregate") * 2  # sanity
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
