@@ -481,3 +481,76 @@ def sim_ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.sum("dist2"), 2).alias("inertia"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed pretraining-data filter — the end-to-end pipeline shape:
+# quality gate → exact dedup → per-source token budget
+
+
+_QUALITY_MIN = 0.5
+_PIPE_STOPWORDS = ("a", "the")
+
+
+@register(
+    "pipeline_pretrain_filter",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, source, text, md5(text) AS th,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq,
+               len(list_filter(string_split(text, ' '),
+                               x -> x IN {_PIPE_STOPWORDS!r})) AS n_stop
+        FROM documents
+    ), q AS (
+        SELECT *,
+               0.5 * (CAST(n_uniq AS DOUBLE) / n_tokens)
+             + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+             + 0.2 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0) AS quality
+        FROM m
+    ), kept AS (
+        SELECT * FROM q WHERE quality >= {_QUALITY_MIN}
+        QUALIFY row_number() OVER (PARTITION BY th ORDER BY doc_id) = 1
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS token_budget,
+           round(avg(quality), 4) AS avg_quality
+    FROM kept GROUP BY source
+    """,
+)
+def pipeline_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline a pretraining-data user actually runs:
+    per-doc quality scoring (vocabulary diversity + stopword ratio +
+    capped length prior, same formula as `text_quality_score`), a
+    quality gate, exact dedup on md5(text) keeping the lowest doc_id,
+    then the per-source token budget. One map-side pass computes the
+    scores, one 16-byte-key shuffle dedups, one agg summarizes —
+    nothing in the chain widens the shuffled rows beyond (hash, ids,
+    counters)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    stop_pred = " OR ".join(f"x = '{s}'" for s in _PIPE_STOPWORDS)
+    m = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("th"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_uniq"),
+        F.expr(f"size(filter(split(text, ' '), x -> {stop_pred}))").alias("n_stop"),
+    )
+    quality = (
+        0.5 * (F.col("n_uniq").cast("double") / F.col("n_tokens"))
+        + 0.3 * (1.0 - F.col("n_stop").cast("double") / F.col("n_tokens"))
+        + 0.2 * (F.least(F.col("n_tokens"), F.lit(100)).cast("double") / 100.0)
+    )
+    w = Window.partitionBy("th").orderBy("doc_id")
+    kept = (
+        m.withColumn("quality", quality)
+        .where(F.col("quality") >= _QUALITY_MIN)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("token_budget"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
