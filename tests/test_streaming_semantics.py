@@ -58,3 +58,88 @@ def test_available_now_replay_deterministic(spark):
     a = sorted(map(str, q(spark, SF_T2).collect()))
     b = sorted(map(str, q(spark, SF_T2).collect()))
     assert a == b
+
+
+def test_multibatch_replay_through_buffered_sink(spark, tmp_path):
+    """Three source files + maxFilesPerTrigger=1 → three real micro-
+    batches. The memory-sink harness refuses this shape (stale-update
+    guard); the production path — foreachBatch into the two-tier
+    BufferedMergeSink — must converge to the batch answer across
+    batches."""
+    from pg2ch_spark.cdc.merge_sink import BufferedMergeSink
+
+    src = tmp_path / "src"
+    for i in range(3):
+        spark.createDataFrame(
+            [(k, i * 100 + k, float(i)) for k in range(20)],
+            "key long, ver long, value double",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    schema = spark.read.parquet(str(src)).schema
+    sink = BufferedMergeSink(
+        spark, str(tmp_path / "state"), key_col="key", ver_col="ver", merge_every=2
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink.merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if int(p["numInputRows"]) > 0)
+    assert n_batches == 3, "source must split into three micro-batches"
+
+    final = {r.key: r.ver for r in sink.state().collect()}
+    # argmax(ver) per key across all three files
+    assert final == {k: 200 + k for k in range(20)}
+
+
+def test_clickhouse_sink_from_writestream(spark, tmp_path):
+    """R12 through a real writeStream: per-partition POSTs fire from
+    inside foreachBatch and every input row reaches the endpoint."""
+    import threading
+    import urllib.parse
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from pg2ch_spark.sources.clickhouse import clickhouse_sink
+
+    received: list[bytes] = []
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):
+            received.append(self.rfile.read(int(self.headers.get("Content-Length", 0))))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        src = tmp_path / "src"
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(50)], "k long, v string"
+        ).write.parquet(str(src))
+        schema = spark.read.parquet(str(src)).schema
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                clickhouse_sink(f"http://127.0.0.1:{server.server_port}", "t", ["k", "v"])
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        server.shutdown()
+
+    lines = sorted(
+        line for body in received for line in body.decode().splitlines()
+    )
+    assert lines == sorted(f"{i}\tv{i}" for i in range(50))
