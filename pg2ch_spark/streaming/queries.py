@@ -150,6 +150,10 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda df: df.withColumn("ets", F.timestamp_seconds(F.expr("ts div 1000000000")))
         .groupBy(F.session_window("ets", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n")),
+        # session merging carries per-session state rows (not one row
+        # per key): more stores than the 2-partition default pay off —
+        # measured 2→1.25s, 4→1.11s, 8→1.08s, 16→1.27s at sf0.1
+        state_partitions=4,
     )
     span = (
         F.col("session_window.end").cast("long")
