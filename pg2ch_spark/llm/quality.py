@@ -141,9 +141,10 @@ _STOPWORDS = ("a", "the")
         FROM t
     )
     SELECT doc_id, n_tokens, n_uniq, n_stop,
-           round(0.5 * (CAST(n_uniq AS DOUBLE) / n_tokens)
+           floor((0.5 * (CAST(n_uniq AS DOUBLE) / n_tokens)
                + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
-               + 0.2 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0), 4) AS quality
+               + 0.2 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)) * 10000 + 0.5)
+               / 10000 AS quality
     FROM m
     """,
 )
@@ -164,12 +165,17 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("toks")).alias("n_uniq"),
         F.expr(f"size(filter(toks, x -> {stop_pred}))").alias("n_stop"),
     )
-    quality = F.round(
+    # floor(q*1e4 + 0.5)/1e4, NOT round(q, 4): the ratio mix makes
+    # exact .xxxx5 half-way values common, and on those Spark's
+    # decimal-repr HALF_UP and DuckDB's binary round disagree (found at
+    # sf0.1: one doc off by 1e-4). Both engines compute bit-identical q
+    # (same IEEE op order), so the floor form ties identically.
+    q = (
         0.5 * (F.col("n_uniq").cast("double") / F.col("n_tokens"))
         + 0.3 * (1.0 - F.col("n_stop").cast("double") / F.col("n_tokens"))
-        + 0.2 * (F.least(F.col("n_tokens"), F.lit(100)).cast("double") / 100.0),
-        4,
-    ).alias("quality")
+        + 0.2 * (F.least(F.col("n_tokens"), F.lit(100)).cast("double") / 100.0)
+    )
+    quality = (F.floor(q * 10000 + 0.5) / 10000).alias("quality")
     return m.select("doc_id", "n_tokens", "n_uniq", "n_stop", quality)
 
 
