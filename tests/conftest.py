@@ -7,7 +7,11 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_T2 = "/root/testdata/sf0.01"
+# The differential suite runs at the driver's t2 scale by default;
+# override to sweep another scale factor (caught a real 4dp rounding
+# tie at sf0.1 that sf0.01 never hits):
+#   SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 pytest tests/test_correctness.py
+SF_T2 = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
