@@ -160,9 +160,61 @@ N_HASHES = 16
 # 2 bands × 8 rows: LSH s-curve threshold ≈ (1/2)^(1/8) ≈ 0.92 — tuned to
 # the 0.9 verify threshold below.
 N_BANDS = 2
+_MH_PRIME = 1_000_000_007  # double-hashing modulus; h1+15*h2 < 2^36, no overflow
 
 
-@register("text_near_dedup_minhash")  # rows-only: MinHash is not portably SQL-expressible
+def _minhash_oracle() -> str:
+    from pg2ch_spark.llm.neardup import _SHINGLE_SQL
+
+    rpb = N_HASHES // N_BANDS
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band, hs[{b * rpb + 1}:{(b + 1) * rpb}] AS bk FROM vec"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLE_SQL},
+    tok AS (
+        SELECT doc_id, g,
+            CAST(list_sum(list_transform(range(1, 9),
+                j -> (strpos('0123456789abcdef', substr(md5(g), j, 1)) - 1)
+                     * CAST(16 ** (8 - j) AS BIGINT))) AS BIGINT) AS h1,
+            CAST(list_sum(list_transform(range(9, 17),
+                j -> (strpos('0123456789abcdef', substr(md5(g), j, 1)) - 1)
+                     * CAST(16 ** (16 - j) AS BIGINT))) AS BIGINT) AS h2
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, s.i, min((h1 + s.i * h2) % {_MH_PRIME}) AS h
+        FROM tok, unnest(range(0, {N_HASHES})) AS s(i)
+        GROUP BY doc_id, s.i
+    ),
+    vec AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM sig GROUP BY doc_id),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS ni
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.g = x.g
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(ni AS DOUBLE) / (sx.n + sy.n - ni), 4) AS jaccard
+    FROM inter
+    JOIN sz sx ON sx.doc_id = doc_a
+    JOIN sz sy ON sy.doc_id = doc_b
+    WHERE CAST(ni AS DOUBLE) / (sx.n + sy.n - ni) >= 0.9
+    """
+
+
+@register("text_near_dedup_minhash", oracle=_minhash_oracle())
 def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs, exact-Jaccard verified.
 
@@ -174,9 +226,14 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
          shingles ~2s). Shingle features also make this directly the
          approximate sibling of `text_near_dedup_ngram_jaccard` (exact
          Jaccard) and `text_near_dedup_simhash` (hamming LSH).
-      2. 16 minhash signatures: min(xxhash64(seed_i ‖ shingle)) per doc
-      3. 2 bands × 8 rows: band key = hash of the 8 signatures
-      4. equi-self-join on (band, key) → candidate pairs (a < b)
+      2. 16 minhash signatures by double hashing (Kirsch–Mitzenmacher):
+         h_i(g) = (h1 + i·h2) mod p with h1/h2 the two 32-bit halves of
+         md5(g) — the one hash both engines compute identically, which
+         is what upgrades this operator from rows-only (r1, xxhash64)
+         to a fully EXACT cross-engine oracle.
+      3. 2 bands × 8 rows: band key = the 8-signature vector itself
+         (array equality — no second hash needed)
+      4. equi-self-join on (band, vector) → candidate pairs (a < b)
       5. exact Jaccard on shingle sets for candidates only; keep ≥ 0.9
 
     Scale: step 4 replaces the O(n²) all-pairs comparison with a
@@ -194,33 +251,33 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GC-bimodal recomputing the explode 4x (sf0.1).
     toks = _shingles(docs).withColumnRenamed("g", "token").localCheckpoint(eager=True)
 
+    hashed = toks.select(
+        "doc_id",
+        "token",
+        F.expr("CAST(conv(substr(md5(CAST(token AS BINARY)), 1, 8), 16, 10) AS BIGINT)").alias("h1"),
+        F.expr("CAST(conv(substr(md5(CAST(token AS BINARY)), 9, 8), 16, 10) AS BIGINT)").alias("h2"),
+    )
     sig_cols = [
-        F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("token")))).alias(f"h{i}")
+        F.min((F.col("h1") + i * F.col("h2")) % _MH_PRIME).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
-    sigs = toks.groupBy("doc_id").agg(*sig_cols)
+    sigs = hashed.groupBy("doc_id").agg(*sig_cols)
 
     rows_per_band = N_HASHES // N_BANDS
-    band_frames = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_frames.append(
-            sigs.select(
-                "doc_id", F.lit(b).alias("band"), F.hash(*cols).alias("band_key")
-            )
+    band_struct = ", ".join(
+        "struct({b} AS band, array({cols}) AS bk)".format(
+            b=b,
+            cols=", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
         )
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+        for b in range(N_BANDS)
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(F.expr(f"array({band_struct})")).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bk")
 
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", F.col("band_key").alias("bk")
-    )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", F.col("band_key").alias("bk")
-    )
     candidates = (
-        left.join(right, ["band", "bk"])
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "bk")
+        .join(bands.select(F.col("doc_id").alias("doc_b"), "band", "bk"), ["band", "bk"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
