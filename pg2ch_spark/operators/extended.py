@@ -554,3 +554,340 @@ def pipeline_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("token_budget"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VersionedCollapsingMergeTree FINAL — the fourth ClickHouse engine of the
+# pg2ch family (SURVEY §2.2): updates emit a (-1, old_version) cancel row
+# plus a (+1, new_version) state row; merges collapse (key, version) pairs
+# with opposite signs; FINAL is the max surviving +1 version per key.
+
+_VC_SIGNED_CTE = """
+WITH cdc AS (
+    SELECT user_id AS key, event_id AS ver,
+           CASE event_type WHEN 'signup' THEN 'I'
+                           WHEN 'error'  THEN 'D'
+                           ELSE 'U' END AS op
+    FROM events
+),
+lagged AS (
+    SELECT key, ver, op,
+           lag(ver) OVER (PARTITION BY key ORDER BY ver) AS prev_ver
+    FROM cdc
+),
+signed AS (
+    SELECT key, ver AS sver, 1 AS sign FROM lagged WHERE op IN ('I', 'U')
+    UNION ALL
+    SELECT key, prev_ver AS sver, -1 AS sign
+    FROM lagged WHERE op IN ('U', 'D') AND prev_ver IS NOT NULL
+),
+net AS (
+    SELECT key, sver, CAST(sum(sign) AS BIGINT) AS net
+    FROM signed GROUP BY key, sver
+)
+"""
+
+
+@register(
+    "cdc_versioned_collapsing",
+    oracle=_VC_SIGNED_CTE
+    + """
+    SELECT key,
+           max(CASE WHEN net = 1 THEN sver END) AS final_ver,
+           CAST(count(*) FILTER (WHERE net = 1) AS BIGINT) AS n_open,
+           CAST(count(*) FILTER (WHERE net <> 1) AS BIGINT) AS n_cancelled
+    FROM net GROUP BY key
+    HAVING count(*) FILTER (WHERE net = 1) > 0
+    """,
+)
+def cdc_versioned_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VersionedCollapsingMergeTree FINAL over the derived CDC log:
+    every update cancels its predecessor version explicitly (−1 row) and
+    asserts its own (+1 row); deletes emit only the cancel. A version
+    survives iff its net sign is +1, and FINAL is the max surviving
+    version per key — a deleted key has no surviving version and drops
+    out without any last-op special-casing (contrast
+    `cdc_collapsing_final`, which filters on the latest op).
+
+    Scale: the signed expansion is map-side (one window for the
+    predecessor version), and the collapse is a (key, version) partial
+    agg — the same single-shuffle shape ClickHouse gets from its
+    merge-time collapse; nothing rereads history."""
+    from pg2ch_spark.cdc.derive import derive_cdc
+
+    log = derive_cdc(spark, sf_dir).select("key", "ver", "op")
+    w = Window.partitionBy("key").orderBy("ver")
+    lagged = log.withColumn("prev_ver", F.lag("ver").over(w))
+    plus = lagged.where(F.col("op").isin("I", "U")).select(
+        "key", F.col("ver").alias("sver"), F.lit(1).alias("sign")
+    )
+    minus = lagged.where(
+        F.col("op").isin("U", "D") & F.col("prev_ver").isNotNull()
+    ).select("key", F.col("prev_ver").alias("sver"), F.lit(-1).alias("sign"))
+    net = (
+        plus.unionByName(minus)
+        .groupBy("key", "sver")
+        .agg(F.sum("sign").cast("bigint").alias("net"))
+    )
+    open_ = F.col("net") == 1
+    return (
+        net.groupBy("key")
+        .agg(
+            F.max(F.when(open_, F.col("sver"))).alias("final_ver"),
+            F.count(F.when(open_, 1)).alias("n_open"),
+            F.count(F.when(~open_, 1)).alias("n_cancelled"),
+        )
+        .where(F.col("n_open") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SummingMergeTree FINAL — ClickHouse's pre-aggregating engine: rows with
+# the same key are replaced at merge time by one row holding the sums of
+# the numeric columns. pg2ch targets counter-style tables at this engine.
+
+
+@register(
+    "cdc_summing_final",
+    oracle="""
+    WITH cdc AS (
+        SELECT user_id AS key, event_id AS ver,
+               CASE event_type WHEN 'signup' THEN 'I'
+                               WHEN 'error'  THEN 'D'
+                               ELSE 'U' END AS op,
+               value
+        FROM events
+    )
+    SELECT key,
+           count(*) AS n_parts,
+           round(sum(value), 2) AS val_sum,
+           max(ver) AS last_ver
+    FROM cdc WHERE op IN ('I', 'U')
+    GROUP BY key
+    """,
+)
+def cdc_summing_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummingMergeTree FINAL: each insert row is a delta; the merged
+    state per key is the sum of the numeric payload (`value`) over all
+    inserted rows, with the row count standing in for the un-merged part
+    count. Map-side partial sums do exactly what ClickHouse's background
+    merges do, so the shuffle carries one partial row per (partition,
+    key)."""
+    from pg2ch_spark.cdc.derive import derive_cdc
+
+    log = derive_cdc(spark, sf_dir)
+    return (
+        log.where(F.col("op").isin("I", "U"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("value"), 2).alias("val_sum"),
+            F.max("ver").alias("last_ver"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot — wide conditional aggregation with an explicit value list
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS f_total,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS o_total,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS p_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT orders to one row per priority × {F,O,P} status columns.
+    The pivot values are DECLARED, not scan-inferred: an unlisted-values
+    pivot runs a distinct-collect job over the pivot column first, which
+    at 100 TB is a full extra pass (and nondeterministic column order).
+    With the list pinned, pivot compiles to plain conditional aggregates
+    — one shuffle, map-side partials, no extra job."""
+    o = catalog.load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    # Spark's pivot yields NULL counts for absent (priority, status)
+    # cells; SQL's count(*) FILTER yields 0 — normalize to the SQL side.
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("f_n"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("o_n"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("p_n"),
+        F.col("F_total").alias("f_total"),
+        F.col("O_total").alias("o_total"),
+        F.col("P_total").alias("p_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split — the hash split every training-data
+# pipeline needs: stable under reruns, independent of row order, and
+# computable identically by any engine that has md5.
+
+
+@register(
+    "split_train_holdout",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id, source, n_chars,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+        FROM documents
+    )
+    SELECT CASE WHEN h BETWEEN '0' AND '9' OR h IN ('a', 'b') THEN 'train'
+                WHEN h IN ('c', 'd') THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           count(DISTINCT source) AS n_sources,
+           min(doc_id) AS doc_id_min,
+           max(doc_id) AS doc_id_max
+    FROM tagged GROUP BY 1
+    """,
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split by the first hex
+    nibble of md5(doc_id): '0'-'b' → train, 'c'-'d' → val, 'e'-'f' →
+    test. Hash-splitting (vs random sampling) is reproducible across
+    engines and runs, immune to row order, and assigns a document the
+    same split even when the corpus grows — the property that keeps a
+    holdout honest across pipeline re-executions. Pure map-side tag +
+    one 3-key aggregate."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    split = (
+        F.when(h.between("0", "9") | h.isin("a", "b"), "train")
+        .when(h.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "doc_id", "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("doc_id_min"),
+            F.max("doc_id").alias("doc_id_max"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Symmetric int8 embedding quantization — the storage/bandwidth lever for
+# vector corpora (4x smaller than float32, 8x smaller than the double
+# math): per-vector absmax scale, round-half-up to [-127, 127].
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               list_transform(vd, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)) AS qv
+        FROM s WHERE scale > 0
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale_r,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_max(qv) AS INT) AS q_max,
+           CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_sat
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization: q_i = floor(x_i / absmax * 127 + 0.5)
+    (explicit half-up — both engines floor identically; `round()` would
+    hit banker's-rounding divergence). All-zero vectors are excluded (no
+    scale). Output is integer summaries + the 6dp scale, so the check is
+    exact: every double op (cast, divide, multiply, add) is the same
+    IEEE operation in the same order in both engines.
+
+    Scale: in-row HOFs, zero shuffle — this is the map stage that would
+    precede writing an int8 column + per-vector scale to parquet,
+    cutting vector-corpus bytes 4x before any similarity work."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("vd"),
+        )
+        .withColumn("scale", F.expr("array_max(transform(vd, x -> abs(x)))"))
+        .where(F.col("scale") > 0)
+        .withColumn(
+            "qv",
+            F.expr("transform(vd, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT))"),
+        )
+        .select(
+            "vec_id",
+            F.round("scale", 6).alias("scale_r"),
+            F.expr("aggregate(qv, CAST(0 AS BIGINT), (a, b) -> a + b)").alias("q_sum"),
+            F.expr("CAST(array_min(qv) AS INT)").alias("q_min"),
+            F.expr("CAST(array_max(qv) AS INT)").alias("q_max"),
+            F.expr("CAST(size(filter(qv, x -> abs(x) = 127)) AS INT)").alias("n_sat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map-typed scalar functions — the map slice of group H's charter
+# (string/date/math/array/MAP/json): build, inspect, and look up a map
+# column; emitted as scalars per D5.
+
+
+@register(
+    "fn_map_ops",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_orderstatus) AS n_statuses,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS open_cnt,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions over a status→count map per priority:
+    `map_from_entries` builds it from sorted (status, n) structs,
+    `size`/`element_at`/`map_keys` read it back. The emitted columns are
+    scalars (D5), so the oracle can state the same facts with plain
+    conditional aggregation — the Spark plan is the part under test
+    (two-level agg keeps the map build AFTER the per-status counts, so
+    maps never transit the wide shuffle)."""
+    o = catalog.load(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = per_status.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "o_orderpriority",
+        F.size("m").cast("bigint").alias("n_statuses"),
+        F.coalesce(F.element_at("m", "O"), F.lit(0)).alias("open_cnt"),
+        F.array_join(F.map_keys("m"), ",").alias("statuses"),
+    )

@@ -53,4 +53,7 @@ def get_spark(app_name: str = "pg2ch-spark", *, shuffle_partitions: int | None =
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     return builder.getOrCreate()
