@@ -405,3 +405,89 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")),
     )
     return res
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS signup_t
+        FROM events WHERE event_type = 'signup'
+    ),
+    p AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS purchase_t
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT s.user_id, s.signup_t, p.purchase_t
+    FROM s JOIN p ON s.user_id = p.user_id
+                 AND p.purchase_t > s.signup_t
+                 AND p.purchase_t <= s.signup_t + 3600
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: the signup stream joins the purchase
+    stream on user_id with an event-time range (purchase within 1h of
+    signup) — the streaming form of `events_funnel`'s core join, and
+    the one stateful-operator class group J lacked.
+
+    Both sides carry watermarks and the join predicate bounds event
+    time on both sides; that pair is what lets Spark EVICT join state
+    (a signup older than max(event time) − 1h − watermark can never
+    match again), which is the difference between bounded state and an
+    unbounded buffer at production rates. Inner-join rows emit as soon
+    as both sides arrive, so availableNow replay needs no watermark
+    finalization batch.
+
+    Event times are floored to whole seconds BEFORE the join (D3), so
+    both engines compare identical integers at the window edges.
+    """
+    import shutil
+
+    from pg2ch_spark.streaming.runner import (
+        _few_state_partitions,
+        _stream_source,
+        scratch_dir,
+    )
+
+    path = catalog.table_path(sf_dir, "events")
+    schema = _events_schema(spark, sf_dir)
+
+    def side(event_type: str, alias: str) -> DataFrame:
+        return (
+            _stream_source(spark, path, schema)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.timestamp_seconds(F.expr("ts div 1000000000")).alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+    s, p = side("signup", "s"), side("purchase", "p")
+    joined = s.join(
+        p,
+        F.expr(
+            "s_user = p_user AND p_ts > s_ts AND p_ts <= s_ts + interval 1 hour"
+        ),
+    ).select(
+        F.col("s_user").alias("user_id"),
+        F.col("s_ts").cast("long").alias("signup_t"),
+        F.col("p_ts").cast("long").alias("purchase_t"),
+    )
+
+    out = scratch_dir("pg2ch_ssj_out_")
+    ckpt = scratch_dir("pg2ch_ssj_ckpt_")
+    shutil.rmtree(out, ignore_errors=True)
+    with _few_state_partitions(spark):
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    result = spark.read.parquet(out).localCheckpoint(eager=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result
