@@ -609,26 +609,43 @@ def cdc_versioned_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     out without any last-op special-casing (contrast
     `cdc_collapsing_final`, which filters on the latest op).
 
-    Scale: the signed expansion is map-side (one window for the
-    predecessor version), and the collapse is a (key, version) partial
-    agg — the same single-shuffle shape ClickHouse gets from its
-    merge-time collapse; nothing rereads history."""
+    Scale: ONE shuffle total. The lag window partitions by key; the
+    signed expansion is an in-row explode (NOT a union of two filtered
+    branches — a union would discard the window's partitioning and
+    force the net agg to re-shuffle); both the (key, version) net agg
+    and the per-key final agg then reuse the key partitioning
+    (HashPartitioning(key) satisfies both clusterings), which is the
+    same single-pass shape ClickHouse gets from its merge-time
+    collapse — verified by plan test (tests/test_plans.py)."""
     from pg2ch_spark.cdc.derive import derive_cdc
 
     log = derive_cdc(spark, sf_dir).select("key", "ver", "op")
     w = Window.partitionBy("key").orderBy("ver")
     lagged = log.withColumn("prev_ver", F.lag("ver").over(w))
-    plus = lagged.where(F.col("op").isin("I", "U")).select(
-        "key", F.col("ver").alias("sver"), F.lit(1).alias("sign")
-    )
-    minus = lagged.where(
-        F.col("op").isin("U", "D") & F.col("prev_ver").isNotNull()
-    ).select("key", F.col("prev_ver").alias("sver"), F.lit(-1).alias("sign"))
-    net = (
-        plus.unionByName(minus)
-        .groupBy("key", "sver")
-        .agg(F.sum("sign").cast("bigint").alias("net"))
-    )
+    signed = lagged.select(
+        "key",
+        F.explode(
+            F.expr(
+                """
+                CASE op
+                  WHEN 'I' THEN array(named_struct('sver', ver, 'sign', 1))
+                  WHEN 'U' THEN CASE
+                      WHEN prev_ver IS NULL
+                        THEN array(named_struct('sver', ver, 'sign', 1))
+                      ELSE array(named_struct('sver', ver, 'sign', 1),
+                                 named_struct('sver', prev_ver, 'sign', -1))
+                    END
+                  ELSE CASE
+                      WHEN prev_ver IS NULL
+                        THEN CAST(array() AS array<struct<sver: bigint, sign: int>>)
+                      ELSE array(named_struct('sver', prev_ver, 'sign', -1))
+                    END
+                END
+                """
+            )
+        ).alias("sr"),
+    ).select("key", "sr.sver", "sr.sign")
+    net = signed.groupBy("key", "sver").agg(F.sum("sign").cast("bigint").alias("net"))
     open_ = F.col("net") == 1
     return (
         net.groupBy("key")
@@ -709,8 +726,11 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pivot values are DECLARED, not scan-inferred: an unlisted-values
     pivot runs a distinct-collect job over the pivot column first, which
     at 100 TB is a full extra pass (and nondeterministic column order).
-    With the list pinned, pivot compiles to plain conditional aggregates
-    — one shuffle, map-side partials, no extra job."""
+    With the list pinned, pivot compiles to a two-phase aggregate
+    (pre-aggregate by (priority, status), then PivotFirst by priority —
+    plan-tested): two narrow shuffles, no extra job, and the first
+    shuffle carries one partial row per (partition, priority, status)
+    rather than raw rows."""
     o = catalog.load(spark, sf_dir, "orders")
     piv = (
         o.groupBy("o_orderpriority")

@@ -115,3 +115,61 @@ def test_percentiles_single_buffered_pass(spark):
     plan = _plan(spark, "agg_percentiles")
     assert plan.count("percentile") <= plan.count("HashAggregate") * 2  # sanity
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_versioned_collapsing_single_shuffle(spark):
+    """The signed expansion must stay an in-row explode so the lag
+    window's key partitioning carries through the net agg and the
+    per-key final agg: exactly ONE Exchange for the whole query (a
+    union of filtered branches would discard it and re-shuffle)."""
+    plan = _plan(spark, "cdc_versioned_collapsing")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_quantize_int8_has_no_shuffle(spark):
+    """Per-vector quantization is pure map-side HOF work."""
+    plan = _plan(spark, "embedding_quantize_int8")
+    assert "Exchange" not in plan, plan
+
+
+def test_pivot_is_two_phase_no_inference_job(spark):
+    """Declared pivot values compile to a two-phase aggregate (pre-agg
+    by (priority, status) then PivotFirst) — two narrow shuffles and no
+    distinct-collect inference pass."""
+    plan = _plan(spark, "agg_pivot")
+    assert plan.count("Exchange") <= 2, plan
+    assert "pivotfirst" in plan.lower(), plan
+
+
+def test_stream_stream_join_state_is_evictable(spark):
+    """Both join sides must carry watermarks and the join must keep an
+    equi-conjunct on user_id: that pair is what bounds stream-stream
+    join state (eviction) and keeps the join a hash join, not a
+    nested-loop scan. Asserted on the streaming logical plan since the
+    physical plan only exists per micro-batch."""
+    import pyspark.sql.functions as F
+    from pg2ch_spark import catalog
+    from pg2ch_spark.streaming.queries import _events_schema
+    from pg2ch_spark.streaming.runner import _stream_source
+
+    path = catalog.table_path(SF_T2, "events")
+    schema = _events_schema(spark, SF_T2)
+
+    def side(event_type, alias):
+        return (
+            _stream_source(spark, path, schema)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.timestamp_seconds(F.expr("ts div 1000000000")).alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    joined = side("signup", "s").join(
+        side("purchase", "p"),
+        F.expr("s_user = p_user AND p_ts > s_ts AND p_ts <= s_ts + interval 1 hour"),
+    )
+    logical = joined._jdf.queryExecution().analyzed().toString()
+    assert logical.count("EventTimeWatermark") == 2, logical
+    assert "(s_user" in logical and "= p_user" in logical, logical
