@@ -911,3 +911,147 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("m", "O"), F.lit(0)).alias("open_cnt"),
         F.array_join(F.map_keys("m"), ",").alias("statuses"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ClickHouse windowFunnel / retention — the event-analytics aggregate
+# functions a ClickHouse-backed product would run on the tables pg2ch
+# replicates; re-expressed as one-shuffle Spark plans.
+
+_FUNNEL_WINDOW_S = 3600
+
+
+@register(
+    "events_window_funnel",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, min(t) AS t1 FROM e
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+        SELECT e.user_id, min(e.t) AS t2
+        FROM e JOIN s USING (user_id)
+        WHERE e.event_type = 'view' AND e.t > s.t1
+          AND e.t <= s.t1 + {_FUNNEL_WINDOW_S}
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.t) AS t3
+        FROM e JOIN v USING (user_id) JOIN s USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.t > v.t2
+          AND e.t <= s.t1 + {_FUNNEL_WINDOW_S}
+        GROUP BY e.user_id
+    ),
+    lv AS (
+        SELECT u.user_id,
+               CASE WHEN p.user_id IS NOT NULL THEN 3
+                    WHEN v.user_id IS NOT NULL THEN 2
+                    WHEN s.user_id IS NOT NULL THEN 1
+                    ELSE 0 END AS level
+        FROM (SELECT DISTINCT user_id FROM e) u
+        LEFT JOIN s ON u.user_id = s.user_id
+        LEFT JOIN v ON u.user_id = v.user_id
+        LEFT JOIN p ON u.user_id = p.user_id
+    )
+    SELECT level, count(*) AS n_users FROM lv GROUP BY level
+    """,
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `windowFunnel(3600)(ts, signup, view, purchase)`:
+    per user, the deepest chain level reached by the greedy
+    earliest-first scan — first signup anchors the window, then the
+    first view strictly after it, then the first purchase strictly
+    after that, all within 1h of the anchor. Output: users per level.
+
+    The oracle states the same greedy semantics as three min-filter
+    CTE hops (level N's earliest event bounds level N+1's search — the
+    chained-min form is provably the greedy scan's result). The Spark
+    plan instead does what windowFunnel does inside ClickHouse: ONE
+    shuffle collects each user's (t, type) events, `array_sort` orders
+    them in-row, and a HOF `aggregate` fold walks the sorted array
+    carrying (level, anchor_t, prev_t) — no join chain, no per-level
+    shuffle, and the state is three scalars however long the funnel
+    gets. Event times floor to seconds (D3); ties at the same second
+    cannot advance two levels (strict > on an integer), so scan order
+    within a tie group is immaterial."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        F.col("ts").cast("long").alias("t"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("t", "et"))).alias("evs")
+    )
+    level = F.expr(
+        f"""
+        aggregate(
+          evs,
+          named_struct('lvl', 0, 't1', CAST(0 AS BIGINT), 'tp', CAST(0 AS BIGINT)),
+          (st, e) -> CASE
+             WHEN st.lvl = 0 AND e.et = 'signup'
+               THEN named_struct('lvl', 1, 't1', e.t, 'tp', e.t)
+             WHEN st.lvl = 1 AND e.et = 'view'
+                  AND e.t > st.tp AND e.t <= st.t1 + {_FUNNEL_WINDOW_S}
+               THEN named_struct('lvl', 2, 't1', st.t1, 'tp', e.t)
+             WHEN st.lvl = 2 AND e.et = 'purchase'
+                  AND e.t > st.tp AND e.t <= st.t1 + {_FUNNEL_WINDOW_S}
+               THEN named_struct('lvl', 3, 't1', st.t1, 'tp', e.t)
+             ELSE st
+          END,
+          st -> st.lvl)
+        """
+    )
+    return (
+        per_user.select(level.alias("level"))
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c1,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2,
+               max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c3
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(c1) AS BIGINT) AS n_base,
+           CAST(sum(c1 * c2) AS BIGINT) AS n_ret_purchase,
+           CAST(sum(c1 * c3) AS BIGINT) AS n_ret_error,
+           round(CAST(sum(c1 * c2) AS DOUBLE) / sum(c1), 4) AS purchase_rate,
+           round(CAST(sum(c1 * c3) AS DOUBLE) / sum(c1), 4) AS error_rate
+    FROM per_user
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `retention(signup, purchase, error)`: per user an
+    array r where r[i] = cond_i AND cond_1, summed across users —
+    i.e. of the users who hit the base condition, how many also hit
+    each follow-up. Two-level aggregate: per-user condition bits
+    (map-side partials — the shuffle carries 3 bits per user per
+    partition), then one global sum."""
+    ev = catalog.load(spark, sf_dir, "events")
+    bit = lambda et: F.max(F.when(F.col("event_type") == et, 1).otherwise(0))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        bit("signup").alias("c1"), bit("purchase").alias("c2"), bit("error").alias("c3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c1").cast("bigint").alias("n_base"),
+        F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("n_ret_purchase"),
+        F.sum(F.col("c1") * F.col("c3")).cast("bigint").alias("n_ret_error"),
+        F.round(
+            F.sum(F.col("c1") * F.col("c2")).cast("double") / F.sum("c1"), 4
+        ).alias("purchase_rate"),
+        F.round(
+            F.sum(F.col("c1") * F.col("c3")).cast("double") / F.sum("c1"), 4
+        ).alias("error_rate"),
+    )
