@@ -1055,3 +1055,104 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c1") * F.col("c3")).cast("double") / F.sum("c1"), 4
         ).alias("error_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Format roundtrips — group A's non-parquet surface. pg2ch's entire sink
+# path is TabSeparated encoding into ClickHouse (R11/R12:
+# sources/clickhouse.py holds the per-value encoder); these exercise the
+# DISTRIBUTED form: every executor writes its partition in the text
+# format, the read-back re-parses with a declared schema, and the oracle
+# proves the roundtrip lossless by aggregating the ORIGINAL table.
+
+
+@register(
+    "sink_tsv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           round(sum(c_acctbal), 2) AS bal_total,
+           count(DISTINCT c_nationkey) AS n_nations,
+           max(c_name) AS max_name
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def sink_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TabSeparated sink + re-source: write customer as TSV
+    (tab delimiter, ``\\N`` nulls — the ClickHouse TSV dialect
+    sources/clickhouse.py encodes per-value), read it back with the
+    DECLARED schema (never inferSchema — a 100 TB text scan to guess
+    types is a full extra pass), aggregate the re-parsed rows. The
+    oracle aggregates the original parquet, so any encode/parse loss
+    (null vs empty, numeric formatting, delimiter collision) breaks the
+    hash match. Each executor writes its own part file — the sink is
+    embarrassingly parallel, exactly like pg2ch's per-batch TSV POST."""
+    import shutil
+    import uuid
+
+    from pg2ch_spark.streaming.runner import scratch_dir
+
+    cust = catalog.load(spark, sf_dir, "customer")
+    out = scratch_dir("pg2ch_tsv_") + "/" + uuid.uuid4().hex[:8]
+    (
+        cust.write.mode("overwrite")
+        .options(sep="\t", nullValue="\\N", header=False)
+        .csv(out)
+    )
+    back = (
+        spark.read.schema(cust.schema)
+        .options(sep="\t", nullValue="\\N", header=False)
+        .csv(out)
+    )
+    res = (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_total"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.max("c_name").alias("max_name"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return res
+
+
+@register(
+    "source_jsonl_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source: write documents as JSONL, read back with the
+    declared schema, aggregate per lang. JSON string escaping is
+    well-defined for arbitrary document text (tabs, quotes, unicode),
+    so the roundtrip is lossless where naive TSV would not be — which
+    is why JSONL is the interchange default for text corpora. Schema
+    declared on read (inferSchema on JSON is a full scan at 100 TB);
+    per-partition part files in and out."""
+    import shutil
+    import uuid
+
+    from pg2ch_spark.streaming.runner import scratch_dir
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    out = scratch_dir("pg2ch_jsonl_") + "/" + uuid.uuid4().hex[:8]
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(docs.schema).json(out)
+    res = (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return res

@@ -96,3 +96,98 @@ def test_merge_sink_recovers_from_interrupted_commit(spark, tmp_path):
     sink.merge(b2)
     final = {r.k: r.val for r in sink.state().collect()}
     assert final == {1: "c", 2: "b"}
+
+
+# ---------------------------------------------------------------------------
+# Event-shape edges: the sf fixtures' 150 users all sign up and emit
+# dense event streams, so funnel level 0, views-before-signup, window-
+# edge ties, and CDC logs whose FIRST op is U or D never occur there.
+# This corpus pins each branch against the same oracle SQL.
+
+def _edge_events() -> pd.DataFrame:
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []  # (user_id, offset_s, event_type)
+    add = lambda u, off, et: rows.append((u, off, et))  # noqa: E731
+    # u1: no signup at all -> funnel level 0; CDC first ops are U (view)
+    add(1, 10, "view"); add(1, 20, "purchase"); add(1, 30, "click")
+    # u2: signup only -> level 1
+    add(2, 0, "signup")
+    # u3: signup + view in window, no purchase -> level 2
+    add(3, 0, "signup"); add(3, 100, "view")
+    # u4: full chain inside the window -> level 3
+    add(4, 0, "signup"); add(4, 100, "view"); add(4, 200, "purchase")
+    # u5: view BEFORE the signup only -> level 1
+    add(5, 0, "view"); add(5, 100, "signup")
+    # u6: view outside the 1h window -> level 1
+    add(6, 0, "signup"); add(6, 3601, "view")
+    # u7: view at window edge (exactly 3600s: included, <=), purchase past it -> level 2
+    add(7, 0, "signup"); add(7, 3600, "view"); add(7, 3601, "purchase")
+    # u8: purchase BEFORE view (order violation) -> level 2
+    add(8, 0, "signup"); add(8, 10, "purchase"); add(8, 20, "view")
+    # u9: view at the SAME second as signup (strict >) -> level 1
+    add(9, 0, "signup"); add(9, 0, "view")
+    # u10: greedy anchors at FIRST signup; chain fits only the second -> level 1
+    add(10, 0, "signup"); add(10, 5000, "signup"); add(10, 5100, "view"); add(10, 5200, "purchase")
+    # u11: CDC first op is D (error) — the empty-array explode branch
+    add(11, 0, "error"); add(11, 10, "view")
+    return pd.DataFrame(
+        {
+            "event_id": range(1, len(rows) + 1),
+            "ts": [t0 + pd.Timedelta(seconds=off) for _, off, _ in rows],
+            "user_id": [u for u, _, _ in rows],
+            "event_type": [et for _, _, et in rows],
+            "value": [float(i) for i in range(len(rows))],
+            "props": ['{"k": 1}'] * len(rows),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_events")
+    df = _edge_events()
+    # ns-precision timestamps, exactly like the real fixtures (Spark
+    # reads them via nanosAsLong; DuckDB natively)
+    df.to_parquet(os.path.join(d, "events.parquet"), coerce_timestamps=None)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_events_duck(edge_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{edge_events_dir}/events.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "events_window_funnel",
+        "events_retention",
+        "events_funnel",
+        "cdc_versioned_collapsing",
+        "cdc_summing_final",
+    ],
+)
+def test_event_edges_match_oracle(spark, edge_events_dir, edge_events_duck, key):
+    qs, oracles = registry.queries(), registry.oracle_sql()
+    r = compare_frames(
+        key,
+        qs[key](spark, edge_events_dir).toPandas(),
+        edge_events_duck.execute(oracles[key]).df(),
+    )
+    assert r.ok, str(r)
+
+
+def test_window_funnel_levels_are_the_designed_ones(spark, edge_events_dir):
+    """The corpus is constructed so levels are known a priori:
+    u1→0, u2/u5/u6/u9/u10→1, u3/u7/u8→2, u4→3 (u11 has no signup→0)."""
+    res = {
+        int(r.level): int(r.n_users)
+        for r in registry.queries()["events_window_funnel"](spark, edge_events_dir).collect()
+    }
+    assert res == {0: 2, 1: 5, 2: 3, 3: 1}, res
