@@ -1093,7 +1093,8 @@ def sink_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg2ch_spark.streaming.runner import scratch_dir
 
     cust = catalog.load(spark, sf_dir, "customer")
-    out = scratch_dir("pg2ch_tsv_") + "/" + uuid.uuid4().hex[:8]
+    base = scratch_dir("pg2ch_tsv_")
+    out = base + "/" + uuid.uuid4().hex[:8]
     (
         cust.write.mode("overwrite")
         .options(sep="\t", nullValue="\\N", header=False)
@@ -1114,7 +1115,7 @@ def sink_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
     return res
 
 
@@ -1142,7 +1143,8 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg2ch_spark.streaming.runner import scratch_dir
 
     docs = catalog.load(spark, sf_dir, "documents")
-    out = scratch_dir("pg2ch_jsonl_") + "/" + uuid.uuid4().hex[:8]
+    base = scratch_dir("pg2ch_jsonl_")
+    out = base + "/" + uuid.uuid4().hex[:8]
     docs.write.mode("overwrite").json(out)
     back = spark.read.schema(docs.schema).json(out)
     res = (
@@ -1154,5 +1156,5 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
     return res

@@ -87,3 +87,30 @@ class TestJdbcContract:
             jdbc.snapshot(
                 spark, "jdbc:postgresql://nowhere/db", "t", partition_column="id"
             )
+
+
+def test_bench_compact_line_fits_capture_window():
+    """The driver records only the last ~2000 chars of bench stdout;
+    bench._compact must keep the final JSON line under budget for any
+    realistic query count (and preserve the exact suite total)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    times = {f"some_rather_long_query_name_{i:03d}": 0.01 * i for i in range(200)}
+    result = {
+        "metric": "pyspark_suite_seconds",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": 0.1,
+    }
+    c = bench._compact(result)
+    line = json.dumps(c, separators=(",", ":"))
+    assert len(line) <= 1800, len(line)
+    assert c["value"] == result["value"]
+    kept = sum(times[k] for k in c["queries"])
+    assert abs(kept + c["others_sec"] - sum(times.values())) < 0.5
+    assert c["n_queries"] == 200
