@@ -191,3 +191,89 @@ def test_window_funnel_levels_are_the_designed_ones(spark, edge_events_dir):
         for r in registry.queries()["events_window_funnel"](spark, edge_events_dir).collect()
     }
     assert res == {0: 2, 1: 5, 2: 3, 3: 1}, res
+
+
+# ---------------------------------------------------------------------------
+# Empty-corpus edges: a real pipeline feeds empty inputs constantly (a
+# filter that matched nothing, an empty partition, a new tenant). Both
+# engines must agree on the empty-input result too — global aggregates
+# produce their one all-null/zero row, per-group ones produce no rows.
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    # Empty pandas frames lose column types (object -> null/int32 in
+    # parquet), so every empty table is written with its EXPLICIT
+    # arrow schema — same shapes as the real fixtures.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("empty_sf")
+    schemas = {
+        "documents": pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+        "events": pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("ns")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        ),
+        "embeddings": pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.string()),
+            ]
+        ),
+    }
+    for name, schema in schemas.items():
+        pq.write_table(schema.empty_table(), os.path.join(d, f"{name}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def empty_duck(empty_sf_dir):
+    con = duckdb.connect()
+    for t in ("documents", "events", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{empty_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "text_exact_dedup",
+        "text_quality_score",
+        "text_fingerprint",
+        "split_train_holdout",
+        "embedding_quantize_int8",
+        "events_window_funnel",
+        "events_retention",
+        "events_funnel",
+        "cdc_versioned_collapsing",
+        "cdc_summing_final",
+        "pipeline_pretrain_filter",
+    ],
+)
+def test_empty_inputs_match_oracle(spark, empty_sf_dir, empty_duck, key):
+    qs, oracles = registry.queries(), registry.oracle_sql()
+    r = compare_frames(
+        key,
+        qs[key](spark, empty_sf_dir).toPandas(),
+        empty_duck.execute(oracles[key]).df(),
+    )
+    assert r.ok, str(r)
