@@ -1158,3 +1158,125 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return res
+
+
+# ---------------------------------------------------------------------------
+# Physical-layout operators — partition pruning and bucketed co-located
+# joins, the two storage-layout levers that matter most at 100 TB. Both
+# relocate fixture data into the layout under test, then prove the plan
+# (plan tests) and the values (oracles over the ORIGINAL tables).
+
+
+@register(
+    "scan_partitioned_pruning",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning: orders is rewritten partitioned by
+    o_orderpriority (5 directories), and the query filters one
+    priority. The filter must become a PARTITION filter — directory
+    elimination at planning time, zero I/O for the other four
+    partitions — not a data filter evaluated per row (plan-tested).
+    At 100 TB, partition-on-ingest-date + prune is the difference
+    between scanning a day and scanning a decade; the oracle aggregates
+    the original table, proving relocation loses nothing."""
+    import shutil
+
+    from pg2ch_spark.streaming.runner import scratch_dir
+
+    orders = catalog.load(spark, sf_dir, "orders")
+    base = scratch_dir("pg2ch_part_")
+    out = base + "/orders_parted"
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    res = (
+        _partition_pruned_scan(spark, out)
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
+def _partition_pruned_scan(spark: SparkSession, parted_path: str) -> DataFrame:
+    """The pruned read, separated so the plan test can assert on it
+    before materialization."""
+    back = spark.read.parquet(parted_path)
+    return (
+        back.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: orders and customer are written
+    bucketed 8 ways on the join key (bucketBy + sortBy), so the
+    sort-merge join consumes both sides' bucket files directly — ZERO
+    Exchange in the join stage (plan-tested). This is the layout lever
+    for the repeated big-big join neither side of which broadcasts at
+    100 TB: pay the shuffle once at write time, never again per query.
+    Broadcast is disabled for the probe (at fixture scale customer
+    would broadcast and hide the property being demonstrated); the
+    oracle joins the original tables, proving the bucketed relocation
+    loses nothing."""
+    db = "pg2ch_bucket_db"
+    from pg2ch_spark.streaming.runner import scratch_dir
+
+    loc = scratch_dir("pg2ch_bucketdb_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    orders = catalog.load(spark, sf_dir, "orders")
+    cust = catalog.load(spark, sf_dir, "customer")
+    (
+        orders.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(f"{db}.orders_b")
+    )
+    (
+        cust.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(f"{db}.customer_b")
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        res = _bucketed_join(spark, db).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    return res
+
+
+def _bucketed_join(spark: SparkSession, db: str = "pg2ch_bucket_db") -> DataFrame:
+    """The co-located join, separated so the plan test can assert
+    zero Exchange before materialization."""
+    o = spark.table(f"{db}.orders_b")
+    c = spark.table(f"{db}.customer_b")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -173,3 +173,49 @@ def test_stream_stream_join_state_is_evictable(spark):
     logical = joined._jdf.queryExecution().analyzed().toString()
     assert logical.count("EventTimeWatermark") == 2, logical
     assert "(s_user" in logical and "= p_user" in logical, logical
+
+
+def test_partitioned_scan_prunes_directories(spark, tmp_path):
+    """The priority filter must be a PARTITION filter (directory
+    elimination at plan time), not a per-row data filter."""
+    from pg2ch_spark import catalog
+    from pg2ch_spark.operators.extended import _partition_pruned_scan
+
+    out = str(tmp_path / "orders_parted")
+    catalog.load(spark, SF_T2, "orders").write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(out)
+    plan = physical_plan(_partition_pruned_scan(spark, out))
+    assert "PartitionFilters" in plan, plan
+    # the filter shows up inside PartitionFilters, with the pruned value
+    pf = plan[plan.index("PartitionFilters") :].split("]", 1)[0]
+    assert "1-URGENT" in pf, pf
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """Both sides bucketed 8 ways on the join key: the sort-merge join
+    must consume bucket files directly — the ONLY Exchange in the plan
+    is the post-join aggregation's (different key), never the join's."""
+    from pg2ch_spark import catalog
+    from pg2ch_spark.operators.extended import _bucketed_join
+    from pg2ch_spark.streaming.runner import scratch_dir
+
+    db = "pg2ch_bucket_db_test"
+    loc = scratch_dir("pg2ch_bucketdb_test_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    catalog.load(spark, SF_T2, "orders").write.mode("overwrite").format(
+        "parquet"
+    ).bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(f"{db}.orders_b")
+    catalog.load(spark, SF_T2, "customer").write.mode("overwrite").format(
+        "parquet"
+    ).bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(f"{db}.customer_b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = physical_plan(_bucketed_join(spark, db))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP DATABASE {db} CASCADE")
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
