@@ -277,3 +277,70 @@ def test_empty_inputs_match_oracle(spark, empty_sf_dir, empty_duck, key):
         empty_duck.execute(oracles[key]).df(),
     )
     assert r.ok, str(r)
+
+
+# ---------------------------------------------------------------------------
+# Randomized event corpus: a seeded pseudo-random stream (bursts, ties,
+# repeated types, multi-signup users) — shapes no hand-designed corpus
+# enumerates — diffed against the same oracles. Deterministic seed so
+# failures reproduce.
+
+@pytest.fixture(scope="module")
+def random_events_dir(tmp_path_factory):
+    import numpy as np
+
+    rng = np.random.default_rng(20260813)
+    n = 600
+    users = rng.integers(1, 40, n)  # ~15 events/user, some sparse
+    # bursty offsets: many events inside the same minute, some far apart
+    offs = np.sort(rng.choice([1, 2, 5, 60, 600, 3600, 7200], n) * rng.integers(0, 50, n))
+    types = rng.choice(
+        ["signup", "view", "purchase", "click", "error"], n, p=[0.15, 0.3, 0.2, 0.2, 0.15]
+    )
+    t0 = pd.Timestamp("2024-06-01")
+    df = pd.DataFrame(
+        {
+            "event_id": range(1, n + 1),
+            "ts": [t0 + pd.Timedelta(seconds=int(o)) for o in offs],
+            "user_id": users.astype("int64"),
+            "event_type": types,
+            "value": rng.uniform(0, 100, n).round(3),
+            "props": ['{"k": 1}'] * n,
+        }
+    )
+    d = tmp_path_factory.mktemp("random_events")
+    df.to_parquet(os.path.join(d, "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def random_events_duck(random_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{random_events_dir}/events.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "events_window_funnel",
+        "events_retention",
+        "events_funnel",
+        "cdc_versioned_collapsing",
+        "cdc_summing_final",
+        "cdc_replacing_final",
+        "cdc_collapsing_final",
+    ],
+)
+def test_random_events_match_oracle(spark, random_events_dir, random_events_duck, key):
+    qs, oracles = registry.queries(), registry.oracle_sql()
+    r = compare_frames(
+        key,
+        qs[key](spark, random_events_dir).toPandas(),
+        random_events_duck.execute(oracles[key]).df(),
+    )
+    assert r.ok, str(r)
