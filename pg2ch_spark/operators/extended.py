@@ -1280,3 +1280,42 @@ def _bucketed_join(spark: SparkSession, db: str = "pg2ch_bucket_db") -> DataFram
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL scalar functions — the remaining group-H family (ClickHouse ships
+# a large URL function set; Spark's parse_url covers the same parts).
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.org' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           lang AS qlang
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL functions: construct a canonical URL from document fields,
+    then recover host/path/query-parameter with `parse_url`. The oracle
+    states the expected parts directly from the construction, so the
+    check proves Spark's parser inverts the builder exactly (a
+    construct→parse round-trip, same pattern as the format roundtrips).
+    Map-side only."""
+    docs = catalog.load(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("qlang"),
+    )
