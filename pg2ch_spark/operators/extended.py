@@ -1237,11 +1237,14 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     would broadcast and hide the property being demonstrated); the
     oracle joins the original tables, proving the bucketed relocation
     loses nothing."""
-    db = "pg2ch_bucket_db"
+    import shutil
+    import uuid
+
     from pg2ch_spark.streaming.runner import scratch_dir
 
+    db = f"pg2ch_bucket_db_{uuid.uuid4().hex[:8]}"
     loc = scratch_dir("pg2ch_bucketdb_")
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
     orders = catalog.load(spark, sf_dir, "orders")
     cust = catalog.load(spark, sf_dir, "customer")
     (
@@ -1264,10 +1267,12 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = _bucketed_join(spark, db).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(loc, ignore_errors=True)
     return res
 
 
-def _bucketed_join(spark: SparkSession, db: str = "pg2ch_bucket_db") -> DataFrame:
+def _bucketed_join(spark: SparkSession, db: str) -> DataFrame:
     """The co-located join, separated so the plan test can assert
     zero Exchange before materialization."""
     o = spark.table(f"{db}.orders_b")

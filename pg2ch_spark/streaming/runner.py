@@ -99,14 +99,25 @@ def _num_input_rows(progress) -> int:
 
 
 def _stream_source(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
-    # The file stream source requires a directory. The fixtures are single
-    # parquet files, so expose one through a temp dir of symlinks (in
-    # production this is a real directory of parts / a Kafka topic).
+    df, _ = _stream_source_managed(spark, path, schema)
+    return df
+
+
+def _stream_source_managed(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, str | None]:
+    """Stream source plus the scratch dir backing it (None if the path
+    was already a directory) so callers can reclaim it after the query
+    terminates. The file stream source requires a directory; the
+    fixtures are single parquet files, so expose one through a temp dir
+    of symlinks (in production this is a real directory of parts / a
+    Kafka topic)."""
+    d = None
     if os.path.isfile(path):
         d = scratch_dir("pg2ch_streamsrc_")
         os.symlink(path, os.path.join(d, os.path.basename(path)))
         path = d
-    return spark.readStream.schema(schema).parquet(path)
+    return spark.readStream.schema(schema).parquet(path), d
 
 
 def replay_available_now(
@@ -127,17 +138,23 @@ def replay_available_now(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("append").parquet(out)
 
+    src, src_dir = _stream_source_managed(spark, path, schema)
     with _few_state_partitions(spark):
         q = (
-            transform(_stream_source(spark, path, schema))
+            transform(src)
             .writeStream.foreachBatch(sink)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-    result = spark.read.parquet(out)
+    if src_dir:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    # Materialize so the staging dir can be reclaimed immediately (a
+    # lazy read would pin it for the result's lifetime).
+    result = spark.read.parquet(out).localCheckpoint(eager=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
     return result
 
 
@@ -161,9 +178,10 @@ def run_complete_to_df(
     """
     name = f"pg2ch_mem_{uuid.uuid4().hex[:12]}"
     ckpt = scratch_dir("pg2ch_mem_ckpt_")
+    src, src_dir = _stream_source_managed(spark, path, schema)
     with _few_state_partitions(spark, state_partitions):
         q = (
-            transform(_stream_source(spark, path, schema))
+            transform(src)
             .writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
@@ -189,4 +207,6 @@ def run_complete_to_df(
     # Materialize before the temp view could be replaced by a later run.
     result = spark.table(name).localCheckpoint(eager=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+    if src_dir:
+        shutil.rmtree(src_dir, ignore_errors=True)
     return result
