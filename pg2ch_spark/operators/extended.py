@@ -1324,3 +1324,109 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("qlang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pretraining-data preparation: context-window chunking and reproducible
+# stratified sampling.
+
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk,
+               len(string_split(text, ' ')) AS n
+        FROM documents WHERE doc_id % 5 = 1
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+               list_slice(tk, k * {_CHUNK_STRIDE} + 1,
+                          k * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}) AS ck
+        FROM toks, unnest(range(0, (CASE WHEN n <= {_CHUNK_TOKENS} THEN 0
+                   ELSE (n - {_CHUNK_TOKENS} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE}
+                   END) + 1)) AS t(k)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(ck) AS INT) AS n_tokens,
+           md5(array_to_string(ck, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into
+    {tokens}-token chunks with a {stride}-token stride (overlap keeps
+    boundary context — the standard pretraining prep step before
+    packing). Chunk count = 1 + ceil((n - size) / stride) for n > size,
+    else 1, so every token lands in ≥1 chunk and the tail is kept
+    unpadded. In-row: slice the token array per chunk index and hash
+    it — one explode, no shuffle before the explode, and the emitted
+    rows carry a 16-byte hash + counters, never the chunk text."""
+    docs = catalog.load(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 1)
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk")).withColumn(
+        "n", F.size("tk")
+    )
+    n_extra = F.expr(
+        f"CASE WHEN n <= {_CHUNK_TOKENS} THEN 0"
+        f" ELSE CAST(ceil((n - {_CHUNK_TOKENS}) / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS INT) END"
+    )
+    chunks = toks.withColumn("n_chunks", n_extra + 1).select(
+        "doc_id",
+        "tk",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_idx"),
+    )
+    ck = F.expr(f"slice(tk, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_TOKENS})")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(ck).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(ck, " ").cast("binary")).alias("chunk_hash"),
+    )
+
+
+_STRAT_N = 20  # sample size per stratum
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sampled,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM ranked WHERE rk <= {_STRAT_N}
+    GROUP BY lang
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling: exactly {n} documents per
+    language, chosen by md5(doc_id) order — a deterministic shuffle
+    that any engine reproduces bit-identically, unlike
+    `sample()`/`TABLESAMPLE` whose RNG is engine-private. Rank within
+    stratum + filter is one shuffle on the stratum key; the hash order
+    also makes the sample stable under corpus growth (a new document
+    displaces at most one row per stratum). This is the eval-set /
+    ablation-slice primitive for a corpus pipeline."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _STRAT_N)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("chars_sampled"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )

@@ -267,6 +267,8 @@ def empty_duck(empty_sf_dir):
         "cdc_versioned_collapsing",
         "cdc_summing_final",
         "pipeline_pretrain_filter",
+        "text_chunk_overlap",
+        "sample_stratified_hash",
     ],
 )
 def test_empty_inputs_match_oracle(spark, empty_sf_dir, empty_duck, key):
