@@ -143,3 +143,67 @@ def test_clickhouse_sink_from_writestream(spark, tmp_path):
         line for body in received for line in body.decode().splitlines()
     )
     assert lines == sorted(f"{i}\tv{i}" for i in range(50))
+
+
+def test_stream_stream_join_matches_across_micro_batches(spark, tmp_path):
+    """Signups arrive in micro-batch 1, purchases in micro-batch 2
+    (maxFilesPerTrigger=1 over two single-type files): every match must
+    be produced from BUFFERED join state, not within-batch luck. Users
+    1-5 purchase inside the 1h window (match); 6-10 purchase at +2h
+    (no match — and their signups are evictable once the watermark
+    passes)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from pg2ch_spark.streaming.runner import _few_state_partitions, scratch_dir
+
+    src = tmp_path / "src"
+    t0 = 1_700_000_000
+    ns = 10**9
+    spark.createDataFrame(
+        [(i, "signup", t0 * ns) for i in range(1, 11)],
+        "user_id long, event_type string, ts long",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(i, "purchase", (t0 + 600) * ns) for i in range(1, 6)]
+        + [(i, "purchase", (t0 + 7200) * ns) for i in range(6, 11)],
+        "user_id long, event_type string, ts long",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    def side(event_type, alias):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.timestamp_seconds(F.expr("ts div 1000000000")).alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    joined = side("signup", "s").join(
+        side("purchase", "p"),
+        F.expr("s_user = p_user AND p_ts > s_ts AND p_ts <= s_ts + interval 1 hour"),
+    ).select(F.col("s_user").alias("user_id"))
+
+    out = scratch_dir("pg2ch_ssj_mb_out_")
+    shutil.rmtree(out, ignore_errors=True)
+    with _few_state_partitions(spark):
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if int(p["numInputRows"]) > 0)
+    assert n_batches >= 2, "each side's file must arrive in its own micro-batch"
+    got = sorted(r.user_id for r in spark.read.parquet(out).collect())
+    shutil.rmtree(out, ignore_errors=True)
+    assert got == [1, 2, 3, 4, 5], got
