@@ -82,10 +82,14 @@ def encode_tsv(pdf: pd.DataFrame) -> bytes:
     return buf.getvalue().encode("utf-8")
 
 
-def quote_ident(name: str) -> str:
-    """Backtick-quote one identifier (ClickHouse rules: backslash and
-    backtick escaped inside). Dotted table names quote each part."""
-    parts = name.split(".")
+def quote_ident(name: str, dotted: bool = False) -> str:
+    """Backtick-quote an identifier (ClickHouse rules: backslash and
+    backtick escaped inside). ``dotted=True`` treats '.' as a qualifier
+    separator and quotes each part — correct ONLY for table names
+    (``db.table``); column names always quote as a single identifier,
+    since a column legally named ``geo.lat`` must not become the
+    qualified reference ``\\`geo\\`.\\`lat\\```."""
+    parts = name.split(".") if dotted else [name]
     quoted = []
     for p in parts:
         if not p:
@@ -97,7 +101,7 @@ def quote_ident(name: str) -> str:
 def insert_url(endpoint: str, table: str, columns: list[str]) -> str:
     cols = ", ".join(quote_ident(c) for c in columns)
     q = urllib.parse.quote(
-        f"INSERT INTO {quote_ident(table)} ({cols}) FORMAT TabSeparated"
+        f"INSERT INTO {quote_ident(table, dotted=True)} ({cols}) FORMAT TabSeparated"
     )
     return f"{endpoint.rstrip('/')}/?query={q}"
 

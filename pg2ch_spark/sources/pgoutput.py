@@ -172,6 +172,13 @@ class LogicalMessage:
 # unchanged from the previous row version. Distinct from SQL NULL.
 UNCHANGED = object()
 
+# String-typed marker for UNCHANGED in decode_frames' output columns
+# (everything there is text-format strings, so the sentinel must be a
+# string too). Contains a NUL byte, which PostgreSQL text values can
+# never contain, so it cannot collide with real data. Sinks resolve it
+# against the prior row version — see resolve_unchanged().
+UNCHANGED_MARKER = "\x00__pg2ch_unchanged__"
+
 
 def _tuple_data(buf: bytes, off: int) -> tuple[tuple, int]:
     ncols, off = _i16(buf, off)
@@ -283,7 +290,9 @@ def parse_message(buf: bytes):
 # text output format unless binary transfer was negotiated)
 
 _INT_OIDS = {20, 21, 23, 26}  # int8, int2, int4, oid
-_FLOAT_OIDS = {700, 701, 1700}  # float4, float8, numeric
+_FLOAT_OIDS = {700, 701}  # float4, float8 — NOT numeric (1700): a
+# Python float would silently lose precision past ~15-16 significant
+# digits, so NUMERIC keeps its exact text form (cast downstream, R11).
 _BOOL_OID = 16
 
 
@@ -297,7 +306,7 @@ def decode_value(raw, type_oid: int):
         return float(raw)
     if type_oid == _BOOL_OID:
         return raw == "t"
-    return raw  # text, varchar, timestamps, json… stay strings
+    return raw  # text, varchar, numeric, timestamps, json… stay strings
 
 
 # ---------------------------------------------------------------------------
@@ -417,16 +426,46 @@ def decode_stream(frames: Iterable[bytes]) -> Iterator[CdcRow]:
 # ---------------------------------------------------------------------------
 # Spark integration
 
+def _emit_value(v):
+    """Decoded column value → output string-column value.
+
+    - SQL NULL stays NULL.
+    - UNCHANGED ('u' TOAST marker) becomes :data:`UNCHANGED_MARKER` —
+      NOT NULL: collapsing it to NULL would let a replacing merge
+      overwrite the real (un-resent) TOAST value with NULL. Sinks
+      resolve the marker against the prior row version
+      (:func:`resolve_unchanged`).
+    - Binary-transfer values ('b' kind) render as PostgreSQL bytea hex
+      form (``\\x…``) — parseable downstream, never Python ``repr``.
+    """
+    if v is None:
+        return None
+    if v is UNCHANGED:
+        return UNCHANGED_MARKER
+    if isinstance(v, (bytes, bytearray)):
+        return "\\x" + bytes(v).hex()
+    return str(v)
+
+
 def decode_frames(frames_df, preamble: list[bytes], value_columns: list[str]):
     """Distributed decode: binary pgoutput frames → CDC-row DataFrame.
 
-    ``frames_df`` must have a binary ``frame`` column plus ``part`` —
-    a WAL-segment id to partition by (frames of one transaction must
-    share a segment, exactly like WAL files). ``preamble`` carries the
+    ``frames_df`` must have a binary ``frame`` column plus ``part`` — a
+    WAL-segment id to partition by (frames of one transaction must
+    share a segment, exactly like WAL files) — and ``idx``, the frame's
+    position within its segment (WAL byte offset works): frames decode
+    in ``idx`` order within each segment. ``preamble`` carries the
     Relation frames and is replayed into the decoder of every
     partition — the same thing PostgreSQL does by re-sending Relation
     messages when a stream (re)starts, so each partition behaves like
     a fresh replication session.
+
+    The whole partition is gathered before decoding (Arrow delivers it
+    as ~10k-row chunks, and a transaction may straddle a chunk
+    boundary — a per-chunk decoder would drop or reject it). Memory is
+    bounded by the ``part`` granularity, which the caller controls:
+    one WAL segment (16 MB default) per part keeps any partition's
+    frames comfortably in one task's memory at any corpus size.
 
     Output schema: relation, op, lsn, seq, ver (packed), xid, and one
     string column per requested value column (text output format —
@@ -439,37 +478,64 @@ def decode_frames(frames_df, preamble: list[bytes], value_columns: list[str]):
         out_fields += f", {c} string"
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            for _, seg in pdf.groupby("part", sort=True):
-                dec = WalDecoder()
-                for frame in preamble:
-                    for _ in dec.push(bytes(frame)):
-                        raise PgOutputError("preamble must not contain committed changes")
-                rows = []
-                for frame in seg.sort_values("idx")["frame"]:
-                    for r in dec.push(bytes(frame)):
-                        rec = {
-                            "relation": r.relation,
-                            "op": r.op,
-                            "lsn": r.lsn,
-                            "seq": r.seq,
-                            "ver": r.scalar_ver,
-                            "xid": r.xid,
-                        }
-                        source = r.values if r.op != "D" else (r.old_key or {})
-                        for c in value_columns:
-                            v = source.get(c)
-                            rec[c] = None if v in (None, UNCHANGED) else str(v)
-                        rows.append(rec)
-                if rows:
-                    yield pd.DataFrame(rows)
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        for _, seg in whole.groupby("part", sort=True):
+            dec = WalDecoder()
+            for frame in preamble:
+                for _ in dec.push(bytes(frame)):
+                    raise PgOutputError("preamble must not contain committed changes")
+            rows = []
+            for frame in seg.sort_values("idx")["frame"]:
+                for r in dec.push(bytes(frame)):
+                    rec = {
+                        "relation": r.relation,
+                        "op": r.op,
+                        "lsn": r.lsn,
+                        "seq": r.seq,
+                        "ver": r.scalar_ver,
+                        "xid": r.xid,
+                    }
+                    source = r.values if r.op != "D" else (r.old_key or {})
+                    for c in value_columns:
+                        rec[c] = _emit_value(source.get(c))
+                    rows.append(rec)
+            if rows:
+                yield pd.DataFrame(rows)
 
     return (
         frames_df.repartition("part")
         .mapInPandas(run, out_fields)
     )
+
+
+def resolve_unchanged(df, key_col: str, ver_col: str, value_columns: list[str]):
+    """Replace :data:`UNCHANGED_MARKER` cells with the value from the
+    row's previous version (per key, ordered by version).
+
+    Spark-first: one window per key, ``last(..., ignorenulls)`` over a
+    running frame. Genuine SQL NULLs must NOT be skipped over — only
+    markers — so each value rides inside a one-field struct: a marker
+    row contributes a NULL struct (skipped), a real NULL contributes a
+    non-NULL struct holding NULL (kept). Single shuffle on the key,
+    same shape as the replacing merge itself.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key_col).orderBy(ver_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = df
+    for c in value_columns:
+        boxed = F.when(
+            F.col(c).isNull() | (F.col(c) != F.lit(UNCHANGED_MARKER)),
+            F.struct(F.col(c).alias("v")),
+        )
+        out = out.withColumn(c, F.last(boxed, ignorenulls=True).over(w)["v"])
+    return out
 
 
 def replication_stream(*_args, **_kwargs):

@@ -245,8 +245,8 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg2ch_spark.cdc.merge_sink import ReplacingMergeSink
     from pg2ch_spark.streaming.runner import scratch_dir
 
-    state_path = scratch_dir("pg2ch_upsert_state_") + "/state"
-    sink = ReplacingMergeSink(spark, state_path, key_col="key", ver_col="ver")
+    state_root = scratch_dir("pg2ch_upsert_state_")
+    sink = ReplacingMergeSink(spark, state_root + "/state", key_col="key", ver_col="ver")
 
     op = (
         F.when(F.col("event_type") == "signup", "I")
@@ -265,15 +265,14 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     ckpt = scratch_dir("pg2ch_upsert_ckpt_")
-    from pg2ch_spark.streaming.runner import _few_state_partitions, _stream_source
+    from pg2ch_spark.streaming.runner import _few_state_partitions, _stream_source_managed
 
+    src, src_dir = _stream_source_managed(
+        spark, catalog.table_path(sf_dir, "events"), _events_schema(spark, sf_dir)
+    )
     with _few_state_partitions(spark):
         q = (
-            transform(
-                _stream_source(
-                    spark, catalog.table_path(sf_dir, "events"), _events_schema(spark, sf_dir)
-                )
-            )
+            transform(src)
             .writeStream.foreachBatch(sink.merge)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -283,7 +282,9 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = sink.state()
     assert result is not None
     result = result.localCheckpoint(eager=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    for d in (ckpt, state_root, src_dir):
+        if d:
+            shutil.rmtree(d, ignore_errors=True)
     return result
 
 
@@ -445,17 +446,20 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pg2ch_spark.streaming.runner import (
         _few_state_partitions,
-        _stream_source,
+        _stream_source_managed,
         scratch_dir,
     )
 
     path = catalog.table_path(sf_dir, "events")
     schema = _events_schema(spark, sf_dir)
+    src_dirs: list[str] = []
 
     def side(event_type: str, alias: str) -> DataFrame:
+        src, d = _stream_source_managed(spark, path, schema)
+        if d:
+            src_dirs.append(d)
         return (
-            _stream_source(spark, path, schema)
-            .where(F.col("event_type") == event_type)
+            src.where(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{alias}_user"),
                 F.timestamp_seconds(F.expr("ts div 1000000000")).alias(f"{alias}_ts"),
@@ -488,6 +492,6 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     result = spark.read.parquet(out).localCheckpoint(eager=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    shutil.rmtree(out, ignore_errors=True)
+    for d in (ckpt, out, *src_dirs):
+        shutil.rmtree(d, ignore_errors=True)
     return result

@@ -351,3 +351,79 @@ def test_wal_to_buffered_merge_sink_end_to_end(spark, tmp_path):
 
     final = sink.state().where(F.col("op") != "D").select("id", "name").collect()
     assert {(r.id, r.name) for r in final} == {("1", "a2")}
+
+
+# ---------------------------------------------------------------------------
+# Round-2 review fixes: chunk-spanning transactions, TOAST markers,
+# NUMERIC precision, binary-transfer rendering
+
+
+def test_numeric_oid_keeps_exact_text_form():
+    # float() would lose precision past ~16 significant digits
+    big = "12345678901234567890.12"
+    assert pg.decode_value(big, 1700) == big
+    assert pg.decode_value("2.5", 701) == 2.5  # float8 still a float
+
+
+def test_emit_value_bytes_and_unchanged():
+    assert pg._emit_value(b"\x01\xab") == "\\x01ab"
+    assert pg._emit_value(pg.UNCHANGED) == pg.UNCHANGED_MARKER
+    assert pg._emit_value(None) is None
+    assert pg._emit_value("x") == "x"
+
+
+def test_decode_frames_tx_spans_arrow_chunks(spark):
+    """A transaction straddling an Arrow chunk boundary must decode
+    whole: per-chunk decoders would raise 'outside a transaction' or
+    silently drop the trailing uncommitted frames."""
+    n = 25
+    seg = [begin(100, 1)]
+    seg += [insert(USERS_OID, i, f"u{i}", float(i)) for i in range(n)]
+    seg += [commit(100)]
+    frames_df = spark.createDataFrame(
+        [(0, i, f) for i, f in enumerate(seg)], "part int, idx int, frame binary"
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")  # force many chunks per partition
+    try:
+        out = pg.decode_frames(frames_df, preamble=[USERS], value_columns=["id"])
+        got = sorted(int(r.id) for r in out.collect())
+    finally:
+        spark.conf.set(key, old) if old is not None else spark.conf.unset(key)
+    assert got == list(range(n))
+
+
+def test_unchanged_toast_marker_and_resolution(spark):
+    """'u' TOAST columns must NOT collapse to NULL (a replacing merge
+    would overwrite the real value); they emit UNCHANGED_MARKER and
+    resolve_unchanged() restores the prior version's value — while
+    genuine SQL NULLs are preserved, not skipped over."""
+    seg = [
+        begin(100, 1),
+        insert(USERS_OID, 1, "alice", 1.5),
+        commit(100),
+        begin(200, 2),
+        update(USERS_OID, new=(1, UNCHANGED, 9.0)),  # TOAST not re-sent
+        commit(200),
+        begin(300, 3),
+        update(USERS_OID, new=(1, None, 9.5)),  # genuine NULL overwrite
+        commit(300),
+        begin(400, 4),
+        update(USERS_OID, new=(1, UNCHANGED, 9.9)),  # unchanged after NULL
+        commit(400),
+    ]
+    frames_df = spark.createDataFrame(
+        [(0, i, f) for i, f in enumerate(seg)], "part int, idx int, frame binary"
+    )
+    out = pg.decode_frames(frames_df, preamble=[USERS], value_columns=["id", "name", "score"])
+    by_lsn = {r.lsn: r for r in out.collect()}
+    assert by_lsn[200].name == pg.UNCHANGED_MARKER  # marker, not NULL
+    assert by_lsn[300].name is None
+
+    resolved = pg.resolve_unchanged(out, key_col="id", ver_col="ver", value_columns=["name"])
+    names = {r.lsn: r.name for r in resolved.collect()}
+    assert names[100] == "alice"
+    assert names[200] == "alice"  # marker -> prior real value
+    assert names[300] is None  # genuine NULL kept
+    assert names[400] is None  # marker -> prior version's NULL, not "alice"

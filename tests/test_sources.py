@@ -75,10 +75,17 @@ class TestInsertUrl:
         assert q == "INSERT INTO `t` (`a`, `b`) FORMAT TabSeparated"
 
     def test_identifiers_quoted(self):
-        assert ch.quote_ident("db.t") == "`db`.`t`"
+        assert ch.quote_ident("db.t", dotted=True) == "`db`.`t`"
         assert ch.quote_ident("we`ird") == "`we\\`ird`"
         with pytest.raises(ValueError):
-            ch.quote_ident("db..t")
+            ch.quote_ident("db..t", dotted=True)
+
+    def test_dotted_column_is_single_identifier(self):
+        # a column legally named "geo.lat" must not become a qualified ref
+        assert ch.quote_ident("geo.lat") == "`geo.lat`"
+        url = ch.insert_url("http://ch:8123", "db.t", ["geo.lat"])
+        q = urllib.parse.unquote(url.split("query=", 1)[1])
+        assert q == "INSERT INTO `db`.`t` (`geo.lat`) FORMAT TabSeparated"
 
 
 class TestJdbcContract:

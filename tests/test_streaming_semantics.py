@@ -207,3 +207,24 @@ def test_stream_stream_join_matches_across_micro_batches(spark, tmp_path):
     got = sorted(r.user_id for r in spark.read.parquet(out).collect())
     shutil.rmtree(out, ignore_errors=True)
     assert got == [1, 2, 3, 4, 5], got
+
+
+def test_streaming_queries_reclaim_scratch(spark):
+    """Every streaming query must remove its scratch dirs (checkpoint,
+    staging, source symlinks, sink state) after returning — on the
+    default /dev/shm base, leaks accumulate RAM across a bench loop."""
+    import glob
+    import os
+
+    from pg2ch_spark import registry
+
+    base = os.environ.get("SPARK_GRAFT_SCRATCH") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    )
+    registry.load_all()
+    qs = registry.queries()
+    before = set(glob.glob(os.path.join(base, "pg2ch_*")))
+    for key in ("stream_foreachbatch_upsert", "stream_stream_join"):
+        qs[key](spark, "/root/testdata/sf0.001").collect()
+    leaked = set(glob.glob(os.path.join(base, "pg2ch_*"))) - before
+    assert not leaked, f"scratch dirs leaked: {sorted(leaked)}"
