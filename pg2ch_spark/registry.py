@@ -77,6 +77,7 @@ def load_all() -> None:
     # registration order with a cap, and earlier groups have seniority
     # until their results are externally confirmed.
     from pg2ch_spark.operators import extended  # noqa: F401
+    from pg2ch_spark.operators import analytics  # noqa: F401
 
     _LOADED = True
 

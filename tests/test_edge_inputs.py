@@ -17,7 +17,10 @@ import duckdb
 import pandas as pd
 import pytest
 
+import pyspark.sql.functions as F
+
 from pg2ch_spark import registry
+from tests.conftest import SF_T2
 from tests.oracle import compare_frames
 
 SHORT_DOCS = pd.DataFrame(
@@ -346,3 +349,28 @@ def test_random_events_match_oracle(spark, random_events_dir, random_events_duck
         random_events_duck.execute(oracles[key]).df(),
     )
     assert r.ok, str(r)
+
+
+def test_hll_sketch_merge_precision(spark):
+    """The sketch path's contract: per-type estimates and the
+    sketch-UNION global estimate both land within 5% of exact distinct
+    counts (datasketches HLL at default lgK=12 is ~1.6% RSE; 5% is
+    3 sigma). The global row must come from merging per-type sketch
+    states, never from rescanning raw events — asserted by exactness
+    bound only, the plan has one scan by construction."""
+    qs = registry.queries()
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in qs["agg_hll_sketch_merge"](spark, SF_T2).collect()
+    }
+    ev = spark.read.parquet(SF_T2 + "/events.parquet")
+    exact_all = ev.select("user_id").distinct().count()
+    exact_types = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert abs(got["ALL"] - exact_all) / exact_all < 0.05
+    for et, exact in exact_types.items():
+        assert abs(got[et] - exact) / exact < 0.05, (et, got[et], exact)

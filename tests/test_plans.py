@@ -219,3 +219,30 @@ def test_bucketed_join_has_no_join_exchange(spark):
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
+def test_sessionize_reuses_one_partitioning(spark):
+    """lag-window, running-sum window, and the (user, session) rollup
+    all hash-partition by user_id: HashPartitioning(user_id) satisfies
+    ClusteredDistribution(user_id, session_id), so the whole query runs
+    on ONE Exchange."""
+    plan = _plan(spark, "events_sessionize")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_argmax_is_single_partial_aggregate(spark):
+    """max_by/min_by compile to one hash aggregate with map-side
+    partials: exactly one Exchange (on event_type), no window sort of
+    the raw events (windowed row_number is the oracle's plan, not
+    ours)."""
+    plan = _plan(spark, "agg_argmax")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_decontaminate_joins_on_grams_not_pairs(spark):
+    """Containment check is a gram-key equi-join; an all-pairs doc
+    comparison (nested-loop) must never form."""
+    plan = _plan(spark, "text_decontaminate")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
