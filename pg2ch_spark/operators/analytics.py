@@ -11,10 +11,13 @@ registration seniority until externally verified.
 
 from __future__ import annotations
 
+import textwrap
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pg2ch_spark import catalog
+from pg2ch_spark import registry
 from pg2ch_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -375,3 +378,197 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return estimates.unionByName(
         merged.select(F.lit("ALL").alias("event_type"), "approx_users", "n_sketches")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigation JOIN — the join-side sibling of agg_salted_skew. At
+# 100 TB the pattern applies when BOTH sides are too big to broadcast
+# and one join key dominates; the probe forces the shuffle path on the
+# fixture (broadcast off) to prove value-identity of the rewrite.
+
+_JOIN_SALT = 16
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    WITH dim(flag, weight, category) AS (
+        VALUES ('A', 0.5, 'returned'), ('N', 1.0, 'normal'), ('R', 0.8, 'refused')
+    )
+    SELECT d.category,
+           count(*) AS n,
+           round(sum(l.l_extendedprice * d.weight), 2) AS weighted_total
+    FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
+    GROUP BY d.category
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join over a pathologically skewed key:
+    `l_returnflag` has 3 values across the whole table, so a plain
+    shuffle join sends ~half of 100 TB through 3 reducer tasks. The
+    rewrite replicates the dim side x16 (explode over a salt sequence)
+    and tags the fact side with `pmod(l_orderkey, 16)` — deterministic,
+    no rand() — so the join key (flag, salt) fans each hot key across
+    16 evenly-sized tasks. Value-identical to the plain join (the
+    oracle), proving the rewrite is semantics-preserving.
+
+    On a 3-row dim you would broadcast instead (join_broadcast covers
+    that); salting is for big-x-big skew, and AQE's skew-join split
+    only kicks in when runtime stats see the skew — salting is the
+    planned form. Broadcast is disabled inside the probe to force the
+    shuffle plan (restored after)."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # materialize under the forced-shuffle conf
+        res = _salted_join(spark, li).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return res
+
+
+def _salted_join(spark: SparkSession, li: DataFrame) -> DataFrame:
+    """The salted-join plan itself (pre-materialization, plan-testable)."""
+    dim = spark.createDataFrame(
+        [("A", 0.5, "returned"), ("N", 1.0, "normal"), ("R", 0.8, "refused")],
+        "flag string, weight double, category string",
+    )
+    salted_dim = dim.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALT - 1))).alias("_salt")
+    )
+    fact = li.select(
+        F.col("l_returnflag").alias("flag"),
+        "l_extendedprice",
+        F.pmod(F.col("l_orderkey"), F.lit(_JOIN_SALT)).cast("int").alias("_salt"),
+    )
+    return (
+        fact.join(salted_dim, ["flag", "_salt"])
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("weight")), 2).alias(
+                "weighted_total"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup CLUSTERING — pairs are not the end of a dedup pipeline: the
+# keep-one-per-group step needs connected components over the pair
+# graph (A~B, B~C => {A,B,C} is one cluster even though A,C never met).
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=None,  # set below: needs the shingle CTEs from llm.neardup
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard near-dup graph
+    (edges: word-3-gram Jaccard >= 0.5, same predicate as
+    text_near_dedup_ngram_jaccard), then per-cluster dedup stats:
+    cluster_id = min doc_id in the component, member count, member
+    span. This is the step that turns near-dup PAIRS into dedup
+    GROUPS.
+
+    Spark plan: min-label propagation to fixpoint — labels start as
+    each doc's own id; each round every doc takes the min label over
+    itself and its neighbors (one join + one groupBy per round,
+    localCheckpoint to cut lineage); converges in <= diameter rounds
+    (fixture graphs are tiny chains; web-scale dedup graphs have
+    diameter ~log n, and the same loop is how large-star/small-star
+    rounds are built). The driver-side loop orchestrates ROUNDS, not
+    rows — each iteration is a full distributed job, and the stop
+    check is a 1-row count.
+
+    The oracle states the SAME fixpoint as a recursive transitive
+    closure (min over reachable set), which is exact on the fixture
+    scale."""
+    pairs_fn = __import__("pg2ch_spark.registry", fromlist=["QUERIES"]).QUERIES[
+        "text_near_dedup_ngram_jaccard"
+    ]
+    pairs = pairs_fn(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .select("doc", F.col("doc").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # >= any fixture diameter; loop exits at fixpoint
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc)
+            .groupBy(edges.doc_a.alias("doc"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("doc").alias("doc_max"),
+    )
+
+
+# The cluster oracle composes the shingle/pair CTEs from llm.neardup
+# (SAME edge predicate as the Spark side, by construction) with a
+# recursive transitive closure; assigned directly because the SQL is
+# built from another module's constants.
+def _cluster_oracle() -> str:
+    from pg2ch_spark.llm.neardup import _JACCARD_MIN, _SHINGLE_SQL
+
+    return f"""
+    WITH RECURSIVE {_SHINGLE_SQL.strip()},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sz x ON x.doc_id = doc_a
+        JOIN sz y ON y.doc_id = doc_b
+        WHERE CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= {_JACCARD_MIN}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS doc FROM edges),
+    reach(doc, r) AS (
+        SELECT doc, doc FROM verts
+        UNION
+        SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    lab AS (SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc)
+    SELECT cluster_id, count(*) AS n_docs, max(doc) AS doc_max
+    FROM lab GROUP BY cluster_id
+    """
+
+
+registry.ORACLES["dedup_cluster_components"] = textwrap.dedent(_cluster_oracle()).strip()

@@ -374,3 +374,26 @@ def test_hll_sketch_merge_precision(spark):
     assert abs(got["ALL"] - exact_all) / exact_all < 0.05
     for et, exact in exact_types.items():
         assert abs(got[et] - exact) / exact < 0.05, (et, got[et], exact)
+
+
+def test_dedup_cluster_transitive_chain(spark, tmp_path):
+    """Connected components must merge by TRANSITIVITY: A~B and B~C
+    put A and C in one cluster even though jaccard(A, C) < 0.5.
+    Crafted 3-gram sets: A-B = 0.6, B-C = 0.6, A-C = 0.45; D isolated
+    (no edges, so it never enters the pair graph)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j", "en", "src1", 19),
+            (1, "a b c d e f g h i k", "en", "src1", 19),
+            (2, "x y c d e f g h i k", "en", "src1", 19),
+            (3, "p q r s t u v w p2 q2", "en", "src1", 20),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    qs = registry.queries()
+    rows = {
+        r["cluster_id"]: (r["n_docs"], r["doc_max"])
+        for r in qs["dedup_cluster_components"](spark, str(tmp_path)).collect()
+    }
+    assert rows == {0: (3, 2)}, rows

@@ -246,3 +246,22 @@ def test_decontaminate_joins_on_grams_not_pairs(spark):
     plan = _plan(spark, "text_decontaminate")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_salted_join_shuffles_on_flag_and_salt(spark):
+    """With broadcast off (the big-x-big scenario the operator
+    documents), the salted join must be a shuffle join keyed on
+    (flag, _salt) — the salt fans each hot key over 16 tasks."""
+    from pg2ch_spark import catalog
+    from pg2ch_spark.operators.analytics import _salted_join
+
+    li = catalog.load(spark, SF_T2, "lineitem")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = physical_plan(_salted_join(spark, li))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "_salt" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
