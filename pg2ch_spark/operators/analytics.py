@@ -572,3 +572,196 @@ def _cluster_oracle() -> str:
 
 
 registry.ORACLES["dedup_cluster_components"] = textwrap.dedent(_cluster_oracle()).strip()
+
+
+# ---------------------------------------------------------------------------
+# Composed TPC-H showcases — multi-join + filter + top-k shapes a pg2ch
+# user runs against the replicated warehouse daily. Q1's agg shape and
+# Q5's star shape are covered (agg_groupby_q1, join_multiway_star);
+# Q3 adds filtered-join + group + global top-k, Q18 adds a HAVING
+# semi-filter feeding a join.
+
+
+@register(
+    "query_tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def query_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): revenue of unshipped BUILDING
+    orders as of the cutoff, top-10. The segment filter prunes
+    customer BEFORE the join (Catalyst pushes it into the scan), the
+    date filters prune both fact scans, and the global top-10 is
+    TakeOrderedAndProject over the grouped partials — never a full
+    sort. Tie-break on (o_orderdate, l_orderkey) for a total order."""
+    c = catalog.load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = "1997-06-30"
+    o = catalog.load(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = catalog.load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q18_QTY = 300
+
+
+@register(
+    "query_tpch_q18",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > {_Q18_QTY}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def query_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds the threshold, with their customers, top-100 by price.
+    The HAVING pre-aggregate runs ONCE over lineitem (map-side
+    partials on the natural key), and its tiny result semi-filters the
+    join via a broadcast — the anti-pattern would be joining the full
+    fact to itself. Total order via (o_totalprice, date, orderkey)."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    c = catalog.load(spark, sf_dir, "customer")
+    o = catalog.load(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regression aggregates — CH simpleLinearRegression / standard SQL
+# regr_* family; one streaming-moment pass per group, no sort.
+
+
+@register(
+    "agg_regr_linfit",
+    oracle="""
+    SELECT event_type,
+           round(regr_slope(value, epoch(ts) / 3600.0), 6) AS slope,
+           round(regr_intercept(value, epoch(ts) / 3600.0), 4) AS intercept,
+           round(regr_r2(value, epoch(ts) / 3600.0), 6) AS r2,
+           CAST(regr_count(value, epoch(ts) / 3600.0) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_regr_linfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares fit of event value over time (hours):
+    slope, intercept, R², n. regr_* aggregates are single-pass moment
+    accumulators (sum, sum x, sum x², sum xy) with map-side partials —
+    the shuffle carries 5 doubles per group per partition regardless
+    of row count. Both engines compute identical closed forms in
+    double; outputs rounded where the magnitudes make 1-ulp drift
+    possible."""
+    ev = catalog.load(spark, sf_dir, "events")
+    x = F.col("ts").cast("double") / 3600.0
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope("value", x), 6).alias("slope"),
+        F.round(F.regr_intercept("value", x), 4).alias("intercept"),
+        F.round(F.regr_r2("value", x), 6).alias("r2"),
+        F.regr_count("value", x).cast("bigint").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram — two-phase: global bounds first (1-row
+# broadcast), then bin counts. The data-dependent-bounds form of CH
+# histogram(); exact because the binning rule is stated, not adaptive.
+
+_HIST_BINS = 10
+
+
+@register(
+    "events_histogram_fixed",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(value) AS lo, max(value) AS hi FROM events
+    )
+    SELECT event_type,
+           CAST(least(floor((value - lo) / ((hi - lo) / {_HIST_BINS})),
+                      {_HIST_BINS - 1}) AS BIGINT) AS bin,
+           count(*) AS n
+    FROM events, bounds
+    GROUP BY 1, 2
+    """,
+)
+def events_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bin fixed-width histogram of event value per type, bounds
+    from the data: pass 1 computes global (min, max) — one 2-double
+    row, broadcast into pass 2's bin expression via crossJoin — pass 2
+    is a map-side-partial count on (type, bin). At 100 TB both passes
+    are single scans; the max value lands in the last bin by the
+    stated least() rule, so the binning is exact, not
+    engine-adaptive."""
+    ev = catalog.load(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / _HIST_BINS
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width),
+                F.lit(_HIST_BINS - 1),
+            )
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
