@@ -692,12 +692,21 @@ def query_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_regr_linfit",
     oracle="""
+    WITH pts AS (
+        -- whole-second x, matching Spark's CAST(ts AS LONG): events.ts
+        -- is nanosecond parquet, and epoch() keeps the fraction DuckDB-
+        -- side while Spark truncates — the x grids must be identical
+        -- or the fitted slope drifts past the rounding guard
+        SELECT event_type, value,
+               CAST(floor(epoch(ts)) AS BIGINT) / 3600.0 AS x
+        FROM events
+    )
     SELECT event_type,
-           round(regr_slope(value, epoch(ts) / 3600.0), 6) AS slope,
-           round(regr_intercept(value, epoch(ts) / 3600.0), 4) AS intercept,
-           round(regr_r2(value, epoch(ts) / 3600.0), 6) AS r2,
-           CAST(regr_count(value, epoch(ts) / 3600.0) AS BIGINT) AS n
-    FROM events GROUP BY event_type
+           round(regr_slope(value, x), 6) AS slope,
+           round(regr_intercept(value, x), 4) AS intercept,
+           round(regr_r2(value, x), 6) AS r2,
+           CAST(regr_count(value, x) AS BIGINT) AS n
+    FROM pts GROUP BY event_type
     """,
 )
 def agg_regr_linfit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,9 +716,11 @@ def agg_regr_linfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries 5 doubles per group per partition regardless
     of row count. Both engines compute identical closed forms in
     double; outputs rounded where the magnitudes make 1-ulp drift
-    possible."""
+    possible. x is whole-second epoch (TIMESTAMP_NTZ casts to LONG but
+    not DOUBLE in Spark 4, and the ns-parquet fraction must not leak
+    into one engine's x grid only — SURVEY §2.5 D3)."""
     ev = catalog.load(spark, sf_dir, "events")
-    x = F.col("ts").cast("double") / 3600.0
+    x = F.col("ts").cast("long") / 3600.0
     return ev.groupBy("event_type").agg(
         F.round(F.regr_slope("value", x), 6).alias("slope"),
         F.round(F.regr_intercept("value", x), 4).alias("intercept"),
