@@ -90,6 +90,19 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ts_epoch_s(df: DataFrame) -> "F.Column":
+    """Whole-second epoch for ``events.ts`` regardless of arrival type.
+
+    bigint-ns builds (nanosAsLong honored) floor by integer division;
+    timestamp/NTZ builds cast through TimestampType (ANSI allows
+    ts->long, not ntz->long; UTC session makes the NTZ cast exact).
+    Both floor toward zero, matching the oracle's floor(epoch(ts)).
+    """
+    if dict(df.dtypes).get("ts") == "bigint":
+        return F.expr("ts div 1000000000")
+    return F.col("ts").cast("timestamp").cast("long")
+
+
 # DataFrames are immutable logical plans — reusing one across queries is
 # safe, and skips the ~50 ms file-listing + footer-schema round-trip
 # that spark.read.parquet pays per call (the fixtures never change
@@ -112,9 +125,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is None:
         configure(spark)
         df = spark.read.parquet(table_path(sf_dir, name))
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # ns since epoch -> µs TimestampType (integer division, no float)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
+                # ns since epoch -> µs TimestampType (integer division, no float)
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_type == "timestamp_ntz":
+                # Some Spark 4 builds map parquet TIMESTAMP(NANOS) straight
+                # to TIMESTAMP_NTZ (ns truncated to µs) instead of honoring
+                # nanosAsLong. Under a UTC session the NTZ->TIMESTAMP cast
+                # is value-exact, and TimestampType (unlike NTZ) supports
+                # the numeric epoch casts (ANSI allows ts->long, not
+                # ntz->long) every downstream epoch-second query uses.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         per_session[key] = df
     return df
 

@@ -124,10 +124,10 @@ def source_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(catalog.table_path(sf_dir, "events")).schema
 
     def transform(df: DataFrame) -> DataFrame:
-        # ts arrives as bigint ns (nanosAsLong); floor to epoch seconds
+        # floor ts to epoch seconds whatever type it arrived as (D3)
         return df.select(
             "event_id",
-            F.expr("ts div 1000000000").alias("ts_epoch_s"),
+            catalog.ts_epoch_s(df).alias("ts_epoch_s"),
             "user_id",
             "event_type",
             "value",

@@ -78,6 +78,7 @@ def load_all() -> None:
     # until their results are externally confirmed.
     from pg2ch_spark.operators import extended  # noqa: F401
     from pg2ch_spark.operators import analytics  # noqa: F401
+    from pg2ch_spark.operators import tpch  # noqa: F401
 
     _LOADED = True
 

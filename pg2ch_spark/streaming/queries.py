@@ -49,8 +49,13 @@ def _events_schema(spark: SparkSession, sf_dir: str):
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    """ts arrives as bigint ns (nanosAsLong conf): build µs event time."""
-    return df.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+    """Build µs event time ``ets`` from whatever type ``ts`` arrived as:
+    bigint ns (nanosAsLong builds) or TIMESTAMP_NTZ (builds that map
+    parquet NANOS straight to NTZ; UTC session makes the cast exact)."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ets", F.col("ts").cast("timestamp"))
 
 
 def _win_start_s(col: str = "window") -> F.Column:
@@ -147,7 +152,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         catalog.table_path(sf_dir, "events"),
         _events_schema(spark, sf_dir),
-        lambda df: df.withColumn("ets", F.timestamp_seconds(F.expr("ts div 1000000000")))
+        lambda df: df.withColumn("ets", F.timestamp_seconds(catalog.ts_epoch_s(df)))
         .groupBy(F.session_window("ets", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n")),
         # session merging carries per-session state rows (not one row
@@ -462,7 +467,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             src.where(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{alias}_user"),
-                F.timestamp_seconds(F.expr("ts div 1000000000")).alias(f"{alias}_ts"),
+                F.timestamp_seconds(catalog.ts_epoch_s(src)).alias(f"{alias}_ts"),
             )
             .withWatermark(f"{alias}_ts", "1 hour")
         )

@@ -156,12 +156,12 @@ def test_stream_stream_join_state_is_evictable(spark):
     schema = _events_schema(spark, SF_T2)
 
     def side(event_type, alias):
+        src = _stream_source(spark, path, schema)
         return (
-            _stream_source(spark, path, schema)
-            .where(F.col("event_type") == event_type)
+            src.where(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{alias}_user"),
-                F.timestamp_seconds(F.expr("ts div 1000000000")).alias(f"{alias}_ts"),
+                F.timestamp_seconds(catalog.ts_epoch_s(src)).alias(f"{alias}_ts"),
             )
             .withWatermark(f"{alias}_ts", "1 hour")
         )
