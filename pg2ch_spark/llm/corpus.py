@@ -1,0 +1,164 @@
+"""Corpus-quality operators, round 3: repetition signals and PII scrub.
+
+Training-data pipelines filter documents on *repetition* (Rae et al.'s
+Gopher rules: duplicate-token fraction, most-frequent-n-gram fraction)
+and scrub sensitive tokens before training. Both are per-document,
+embarrassingly parallel map work — the scale-correct plan touches each
+document once, in-row, with zero shuffles before the final tiny
+rollup. These complement the near-dedup family (llm/neardup.py):
+near-dedup removes cross-document redundancy, repetition scoring
+removes *within*-document degeneracy.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pg2ch_spark import catalog
+from pg2ch_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filter inputs)
+
+
+@register(
+    "text_repetition_signals",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE length(text) > 0
+    ),
+    base AS (
+        SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS n_distinct
+        FROM toks
+    ),
+    bigrams AS (
+        SELECT doc_id, t[CAST(i AS BIGINT)] || ' ' || t[CAST(i AS BIGINT) + 1] AS bg
+        FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)
+        WHERE len(t) >= 2
+    ),
+    bg_counts AS (
+        SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg
+    ),
+    bg_top AS (
+        SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM bg_counts GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           round(1.0 - CAST(b.n_distinct AS DOUBLE) / b.n, 6) AS dup_token_frac,
+           round(CAST(t.top_c AS DOUBLE) / t.n_bg, 6) AS top_bigram_frac
+    FROM base b JOIN bg_top t ON b.doc_id = t.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition: duplicate-token
+    fraction (1 − distinct/total) and the most-frequent-bigram's share
+    of all bigrams. Everything is in-row higher-order-function work —
+    ``array_distinct`` for the first signal; for the second, sort the
+    bigram array and run-length-scan it with ``aggregate`` (the mode
+    of a sorted array is the longest run) — so the plan is a single
+    map over the corpus with NO shuffle at any scale; only the
+    per-document scalar triple moves afterward. The oracle computes
+    the same mode by explode + group-count, the plan Spark avoids."""
+    docs = catalog.load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    # bigram array: tokens[i] + ' ' + tokens[i+1], i = 0..n-2
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        "             element_at(split(text, ' '), i + 1)))"
+    )
+    # mode count of a sorted array = longest run of equal neighbours:
+    # fold (prev, run, best) over the sorted bigrams.
+    top_c = F.expr(
+        """
+        aggregate(
+          array_sort(transform(sequence(1, size(split(text, ' ')) - 1),
+            i -> concat(element_at(split(text, ' '), i), ' ',
+                        element_at(split(text, ' '), i + 1)))),
+          struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best),
+          (acc, x) -> struct(
+              x AS prev,
+              CASE WHEN acc.prev IS NOT NULL AND x = acc.prev
+                   THEN acc.run + 1 ELSE 1 END AS run,
+              greatest(acc.best,
+                  CASE WHEN acc.prev IS NOT NULL AND x = acc.prev
+                       THEN acc.run + 1 ELSE 1 END) AS best),
+          acc -> acc.best)
+        """
+    )
+    return (
+        docs.where(n >= 2)
+        .select(
+            "doc_id",
+            F.round(1.0 - F.size(F.array_distinct(toks)).cast("double") / n, 6).alias(
+                "dup_token_frac"
+            ),
+            F.round(top_c.cast("double") / (n - 1), 6).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dictionary PII scrub
+
+
+_DENYLIST = ("key", "token")  # stand-in for a real PII dictionary
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH scrubbed AS (
+        SELECT source,
+               string_split(text, ' ') AS t,
+               list_transform(string_split(text, ' '),
+                   x -> CASE WHEN x IN ('{_DENYLIST[0]}', '{_DENYLIST[1]}')
+                             THEN '<PII>' ELSE x END) AS red
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(list_filter(t,
+               x -> x IN ('{_DENYLIST[0]}', '{_DENYLIST[1]}')))) AS BIGINT)
+               AS n_redactions,
+           count(DISTINCT array_to_string(red, ' ')) AS n_distinct_redacted
+    FROM scrubbed
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-based PII scrub: replace denylisted tokens with
+    '<PII>' and report, per source, document count, total redactions,
+    and distinct post-scrub texts (scrubbing can merge documents — the
+    dedup interaction a real pipeline must account for). The scrub and
+    the redaction count are in-row ``transform``/``filter`` HOFs
+    (map-only, denylist inlined into the codegen'd expression — at a
+    realistic dictionary size it would broadcast instead); only the
+    per-source rollup shuffles, and the distinct-count shuffles a
+    16-byte md5 of the scrubbed text, never the text itself."""
+    deny = F.array(*[F.lit(d) for d in _DENYLIST])
+    toks = F.split(F.col("text"), " ")
+    red = F.transform(
+        toks, lambda x: F.when(F.array_contains(deny, x), F.lit("<PII>")).otherwise(x)
+    )
+    n_red = F.size(F.filter(toks, lambda x: F.array_contains(deny, x)))
+    return (
+        catalog.load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            n_red.alias("nr"),
+            F.md5(F.array_join(red, " ")).alias("red_md5"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nr").cast("bigint").alias("n_redactions"),
+            F.count_distinct("red_md5").alias("n_distinct_redacted"),
+        )
+        .orderBy("source")
+    )
