@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import gc
 import os
 import re
 import sys
@@ -84,6 +85,12 @@ def run_spark(
             runs.append(time.perf_counter() - t0)
         timed = sorted(runs[1:])
         times[key] = round(timed[len(timed) // 2], 4)
+        # Free localCheckpoint blocks the query may have pinned: Python
+        # holds the DataFrame until GC runs, and across 147 queries the
+        # accumulated blocks inflate later queries' numbers (measured:
+        # single-key re-runs of late-suite outliers are 3-6x faster
+        # than their in-suite serial numbers).
+        gc.collect()
 
     wall = None
     if not serial_only:

@@ -222,3 +222,43 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(event_id, 3)").alias("shr"),
         F.bit_count("event_id").alias("popcnt"),
     )
+
+
+@register(
+    "fn_regex",
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (WHERE regexp_matches(props, '[0-9]{2}'))
+               AS n_2digit,
+           round(avg(CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '')
+                          AS INTEGER)), 4) AS avg_k,
+           count(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g'))
+               AS n_masked
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface (CH match/extract/replaceRegexpAll): rlike
+    predicate counts, capture-group extraction (numeric payload out of
+    the JSON-ish props — the regex path, vs fn_json's parser path),
+    and global replace (digit masking, the PII-scrub primitive at the
+    character level). All codegen'd JVM regex; the empty-match ''
+    sentinel goes through nullif before the ANSI int cast in BOTH
+    engines so no-match rows stay NULL rather than erroring."""
+    ev = catalog.load(spark, sf_dir, "events")
+    k_num = F.nullif(F.regexp_extract("props", '"k": ([0-9]+)', 1), F.lit("")).cast(
+        "int"
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("props").rlike("[0-9]{2}"), 1)).alias("n_2digit"),
+            F.round(F.avg(k_num), 4).alias("avg_k"),
+            F.count_distinct(
+                F.regexp_replace("props", "[0-9]+", "#")
+            ).alias("n_masked"),
+        )
+        .orderBy("event_type")
+    )

@@ -62,22 +62,26 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document scalar triple moves afterward. The oracle computes
     the same mode by explode + group-count, the plan Spark avoids."""
     docs = catalog.load(spark, sf_dir, "documents").where(F.length("text") > 0)
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    # bigram array: tokens[i] + ' ' + tokens[i+1], i = 0..n-2
-    bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> concat(element_at(split(text, ' '), i), ' ',"
-        "             element_at(split(text, ' '), i + 1)))"
+    # Stage each array as a named column so it is evaluated ONCE per
+    # row — referencing split(...) inside a lambda would re-tokenize
+    # the document per element (O(n²) per doc; measured 8.4s→fast).
+    staged = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 2)
+        .withColumn(
+            "sorted_bg",
+            F.expr(
+                "array_sort(transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
+            ),
+        )
     )
     # mode count of a sorted array = longest run of equal neighbours:
     # fold (prev, run, best) over the sorted bigrams.
     top_c = F.expr(
         """
         aggregate(
-          array_sort(transform(sequence(1, size(split(text, ' ')) - 1),
-            i -> concat(element_at(split(text, ' '), i), ' ',
-                        element_at(split(text, ' '), i + 1)))),
+          sorted_bg,
           struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best),
           (acc, x) -> struct(
               x AS prev,
@@ -89,17 +93,14 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
           acc -> acc.best)
         """
     )
-    return (
-        docs.where(n >= 2)
-        .select(
-            "doc_id",
-            F.round(1.0 - F.size(F.array_distinct(toks)).cast("double") / n, 6).alias(
-                "dup_token_frac"
-            ),
-            F.round(top_c.cast("double") / (n - 1), 6).alias("top_bigram_frac"),
-        )
-        .orderBy("doc_id")
-    )
+    n = F.size("toks")
+    return staged.select(
+        "doc_id",
+        F.round(
+            1.0 - F.size(F.array_distinct("toks")).cast("double") / n, 6
+        ).alias("dup_token_frac"),
+        F.round(top_c.cast("double") / (n - 1), 6).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -509,22 +509,20 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(edges.doc_a.alias("doc"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # Carry the changed flag through the SAME join that computes the
+        # update: the stop probe then scans the (checkpointed) label
+        # table instead of paying a second labels⋈labels join per round.
         new_labels = (
             labels.join(neighbor_min, "doc", "left")
             .select(
                 "doc",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                (F.coalesce("nlabel", "label") < F.col("label")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("chg").limit(1).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return labels.groupBy(F.col("label").alias("cluster_id")).agg(

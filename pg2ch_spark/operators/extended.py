@@ -529,13 +529,16 @@ def pipeline_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters)."""
     docs = catalog.load(spark, sf_dir, "documents")
     stop_pred = " OR ".join(f"x = '{s}'" for s in _PIPE_STOPWORDS)
+    # tokenize ONCE into a staged column; three size() consumers off it
     m = docs.select(
+        "doc_id", "source", "text", F.split("text", " ").alias("toks")
+    ).select(
         "doc_id",
         "source",
         F.md5(F.col("text").cast("binary")).alias("th"),
-        F.size(F.split("text", " ")).alias("n_tokens"),
-        F.size(F.array_distinct(F.split("text", " "))).alias("n_uniq"),
-        F.expr(f"size(filter(split(text, ' '), x -> {stop_pred}))").alias("n_stop"),
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.expr(f"size(filter(toks, x -> {stop_pred}))").alias("n_stop"),
     )
     quality = (
         0.5 * (F.col("n_uniq").cast("double") / F.col("n_tokens"))

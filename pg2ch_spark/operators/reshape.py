@@ -23,15 +23,17 @@ _MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 @register(
     "corpus_unpivot",
     oracle="""
-    SELECT 'l_quantity' AS measure, count(*) AS n,
-           round(sum(l_quantity), 2) AS total FROM lineitem
-    UNION ALL
-    SELECT 'l_extendedprice', count(*), round(sum(l_extendedprice), 2)
-    FROM lineitem
-    UNION ALL
-    SELECT 'l_discount', count(*), round(sum(l_discount), 2) FROM lineitem
-    UNION ALL
-    SELECT 'l_tax', count(*), round(sum(l_tax), 2) FROM lineitem
+    SELECT measure, count(*) AS n, round(sum(v), 2) AS total
+    FROM (
+        SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY measure
     ORDER BY measure
     """,
 )

@@ -25,9 +25,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pg2ch_spark import catalog
 from pg2ch_spark.registry import register
 
-_REV = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
-
-
 def _rev() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 

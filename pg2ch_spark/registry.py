@@ -81,6 +81,7 @@ def load_all() -> None:
     from pg2ch_spark.operators import tpch  # noqa: F401
     from pg2ch_spark.llm import corpus  # noqa: F401
     from pg2ch_spark.operators import reshape  # noqa: F401
+    from pg2ch_spark.llm import heavyhitters  # noqa: F401
 
     _LOADED = True
 

@@ -24,7 +24,7 @@ availableNow file replay is only the test harness.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pg2ch_spark import catalog
 from pg2ch_spark.cdc.derive import CDC_CTE
@@ -500,3 +500,49 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (ckpt, out, *src_dirs):
         shutil.rmtree(d, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_topk_per_window",
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                   AS win_start_s,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY win_start_s
+            ORDER BY n DESC, event_type) AS rk
+        FROM counts
+    )
+    SELECT win_start_s, event_type, n, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY win_start_s, rk
+    """,
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour, over the stream (the
+    trending-now dashboard query). The streaming half does the heavy
+    part — per-(window, type) counts with map-side partials under the
+    state store; the rank is a BATCH window over the counts table
+    (|windows| × |types| rows, thousands at any corpus size), because
+    ranking inside the stream would need a second stateful operator
+    and Structured Streaming allows one aggregation per query — the
+    documented decomposition is counts-in-stream, rank-on-sink.
+    Deterministic tie-break: (n DESC, event_type)."""
+    counts = run_complete_to_df(
+        spark,
+        catalog.table_path(sf_dir, "events"),
+        _events_schema(spark, sf_dir),
+        lambda df: _with_event_time(df)
+        .groupBy(F.window("ets", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n")),
+    ).select(_win_start_s(), "event_type", "n")
+    w = Window.partitionBy("win_start_s").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+        .orderBy("win_start_s", "rk")
+    )

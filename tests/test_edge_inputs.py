@@ -65,7 +65,18 @@ def edge_duck(edge_sf_dir):
     con.close()
 
 
-@pytest.mark.parametrize("key", ["text_fingerprint", "text_lang_id", "text_quality_score"])
+@pytest.mark.parametrize(
+    "key",
+    [
+        "text_fingerprint",
+        "text_lang_id",
+        "text_quality_score",
+        # round 3: repetition scoring must drop sub-bigram docs in BOTH
+        # engines, and the scrub must count zero redactions gracefully
+        "text_repetition_signals",
+        "text_pii_scrub",
+    ],
+)
 def test_short_docs_match_oracle(spark, edge_sf_dir, edge_duck, key):
     qs, oracles = registry.queries(), registry.oracle_sql()
     spark_pdf = qs[key](spark, edge_sf_dir).toPandas()
@@ -272,6 +283,13 @@ def empty_duck(empty_sf_dir):
         "pipeline_pretrain_filter",
         "text_chunk_overlap",
         "sample_stratified_hash",
+        # round 3 (documents/events/embeddings-table keys only — the
+        # empty fixture set has no relational tables)
+        "text_repetition_signals",
+        "text_pii_scrub",
+        "events_gap_fill",
+        "win_cum_distinct_users",
+        "embedding_mean_pool",
     ],
 )
 def test_empty_inputs_match_oracle(spark, empty_sf_dir, empty_duck, key):

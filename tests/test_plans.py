@@ -265,3 +265,62 @@ def test_salted_join_shuffles_on_flag_and_salt(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     assert "_salt" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    """Q5's supplier/nation/region attach without repartition
+    exchanges; only the two fact joins shuffle."""
+    plan = _plan(spark, "query_tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_is_scan_plus_single_agg(spark):
+    """Q6 must be filter + 1-row aggregate: no joins at all, predicates
+    reaching the scan."""
+    plan = _plan(spark, "query_tpch_q6")
+    assert "Join" not in plan
+    assert "PushedFilters" in plan or "DataFilters" in plan
+
+
+def test_tpch_q10_topk_avoids_full_sort(spark):
+    plan = _plan(spark, "query_tpch_q10")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q17_single_fact_preaggregate(spark):
+    """The de-correlated scalar subquery must appear as a broadcast
+    join of a pre-aggregate, not a per-row recomputation (no nested
+    loop) — and lineitem is scanned at most twice (outer + threshold),
+    never per part."""
+    plan = _plan(spark, "query_tpch_q17")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FileScan parquet") <= 4
+
+
+def test_tpch_q21_no_fact_self_join_explosion(spark):
+    """Q21's EXISTS/NOT-EXISTS pair is de-correlated into window
+    passes: no BroadcastNestedLoopJoin, no cartesian."""
+    plan = _plan(spark, "query_tpch_q21")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_signals_zero_shuffle(spark):
+    """Per-document repetition scoring is in-row HOF work — the plan
+    may exchange only for the final orderBy, never for the signals."""
+    plan = _plan(spark, "text_repetition_signals")
+    # one Exchange allowed: the rangepartitioning for orderBy
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_unpivot_reads_fact_once(spark):
+    plan = _plan(spark, "corpus_unpivot")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_gap_fill_grid_is_broadcast(spark):
+    """The bounds x types grid must attach via broadcast, and the
+    dense grid generation must not shuffle the event corpus."""
+    plan = _plan(spark, "events_gap_fill")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
