@@ -183,13 +183,16 @@ def main() -> None:
     # The final stdout line must survive a bounded tail capture (observed:
     # last 2000 chars), so it inlines only the slowest queries and folds
     # the rest into "others_sec" — the suite total is exact either way.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+    # Oracle runs get their own sidecar so they never clobber the Spark
+    # detail the driver's BENCH_r{N} record points at.
+    detail_name = "BENCH_ORACLE_DETAIL.json" if args.oracle else "BENCH_DETAIL.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name), "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     print("DETAIL " + json.dumps(result))
-    print(json.dumps(_compact(result), separators=(",", ":")))
+    print(json.dumps(_compact(result, detail=detail_name), separators=(",", ":")))
 
 
-def _compact(result: dict, budget: int = 1800) -> dict:
+def _compact(result: dict, budget: int = 1800, detail: str = "BENCH_DETAIL.json") -> dict:
     """Shrink the result line to <= budget chars: keep the slowest
     queries inline (2-decimal), sum the fast tail into others_sec."""
     times = result["queries"]
@@ -202,7 +205,7 @@ def _compact(result: dict, budget: int = 1800) -> dict:
         out["n_queries"] = len(times)
         out["n_omitted"] = len(omitted)
         out["others_sec"] = round(sum(times[k] for k in omitted), 2)
-        out["detail"] = "BENCH_DETAIL.json"
+        out["detail"] = detail
         if len(json.dumps(out, separators=(",", ":"))) <= budget:
             return out
     return out

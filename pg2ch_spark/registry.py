@@ -59,6 +59,21 @@ def load_all() -> None:
     # yet been externally verified register FIRST (cdc, streaming, llm,
     # udfs, scalar fns), then the long-verified relational core
     # (SURVEY §2.3 groups A..G).
+    # Registration order is part of the external contract: the driver
+    # verifies queries in registration order and may cap how many it
+    # checks per run. Newest-first — groups that have never received a
+    # driver-green CORRECTNESS row register before groups verified in
+    # earlier rounds.
+    # Round-3 additions (never driver-checked):
+    from pg2ch_spark.operators import tpch  # noqa: F401
+    from pg2ch_spark.llm import corpus  # noqa: F401
+    from pg2ch_spark.operators import reshape  # noqa: F401
+    from pg2ch_spark.llm import heavyhitters  # noqa: F401
+    # Round-2 additions:
+    from pg2ch_spark.operators import extended  # noqa: F401
+    from pg2ch_spark.operators import analytics  # noqa: F401
+    # Round-1 groups, never checked in the round-1 sweep (cdc/stream/
+    # llm/udf/fn), then the long-verified relational core (A..G):
     from pg2ch_spark.cdc import engines  # noqa: F401
     from pg2ch_spark.streaming import queries as streaming_queries  # noqa: F401
     from pg2ch_spark.llm import text, similarity, neardup, quality, multimodal  # noqa: F401
@@ -73,15 +88,6 @@ def load_all() -> None:
         sorts,
         setops,
     )
-    # Round-2 additions register last: the driver verifies queries in
-    # registration order with a cap, and earlier groups have seniority
-    # until their results are externally confirmed.
-    from pg2ch_spark.operators import extended  # noqa: F401
-    from pg2ch_spark.operators import analytics  # noqa: F401
-    from pg2ch_spark.operators import tpch  # noqa: F401
-    from pg2ch_spark.llm import corpus  # noqa: F401
-    from pg2ch_spark.operators import reshape  # noqa: F401
-    from pg2ch_spark.llm import heavyhitters  # noqa: F401
 
     _LOADED = True
 
