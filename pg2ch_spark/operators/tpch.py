@@ -3,11 +3,12 @@
 The analytics surface pg2ch delegates to ClickHouse (SURVEY §2.1: the
 reference replicates INTO an OLAP store precisely so these shapes can
 run there) — expressed over the driver's TPC-H-ish star schema.
-Adaptations per FIXTURES.md: no partsupp table (Q2/Q9/Q11/Q16/Q20 out
-of scope), no l_commitdate/l_receiptdate (lateness = l_shipdate vs
-o_orderdate + grace), no c_phone/o_comment (Q13/Q22 use priority /
-nation instead), p_type is a single word and p_container is absent
-(Q14/Q19 use equality / p_size ranges).
+Adaptations per FIXTURES.md: no partsupp table (Q2/Q11/Q16/Q20 out of
+scope; Q9 models supply cost from p_retailprice), no l_commitdate/
+l_receiptdate (lateness = l_shipdate vs o_orderdate + grace), no
+c_phone/o_comment (Q13/Q22 use priority / nation instead), p_type is a
+single word and p_container is absent (Q14/Q19 use equality / p_size
+ranges).
 
 Every query keeps the TPC-H plan *shape* the spec intends —
 correlated EXISTS / NOT EXISTS, scalar correlated subqueries, left
@@ -690,4 +691,119 @@ def query_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier(s): aggregate view + scalar-max subquery.
+
+
+@register(
+    "query_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def query_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with the maximum
+    quarterly revenue — the classic aggregate-view + scalar-max-
+    subquery shape. The revenue view is ONE pre-aggregate over the
+    pruned lineitem scan; rounding to cents happens INSIDE the view
+    (both engines), so the max-equality predicate compares identical
+    rounded values and float sum-order noise cannot split the answer.
+    The 1-row max broadcasts back onto the view — the view is never
+    recomputed (Spark would otherwise expand the subquery into a
+    second full aggregate)."""
+    li = catalog.load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+        .localCheckpoint(eager=False)
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = catalog.load(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year (adapted: no partsupp, so
+# supply cost is modeled as a stated fraction of the part's retail
+# price — the join/agg shape is the point, not the cost model).
+
+_Q9_COST_FRAC = 0.6
+
+
+@register(
+    "query_tpch_q9",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           -- exact decimal aggregation: the inputs sit on a 2-4dp grid,
+           -- so group sums genuinely land ON half-cent boundaries and
+           -- float noise decides round(…,2)'s side per engine. Casting
+           -- each addend to DECIMAL(18,4) (never near a 4dp midpoint —
+           -- fp noise is 1e-10, midpoint distance 5e-5) makes the sum
+           -- exact and identical in both engines; ≤15 significant
+           -- digits, so the final DOUBLE is exact too.
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - {_Q9_COST_FRAC} * p.p_retailprice * l.l_quantity
+                     AS DECIMAL(18, 4))) AS DOUBLE)
+               AS sum_profit
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%a%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def query_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), supply cost adapted to a stated
+    fraction of p_retailprice (no partsupp table in the fixture):
+    profit per supplier nation per order year over parts matching a
+    name pattern. Part (LIKE-filtered), supplier and nation broadcast;
+    the only repartition shuffle is lineitem⋈orders; profit is
+    computed in-row before the aggregate so the shuffle carries one
+    double per group per partition."""
+    p = catalog.load(spark, sf_dir, "part").where(F.col("p_name").like("%a%"))
+    li = catalog.load(spark, sf_dir, "lineitem")
+    s = catalog.load(spark, sf_dir, "supplier")
+    o = catalog.load(spark, sf_dir, "orders")
+    n = catalog.load(spark, sf_dir, "nation")
+    profit = (
+        _rev() - F.lit(_Q9_COST_FRAC) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
     )
