@@ -291,16 +291,21 @@ _DECON_N = 8  # word n-gram width, per the published 8-13-gram practice
 
 def _word_ngrams(col: str, n: int) -> F.Column:
     """Distinct word n-grams of a text column, as an array of strings.
-    sequence() is guarded with greatest(0, ...) so short documents
-    yield an empty array (ADVICE r1: unguarded sequence() descends)."""
+
+    Short documents must yield an EMPTY array. greatest(0, hi) is NOT a
+    valid guard — Spark's sequence(1, 0) DESCENDS to [1, 0], and the
+    i=0 step then crashes slice() (found by the random-docs
+    differential corpus; the sf fixtures have no short docs). The only
+    safe form is a conditional around the whole expression."""
     words = F.split(F.col(col), " ")
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-            ),
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         )
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -415,3 +415,75 @@ def test_dedup_cluster_transitive_chain(spark, tmp_path):
         for r in qs["dedup_cluster_components"](spark, str(tmp_path)).collect()
     }
     assert rows == {0: (3, 2)}, rows
+
+
+# ---------------------------------------------------------------------------
+# Randomized document corpus (round 3): seeded random token streams with
+# heavy repeats, shared shingles, near-dup pairs and tiny docs — the
+# text/dedup operator family diffed against the same oracles on shapes
+# no hand-built corpus enumerates.
+
+
+@pytest.fixture(scope="module")
+def random_docs_dir(tmp_path_factory):
+    import numpy as np
+
+    rng = np.random.default_rng(314159)
+    vocab = [f"w{i}" for i in range(30)] + ["key", "token", "the", "a"]
+    n = 120
+    texts = []
+    for i in range(n):
+        ln = int(rng.integers(1, 60))
+        toks = list(rng.choice(vocab, ln))
+        if i % 7 == 0 and ln > 4:  # degenerate repetition
+            toks = toks[:2] * (ln // 2)
+        texts.append(" ".join(toks))
+    # exact duplicates and near-duplicates (shared prefixes)
+    texts[5] = texts[3]
+    texts[11] = texts[9] + " w0"
+    df = pd.DataFrame(
+        {
+            "doc_id": range(1, n + 1),
+            "text": texts,
+            "lang": [["en", "de", "fr", "es", "zh"][i % 5] for i in range(n)],
+            "source": [f"src{i % 4}" for i in range(n)],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = tmp_path_factory.mktemp("random_docs")
+    df.to_parquet(os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def random_docs_duck(random_docs_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{random_docs_dir}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "text_repetition_signals",
+        "text_pii_scrub",
+        "text_vocab_heavy_hitters",
+        "text_exact_dedup",
+        "text_token_stats",
+        "text_near_dedup_ngram_jaccard",
+        "text_decontaminate",
+        "pipeline_pretrain_filter",
+    ],
+)
+def test_random_docs_match_oracle(spark, random_docs_dir, random_docs_duck, key):
+    qs, oracles = registry.queries(), registry.oracle_sql()
+    r = compare_frames(
+        key,
+        qs[key](spark, random_docs_dir).toPandas(),
+        random_docs_duck.execute(oracles[key]).df(),
+    )
+    assert r.ok, str(r)
