@@ -511,3 +511,100 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") <= _TOP_K)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+@register(
+    "sim_ivf_recall",
+    oracle=f"""
+    WITH {_CENTROID_SQL},
+    assign AS (
+        SELECT vec_id, cl AS bucket FROM d
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cl) = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cl AS bucket FROM d
+        WHERE vec_id < {_N_QUERIES}
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cl) <= {_N_PROBES}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a USING (bucket)
+        WHERE a.vec_id != p.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               round({_cos_sql('q.embedding', 'n.embedding')}, 4) AS cos_sim
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings n ON n.vec_id = c.neighbor_id
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= {_TOP_K}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   round({_cos_sql('q.embedding', 'n.embedding')}, 4) AS cos_sim
+            FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+            WHERE q.vec_id < {_N_QUERIES}
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= {_TOP_K}
+    )
+    SELECT e.query_id,
+           round(CAST(count(i.neighbor_id) AS DOUBLE) / {_TOP_K}, 4) AS recall
+    FROM exact e LEFT JOIN ivf i
+      ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force — the eval
+    every ANN deployment runs before trusting the index. Both answer
+    sets are computed in-engine (IVF reuses `sim_ann_ivf`'s plan; the
+    exact side broadcasts the tiny query set against the corpus and
+    takes a windowed top-k), joined on (query, neighbor), and reduced
+    to per-query recall. At corpus scale the exact side is the
+    expensive one — which is the point: this runs on a SAMPLE of
+    queries to certify the cheap path. Probe
+    semantics are deterministic, so recall itself is exact and the
+    oracle reproduces it bit-for-bit — no tolerance band needed."""
+    from pg2ch_spark import registry as _registry
+
+    ivf = _registry.QUERIES["sim_ann_ivf"](spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    e = catalog.load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    scored = (
+        n.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("qe", "ne"), 4).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        scored.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left_outer")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.count("hit").cast("double") / F.lit(_TOP_K), 4
+            ).alias("recall")
+        )
+        .orderBy("query_id")
+    )

@@ -357,6 +357,11 @@ def random_events_duck(random_events_dir):
         "cdc_summing_final",
         "cdc_replacing_final",
         "cdc_collapsing_final",
+        # round 3
+        "events_gap_fill",
+        "win_cum_distinct_users",
+        "fn_regex",
+        "agg_regr_linfit",
     ],
 )
 def test_random_events_match_oracle(spark, random_events_dir, random_events_duck, key):

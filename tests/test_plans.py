@@ -324,3 +324,29 @@ def test_gap_fill_grid_is_broadcast(spark):
     dense grid generation must not shuffle the event corpus."""
     plan = _plan(spark, "events_gap_fill")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_heavy_hitters_candidates_broadcast_semi(spark):
+    """The exact recount must semi-filter the token stream against the
+    BROADCAST candidate set — a shuffled join would reintroduce the
+    full-vocabulary shuffle the operator exists to avoid."""
+    plan = _plan(spark, "text_vocab_heavy_hitters")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_q15_max_subquery_is_broadcast_not_recompute(spark):
+    """The scalar-max attaches via a broadcast nested-loop of a 1-row
+    aggregate; the revenue view must appear ONCE as a reused exchange
+    or checkpoint, not as two full lineitem aggregations."""
+    plan = _plan(spark, "query_tpch_q15")
+    assert plan.count("FileScan parquet") <= 3, plan
+
+
+def test_q9_profit_is_decimal_exact(spark):
+    """Q9's aggregation buffer must be decimal, not double — the whole
+    point of the operator's exactness story."""
+    df = registry.QUERIES["query_tpch_q9"](spark, SF_T2)
+    import pyspark.sql.functions as F  # noqa: F401
+    # sum(decimal(18,4)) widens to decimal(28,4) before the final cast
+    plan = physical_plan(df)
+    assert "as decimal(18,4)" in plan.lower(), plan
