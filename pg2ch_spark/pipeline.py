@@ -1,0 +1,311 @@
+"""Config-driven replication pipeline — the reference's user surface.
+
+pg2ch is operated through one YAML file: PG/CH connections plus a
+per-table block `{main_table, engine, key/sign/ver columns, buffer
+knobs}`; the daemon then replicates every configured table
+continuously (SURVEY §2.1 R14 config/catalog + R15 lifecycle). This
+module is that surface re-expressed for Spark: declare `TableSpec`s,
+call `run_pipeline`, and each table's change stream is consumed via
+Structured Streaming (availableNow micro-batches ≙ buffered flushes,
+checkpoint ≙ slot LSN) into the engine-appropriate sink:
+
+- ``ReplacingMergeTree``  → argmax-by-version upsert state
+  (single-tier or two-tier buffered, per the spec's merge knob)
+- ``CollapsingMergeTree`` → signed-row log, net-summed per key
+- ``MergeTree``           → plain append log
+
+A spec maps 1:1 to the reference's per-table YAML block; the helper
+`spec_from_mapping` accepts exactly that dict shape. Restart-resume
+and at-least-once convergence come from the streaming checkpoint plus
+the sinks' idempotent merges — the same argument pg2ch makes with the
+slot position + CH merge semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pg2ch_spark import catalog
+from pg2ch_spark.cdc.merge_sink import BufferedMergeSink, ReplacingMergeSink
+
+ENGINES = ("ReplacingMergeTree", "CollapsingMergeTree", "MergeTree")
+
+
+@dataclass
+class TableSpec:
+    """One replicated table — the analog of a pg2ch per-table YAML block."""
+
+    main_table: str
+    engine: str = "ReplacingMergeTree"
+    key_col: str = "key"
+    ver_col: str = "ver"
+    sign_col: str = "sign"
+    # 1 = merge every flush (single-tier); >1 = two-tier buffer (R8/R9)
+    merge_threshold: int = 1
+
+    def __post_init__(self) -> None:
+        if self.engine not in ENGINES:
+            raise ValueError(f"unknown engine {self.engine!r}; one of {ENGINES}")
+        if self.merge_threshold < 1:
+            raise ValueError("merge_threshold must be >= 1")
+
+
+def spec_from_mapping(m: dict) -> TableSpec:
+    """Accept the reference's YAML dict shape (unknown keys rejected —
+    a typo'd knob silently defaulting is how replication configs rot)."""
+    allowed = {f.name for f in TableSpec.__dataclass_fields__.values()}  # type: ignore[attr-defined]
+    unknown = set(m) - allowed
+    if unknown:
+        raise ValueError(f"unknown TableSpec keys: {sorted(unknown)}")
+    return TableSpec(**m)
+
+
+@dataclass
+class PipelineResult:
+    states: dict[str, DataFrame] = field(default_factory=dict)
+    batches: dict[str, int] = field(default_factory=dict)
+
+
+class _AppendSink:
+    """MergeTree: epoch-keyed append log; `final()` is the log itself.
+
+    Replays are NOT naturally idempotent for a raw append log, so each
+    batch is written to an epoch-keyed path — re-delivery of epoch E
+    overwrites E instead of double-appending (the same dedup pg2ch
+    gets from CH buffer-table generations)."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, key_col: str, sign_col: str,
+        ver_col: str = "ver",
+    ):
+        self.spark, self.path = spark, path
+        self.key_col, self.sign_col, self.ver_col = key_col, sign_col, ver_col
+
+    def merge(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
+        out = os.path.join(self.path, f"epoch={int(epoch_id or 0)}")
+        batch_df.write.mode("overwrite").parquet(out)
+
+    def state(self) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def final(self) -> DataFrame | None:
+        return self.state()
+
+
+class _CollapsingSink(_AppendSink):
+    """CollapsingMergeTree (pg2ch R5): insert→(+1), update→(−1 old,
+    +1 new), delete→(−1 old); `final()` nets the signed log per key.
+
+    The −1 rows need each key's PRIOR value. The reference reads it
+    straight off the wire (REPLICA IDENTITY FULL ships the old tuple);
+    a derived log has only new images, so the sink carries a per-key
+    last-value side state (one row per key — the same O(keys) footprint
+    as the reference's in-memory table buffers): within a batch the
+    prior value is a lag() window; the batch's first change per key
+    reads it from the side state; the side state then advances. Signed
+    rows land in epoch-keyed dirs (replay of epoch E overwrites E, and
+    re-running a replayed epoch re-derives the same rows because the
+    side state for it was already advanced atomically with the epoch
+    marker — the state dir is committed via the same two-rename
+    protocol as ReplacingMergeSink)."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, key_col: str, sign_col: str,
+        ver_col: str = "ver",
+    ):
+        super().__init__(spark, path, key_col, sign_col, ver_col)
+        self.prev_path = path + ".prev"
+
+    def _prev(self) -> DataFrame | None:
+        if not os.path.exists(self.prev_path):
+            return None
+        return self.spark.read.parquet(self.prev_path)
+
+    def merge(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
+        from pyspark.sql import Window
+
+        k = self.key_col
+        v = self.ver_col
+        w = Window.partitionBy(k).orderBy(v)
+        prev = self._prev()
+        b = batch_df.withColumn("_lag", F.lag("value").over(w))
+        if prev is not None:
+            b = b.join(
+                prev.select(F.col(k), F.col("value").alias("_carry")), k, "left_outer"
+            )
+        else:
+            b = b.withColumn("_carry", F.lit(None).cast("double"))
+        b = b.withColumn("prev_value", F.coalesce("_lag", "_carry")).localCheckpoint(
+            eager=True
+        )
+        plus = b.where(F.col("op").isin("I", "U")).select(
+            k, v, "value", F.lit(1).alias(self.sign_col)
+        )
+        minus = b.where(F.col("op").isin("U", "D")).select(
+            k,
+            v,
+            F.col("prev_value").alias("value"),
+            F.lit(-1).alias(self.sign_col),
+        )
+        out = os.path.join(self.path, f"epoch={int(epoch_id or 0)}")
+        plus.unionByName(minus).write.mode("overwrite").parquet(out)
+        # advance the side state: latest value per key across old + batch
+        latest = b.withColumn("_rn", F.row_number().over(w.orderBy(F.desc(v)))).where(
+            F.col("_rn") == 1
+        ).select(k, v, "value")
+        merged = latest if prev is None else prev.unionByName(latest)
+        w2 = Window.partitionBy(k).orderBy(F.desc(v))
+        newprev = (
+            merged.withColumn("_rn", F.row_number().over(w2))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        tmp = self.prev_path + ".staging"
+        newprev.write.mode("overwrite").parquet(tmp)
+        old = self.prev_path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(self.prev_path):
+            os.rename(self.prev_path, old)
+        os.rename(tmp, self.prev_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def final(self) -> DataFrame | None:
+        log = self.state()
+        if log is None:
+            return None
+        return (
+            log.groupBy(self.key_col)
+            .agg(F.sum(self.sign_col).alias("net"))
+            .where(F.col("net") > 0)
+            .select(self.key_col, "net")
+        )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    specs: list[TableSpec],
+    sf_dir: str,
+    state_root: str,
+    max_files_per_trigger: int | None = None,
+) -> PipelineResult:
+    """Replicate every configured table, availableNow (≙ catch-up run
+    of a continuous daemon; rerunning resumes from each checkpoint).
+
+    Per table: stream the events source, derive the CDC log (R3), feed
+    the engine sink via foreachBatch (R5-R9), record the final state.
+    Tables are independent pipelines exactly as in the reference — a
+    failure in one does not advance the others' offsets."""
+    from pg2ch_spark.streaming.queries import _events_schema
+    from pg2ch_spark.streaming.runner import (
+        _few_state_partitions,
+        _stream_source_managed,
+        scratch_dir,
+    )
+
+    result = PipelineResult()
+    catalog.configure(spark)
+    path = catalog.table_path(sf_dir, "events")
+    schema = _events_schema(spark, sf_dir)
+
+    for spec in specs:
+        table_dir = os.path.join(state_root, spec.main_table)
+        ckpt = os.path.join(table_dir, "_checkpoint")
+        state_path = os.path.join(table_dir, "state")
+        if spec.engine == "ReplacingMergeTree":
+            sink = (
+                ReplacingMergeSink(spark, state_path, spec.key_col, spec.ver_col)
+                if spec.merge_threshold == 1
+                else BufferedMergeSink(
+                    spark,
+                    state_path,
+                    spec.key_col,
+                    spec.ver_col,
+                    merge_every=spec.merge_threshold,
+                )
+            )
+        elif spec.engine == "CollapsingMergeTree":
+            sink = _CollapsingSink(
+                spark, state_path, spec.key_col, spec.sign_col, spec.ver_col
+            )
+        else:
+            sink = _AppendSink(
+                spark, state_path, spec.key_col, spec.sign_col, spec.ver_col
+            )
+
+        if max_files_per_trigger is None:
+            src, _src_dir = _stream_source_managed(spark, path, schema)
+        else:
+            # multi-batch replay: one file per micro-batch (the shape a
+            # continuous daemon sees), exercising cross-batch carry
+            src_path = path
+            _src_dir = None
+            if os.path.isfile(src_path):
+                _src_dir = scratch_dir("pg2ch_pipe_src_")
+                os.symlink(
+                    src_path, os.path.join(_src_dir, os.path.basename(src_path))
+                )
+                src_path = _src_dir
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", max_files_per_trigger)
+                .parquet(src_path)
+            )
+        cdc = derive_cdc_stream(src).select(
+            F.col("key").alias(spec.key_col) if spec.key_col != "key" else F.col("key"),
+            F.col("ver").alias(spec.ver_col) if spec.ver_col != "ver" else F.col("ver"),
+            "op",
+            "value",
+        )
+
+        n_batches = 0
+
+        def sink_batch(batch_df: DataFrame, epoch_id: int, _sink=sink) -> None:
+            nonlocal n_batches
+            _sink.merge(batch_df, epoch_id)
+            n_batches += 1
+
+        with _few_state_partitions(spark):
+            q = (
+                cdc.writeStream.foreachBatch(sink_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        if isinstance(sink, BufferedMergeSink):
+            sink.flush()  # ≙ pg2ch's inactivity_merge_timeout final merge
+        final = sink.final() if hasattr(sink, "final") else sink.state()
+        if final is not None:
+            final = final.localCheckpoint(eager=True)
+        result.states[spec.main_table] = final
+        result.batches[spec.main_table] = n_batches
+    return result
+
+
+def derive_cdc_stream(src: DataFrame) -> DataFrame:
+    """Streaming-safe variant of cdc.derive.derive_cdc (same derivation,
+    applied to a stream source instead of a catalog load)."""
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    return src.select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("ver"),
+        op.alias("op"),
+        "value",
+        "props",
+    )
+
+
+def teardown(state_root: str) -> None:
+    shutil.rmtree(state_root, ignore_errors=True)
