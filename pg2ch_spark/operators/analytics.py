@@ -779,3 +779,81 @@ def events_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: anomaly scoring and cast-edge semantics.
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) FILTER (WHERE abs((e.value - s.mu) / s.sigma) > 2.5)
+               AS n_outliers,
+           count(*) AS n,
+           round(max(abs((e.value - s.mu) / s.sigma)), 4) AS max_z
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly counts (|z| > 2.5) plus the max score —
+    the monitoring query every event pipeline runs. Two passes over
+    events, both map-side-partial aggregations; the per-type (mu,
+    sigma) table is 5 rows and broadcasts onto the second scan. At
+    100 TB the stats pass and score pass each read the column once —
+    the single-pass alternative (window over the full partition)
+    would sort every partition for no reason."""
+    ev = catalog.load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(z > 2.5, 1)).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max(z), 4).alias("max_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "fn_cast_edge",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_brand AS INTEGER)                       AS brand_as_int,
+           TRY_CAST(substring(p_brand, 7) AS INTEGER)         AS brand_num,
+           CAST(floor(p_retailprice) AS BIGINT)               AS price_floor,
+           CAST(CAST(p_retailprice AS DECIMAL(12, 2)) AS VARCHAR) AS price_str,
+           TRY_CAST('not a number' AS DOUBLE)                 AS always_null
+    FROM part WHERE p_partkey < 200
+    """,
+)
+def fn_cast_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast-edge semantics (CH accurateCastOrNull / toInt32OrNull
+    parity): failing string→int casts must yield NULL, not errors —
+    under ANSI mode that is try_cast, NOT cast (a plain cast would
+    kill a 100 TB job on one malformed row). Numeric→string goes
+    through DECIMAL(12,2) in BOTH engines so the text form is
+    identical ('123.45', no float repr noise)."""
+    p = catalog.load(spark, sf_dir, "part").where(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.expr("try_cast(p_brand AS int)").alias("brand_as_int"),
+        F.expr("try_cast(substring(p_brand, 7) AS int)").alias("brand_num"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.col("p_retailprice").cast("decimal(12,2)").cast("string").alias("price_str"),
+        F.expr("try_cast('not a number' AS double)").alias("always_null"),
+    )
