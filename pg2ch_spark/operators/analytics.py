@@ -857,3 +857,94 @@ def fn_cast_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").cast("decimal(12,2)").cast("string").alias("price_str"),
         F.expr("try_cast('not a number' AS double)").alias("always_null"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketches — the quantile counterpart of
+# agg_hll_sketch_merge: per-shard states must UNION losslessly so
+# rollups never rescan raw data (CH quantileState/quantileMerge).
+
+_QH_BINS = 32
+
+
+@register(
+    "agg_quantile_histogram_merge",
+    oracle=f"""
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    binned AS (
+        SELECT event_type,
+               CAST(least(floor((value - b.lo) / (b.hi - b.lo) * {_QH_BINS}),
+                          {_QH_BINS - 1}) AS INTEGER) AS bin
+        FROM events, b
+    ),
+    per_type AS (
+        SELECT event_type, bin, count(*) AS c FROM binned GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT bin, sum(c) AS c FROM per_type GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin, c,
+               sum(c) OVER (ORDER BY bin) AS cum,
+               sum(c) OVER () AS total
+        FROM merged
+    )
+    SELECT
+        (SELECT min(bin) FROM cum WHERE cum >= 0.5 * total) AS p50_bin,
+        (SELECT min(bin) FROM cum WHERE cum >= 0.9 * total) AS p90_bin,
+        round((SELECT b.lo + (CAST((SELECT min(bin) FROM cum
+                                    WHERE cum >= 0.5 * total) AS DOUBLE) + 1)
+                      / {_QH_BINS} * (b.hi - b.lo) FROM b), 4) AS p50_est,
+        round((SELECT b.lo + (CAST((SELECT min(bin) FROM cum
+                                    WHERE cum >= 0.9 * total) AS DOUBLE) + 1)
+                      / {_QH_BINS} * (b.hi - b.lo) FROM b), 4) AS p90_est
+    """,
+)
+def agg_quantile_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: per-type {bins}-bin histogram STATES
+    (built in one pass, map-side partials) merge by bin-count addition
+    into a global histogram — the raw column is never rescanned for
+    the rollup — and quantiles come off the merged state by cumulative
+    interpolation at the bin's upper edge. The binning rule is stated
+    (fixed-width from global bounds, integer arithmetic), so unlike a
+    t-digest the whole pipeline is deterministic and exact-checkable.
+    Accuracy is the histogram guarantee: ±(hi−lo)/{bins}. At 100 TB
+    per-shard states are {bins} longs — the rollup shuffles KBs."""
+    ev = catalog.load(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * _QH_BINS),
+            F.lit(_QH_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    per_type = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    merged = per_type.groupBy("bin").agg(F.sum("c").alias("c"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "bin", F.sum("c").over(wcum).alias("cum"), F.sum("c").over(Window.orderBy(F.lit(1)).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("total")
+    )
+    p50 = cum.where(F.col("cum") >= 0.5 * F.col("total")).agg(F.min("bin").alias("p50_bin"))
+    p90 = cum.where(F.col("cum") >= 0.9 * F.col("total")).agg(F.min("bin").alias("p90_bin"))
+    est = (
+        p50.crossJoin(p90)
+        .crossJoin(F.broadcast(b))
+        .select(
+            "p50_bin",
+            "p90_bin",
+            F.round(
+                F.col("lo")
+                + (F.col("p50_bin").cast("double") + 1) / _QH_BINS * (F.col("hi") - F.col("lo")),
+                4,
+            ).alias("p50_est"),
+            F.round(
+                F.col("lo")
+                + (F.col("p90_bin").cast("double") + 1) / _QH_BINS * (F.col("hi") - F.col("lo")),
+                4,
+            ).alias("p90_est"),
+        )
+    )
+    return est

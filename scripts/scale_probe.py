@@ -61,6 +61,16 @@ DEFAULT_KEYS = [
     "sim_ann_ivf",
     "agg_argmax",
     "win_topk_per_group",
+    # round 3: the join/window-heaviest composites and the new corpus ops
+    "query_tpch_q5",
+    "query_tpch_q9",
+    "query_tpch_q13",
+    "query_tpch_q17",
+    "query_tpch_q21",
+    "text_repetition_signals",
+    "text_vocab_heavy_hitters",
+    "events_gap_fill",
+    "dedup_cluster_components",
 ]
 
 
