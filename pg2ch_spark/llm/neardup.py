@@ -245,7 +245,14 @@ def text_near_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     Jaccard is exact (integer intersection/union), so no verify pass is
     needed — this is the precise-but-costlier sibling of MinHash-LSH.
     """
-    docs = catalog.load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(catalog.load(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """The pair generator itself, over any (doc_id, text) frame — also
+    reused by dedup_cluster_components on exact-dup REPRESENTATIVES
+    (pair enumeration is quadratic in duplicate-cluster size, so the
+    caller collapses identical texts first)."""
     # sh feeds three plan branches (sizes + both join sides); without a
     # barrier each recomputes the split+shingle pipeline from the scan.
     sh = _shingles(docs).localCheckpoint(eager=True)

@@ -490,10 +490,27 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle states the SAME fixpoint as a recursive transitive
     closure (min over reachable set), which is exact on the fixture
     scale."""
-    pairs_fn = __import__("pg2ch_spark.registry", fromlist=["QUERIES"]).QUERIES[
-        "text_near_dedup_ngram_jaccard"
-    ]
-    pairs = pairs_fn(spark, sf_dir).select("doc_a", "doc_b")
+    from pg2ch_spark.llm.neardup import ngram_jaccard_pairs
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    # Exact duplicates collapse to a representative BEFORE pair
+    # generation: identical texts are trivially near-dups of each other
+    # (Jaccard 1), so enumerating their O(copies²) pairs adds nothing
+    # to the components — but it's what makes naive near-dup quadratic
+    # on real corpora, where popular documents repeat thousands of
+    # times (10x scale probe: 13x cost before this, ~linear after).
+    # Identity edges (doc ↔ its representative) preserve membership.
+    wt = Window.partitionBy("th").orderBy("doc_id")
+    tagged = (
+        docs.select("doc_id", "text", F.md5(F.col("text").cast("binary")).alias("th"))
+        .withColumn("rep", F.min("doc_id").over(wt))
+        .localCheckpoint(eager=True)
+    )
+    reps = tagged.where(F.col("doc_id") == F.col("rep")).select("doc_id", "text")
+    ident = tagged.where(F.col("doc_id") != F.col("rep")).select(
+        F.col("doc_id").alias("doc_a"), F.col("rep").alias("doc_b")
+    )
+    pairs = ngram_jaccard_pairs(reps).select("doc_a", "doc_b").unionByName(ident)
     edges = (
         pairs.unionByName(
             pairs.select(
