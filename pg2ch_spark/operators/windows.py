@@ -235,3 +235,70 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
     )
+
+
+@register(
+    "win_nth_ignore_nulls",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+        FROM events
+    )
+    SELECT user_id, event_id,
+           round(last_value(purchase_value IGNORE NULLS) OVER w, 2)
+               AS last_purchase,
+           round(first_value(purchase_value IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS first_purchase_ever,
+           round(nth_value(purchase_value, 2 IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS second_purchase_ever
+    FROM ev
+    WHERE user_id < 30
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def win_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window semantics (CH `anyLast`/`nth_value` over
+    sparse columns): carry-forward of the latest purchase value past
+    non-purchase rows, plus first/second purchase over the whole
+    history. The sparse column is built with CASE so the null-skipping
+    is the window function's job, not a pre-filter's — the semantics
+    every "last known value as of this row" query needs. All three
+    share the user_id partitioning: ONE Exchange + sort serves the
+    running frame and both unbounded frames."""
+    ev = (
+        catalog.load(spark, sf_dir, "events")
+        .where(F.col("user_id") < 30)
+        .select(
+            "user_id",
+            "event_id",
+            F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+                "purchase_value"
+            ),
+        )
+    )
+    run = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.last("purchase_value", ignorenulls=True).over(run), 2).alias(
+            "last_purchase"
+        ),
+        F.round(F.first("purchase_value", ignorenulls=True).over(full), 2).alias(
+            "first_purchase_ever"
+        ),
+        F.round(
+            F.nth_value("purchase_value", 2, ignoreNulls=True).over(full), 2
+        ).alias("second_purchase_ever"),
+    ).orderBy("user_id", "event_id")
