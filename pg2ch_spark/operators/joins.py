@@ -279,3 +279,65 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max_by("view_value", "view_id"), 2).alias("prior_view_value"),
         )
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS t
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id AS view_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT p.purchase_id, p.user_id,
+           min(v.view_id)                        AS next_view_id,
+           CAST(min(v.t - p.t) AS BIGINT)        AS gap_s
+    FROM p
+    LEFT JOIN v ON v.user_id = p.user_id
+               AND v.t >= p.t AND v.t <= p.t + 3600
+               AND v.view_id > p.purchase_id
+    GROUP BY p.purchase_id, p.user_id
+    ORDER BY p.purchase_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance (pandas ``merge_asof``'s
+    direction='forward', tolerance=1h — the other half of the asof
+    surface `join_asof` covers backward/unbounded): per purchase, the
+    first subsequent view within one hour, NULL if none (tolerance
+    expired). Same single-shuffle shape as the backward variant: the
+    inequality conjuncts ride the user_id equi-join and the min
+    aggregation reduces matches without materializing per-pair rows —
+    the tolerance bound is ALSO the state-eviction bound a streaming
+    deployment of the same join would use as its watermark."""
+    ev = catalog.load(spark, sf_dir, "events")
+    t = catalog.ts_epoch_s(ev)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", t.alias("pt")
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        t.alias("vt"),
+    )
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("vt") >= F.col("pt"))
+            & (F.col("vt") <= F.col("pt") + 3600)
+            & (F.col("view_id") > F.col("purchase_id")),
+            "left",
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.min("view_id").alias("next_view_id"),
+            F.min(F.col("vt") - F.col("pt")).cast("bigint").alias("gap_s"),
+        )
+        .orderBy("purchase_id")
+    )
