@@ -965,3 +965,47 @@ def agg_quantile_histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est
+
+
+@register(
+    "agg_summap",
+    oracle="""
+    WITH per AS (
+        SELECT o.o_orderpriority, l.l_returnflag,
+               CAST(CAST(sum(l.l_quantity) AS DECIMAL(18, 2)) AS VARCHAR) AS q
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           string_agg(l_returnflag || ':' || q, '|' ORDER BY l_returnflag)
+               AS qty_map
+    FROM per GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMap`` parity: per order priority, the map
+    returnflag → total quantity, aggregated element-wise across rows.
+    Spark's shape is groupBy(outer key, map key) + re-aggregate into
+    sorted entries — two narrow shuffles of scalar partials, never a
+    map-valued accumulation (merging per-row maps in an aggregate
+    buffer would serialize/deserialize maps per row). Emitted as a
+    canonical sorted 'k:v|k:v' string through DECIMAL so both engines
+    print identical numerics."""
+    o = catalog.load(spark, sf_dir, "orders")
+    li = catalog.load(spark, sf_dir, "lineitem")
+    per = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.sum("l_quantity").cast("decimal(18,2)").cast("string").alias("q")
+        )
+    )
+    entry = F.concat_ws(":", "l_returnflag", "q")
+    return (
+        per.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list(entry)), "|").alias("qty_map")
+        )
+        .orderBy("o_orderpriority")
+    )

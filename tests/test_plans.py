@@ -350,3 +350,24 @@ def test_q9_profit_is_decimal_exact(spark):
     # sum(decimal(18,4)) widens to decimal(28,4) before the final cast
     plan = physical_plan(df)
     assert "as decimal(18,4)" in plan.lower(), plan
+
+
+def test_flagship_aggregates_scan_vectorized_with_pushdown(spark):
+    """Q1/Q6-shaped hot paths must read parquet vectorized (Batched:
+    true — the columnar path whole-stage codegen consumes) with every
+    eligible predicate pushed into the scan, and aggregate in two
+    phases (partial + final). The AQE pre-execution plan doesn't print
+    codegen stage markers, so these are the checkable proxies."""
+    for key in ("agg_groupby_q1", "query_tpch_q6"):
+        plan = _plan(spark, key)
+        assert "Batched: true" in plan, (key, plan)
+        assert plan.count("HashAggregate") >= 2, (key, plan)
+    assert "PushedFilters: [IsNotNull" in _plan(spark, "query_tpch_q6")
+
+
+def test_summap_never_aggregates_map_values(spark):
+    """agg_summap must aggregate scalars then assemble entries — no
+    map-typed aggregate buffer (ObjectHashAggregate over maps)."""
+    plan = _plan(spark, "agg_summap")
+    assert "map_concat" not in plan.lower()
+    assert plan.count("HashAggregate") >= 2, plan
