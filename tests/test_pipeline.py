@@ -185,3 +185,69 @@ def test_spec_mapping_rejects_unknown_keys():
         spec_from_mapping({"main_table": "t", "mane_table": "typo"})
     with pytest.raises(ValueError, match="unknown engine"):
         TableSpec(main_table="t", engine="SummingMergeTree2")
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_collapsing_carry_equals_global_expansion(spark, tmp_path, seed):
+    """Property: for a random op log split into random batches, the
+    collapsing sink's accumulated signed log (with per-key prior-value
+    carry across batches) equals the single-pass lag() expansion of
+    the whole log — per-key net sign, row count, and value balance."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from pg2ch_spark.pipeline import _CollapsingSink
+
+    rng = np.random.default_rng(seed)
+    n = 60
+    ops = rng.choice(["I", "U", "D"], n, p=[0.3, 0.5, 0.2])
+    keys = rng.integers(1, 8, n)
+    log = pd.DataFrame(
+        {
+            "key": keys.astype("int64"),
+            "ver": range(1, n + 1),
+            "op": ops,
+            "value": rng.uniform(0, 50, n).round(3),
+        }
+    )
+    # random batch boundaries (2-5 batches), contiguous in ver order
+    cuts = sorted(rng.choice(range(5, n - 5), size=int(rng.integers(1, 4)), replace=False))
+    batches = np.split(log, cuts)
+
+    sink = _CollapsingSink(spark, str(tmp_path / "clog"), "key", "sign")
+    for i, b in enumerate(batches):
+        sink.merge(spark.createDataFrame(b), epoch_id=i)
+
+    got = (
+        sink.state()
+        .groupBy("key")
+        .agg(
+            F.sum("sign").cast("bigint").alias("net_sign"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("sign") * F.col("value")), 2).alias("val_balance"),
+        )
+        .toPandas()
+    )
+
+    whole = spark.createDataFrame(log)
+    w = Window.partitionBy("key").orderBy("ver")
+    wp = whole.withColumn("prev_value", F.lag("value").over(w))
+    plus = wp.where(F.col("op").isin("I", "U")).select(
+        "key", "ver", "value", F.lit(1).alias("sign")
+    )
+    minus = wp.where(F.col("op").isin("U", "D")).select(
+        "key", "ver", F.col("prev_value").alias("value"), F.lit(-1).alias("sign")
+    )
+    expected = (
+        plus.unionByName(minus)
+        .groupBy("key")
+        .agg(
+            F.sum("sign").cast("bigint").alias("net_sign"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("sign") * F.col("value")), 2).alias("val_balance"),
+        )
+        .toPandas()
+    )
+    r = compare_frames(f"carry-seed{seed}", got, expected)
+    assert r.ok, str(r)
