@@ -69,6 +69,7 @@ def load_all() -> None:
     from pg2ch_spark.llm import corpus  # noqa: F401
     from pg2ch_spark.operators import reshape  # noqa: F401
     from pg2ch_spark.llm import heavyhitters  # noqa: F401
+    from pg2ch_spark.cdc import pipeline_query  # noqa: F401
     # Round-2 additions:
     from pg2ch_spark.operators import extended  # noqa: F401
     from pg2ch_spark.operators import analytics  # noqa: F401
