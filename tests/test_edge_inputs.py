@@ -362,6 +362,8 @@ def random_events_duck(random_events_dir):
         "win_cum_distinct_users",
         "fn_regex",
         "agg_regr_linfit",
+        "join_asof_tolerance",
+        "cdc_pipeline_replicating",
     ],
 )
 def test_random_events_match_oracle(spark, random_events_dir, random_events_duck, key):
