@@ -494,3 +494,68 @@ def test_random_docs_match_oracle(spark, random_docs_dir, random_docs_duck, key)
         random_docs_duck.execute(oracles[key]).df(),
     )
     assert r.ok, str(r)
+
+
+# ---------------------------------------------------------------------------
+# Randomized embeddings corpus (round 3): seeded random vectors with
+# deliberate near-duplicate pairs and a duplicated-vector pathology —
+# the similarity/ANN family diffed against the same oracles.
+
+
+@pytest.fixture(scope="module")
+def random_emb_dir(tmp_path_factory):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(271828)
+    n, d = 150, 64
+    base = rng.normal(0, 1, (n, d)).astype("float32")
+    base[7] = base[3] + rng.normal(0, 0.01, d).astype("float32")  # near-dup
+    base[11] = base[3]  # exact dup vector
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in base],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([int(i % 10) for i in range(n)], pa.int32()),
+        }
+    )
+    dd = tmp_path_factory.mktemp("random_emb")
+    pq.write_table(tbl, os.path.join(dd, "embeddings.parquet"))
+    return str(dd)
+
+
+@pytest.fixture(scope="module")
+def random_emb_duck(random_emb_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{random_emb_dir}/embeddings.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "sim_cosine_topk",
+        "sim_knn_join",
+        "sim_near_dup_embedding",
+        "sim_ann_ivf",
+        "sim_ivf_recall",
+        "embedding_mean_pool",
+        "embedding_quantize_int8",
+        "sim_centroid_classify",
+        "sim_lsh_hyperplane",
+    ],
+)
+def test_random_embeddings_match_oracle(spark, random_emb_dir, random_emb_duck, key):
+    qs, oracles = registry.queries(), registry.oracle_sql()
+    r = compare_frames(
+        key,
+        qs[key](spark, random_emb_dir).toPandas(),
+        random_emb_duck.execute(oracles[key]).df(),
+    )
+    assert r.ok, str(r)
