@@ -39,7 +39,8 @@ def cdc_pipeline_replicating(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg2ch_spark.pipeline import TableSpec, run_pipeline
     from pg2ch_spark.streaming.runner import scratch_dir
 
-    root = scratch_dir("pg2ch_pipeq_") + "/" + uuid.uuid4().hex[:8]
+    base = scratch_dir("pg2ch_pipeq_")
+    root = base + "/" + uuid.uuid4().hex[:8]
     try:
         res = run_pipeline(
             spark,
@@ -52,4 +53,4 @@ def cdc_pipeline_replicating(spark: SparkSession, sf_dir: str) -> DataFrame:
         # delete the backing dirs after returning the plan.
         return state.select("key", "ver", "op", "value")
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(base, ignore_errors=True)
