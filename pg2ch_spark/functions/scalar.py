@@ -262,3 +262,94 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "fn_array_setops",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority,
+               list_sort(list_distinct(list(l_returnflag))) AS flags,
+               list_sort(list_distinct(list(l_linestatus))) AS stats
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           array_to_string(flags, ',') AS flags,
+           array_to_string(list_sort(list_intersect(flags, ['A', 'N'])), ',')
+               AS flags_in_an,
+           array_to_string(list_sort(list_filter(flags,
+               x -> NOT list_contains(stats, x))), ',') AS flags_not_stats,
+           array_to_string(list_sort(list_distinct(list_concat(flags, stats))), ',')
+               AS all_codes
+    FROM s ORDER BY o_orderpriority
+    """,
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (CH arrayIntersect/arrayConcat/arrayFilter):
+    per priority, the distinct flag set and its intersection /
+    difference / union with other code sets — emitted as sorted CSV
+    strings because array columns hash differently across engines'
+    pandas conversions. All in-row HOFs after one grouped collect;
+    the collect carries DISTINCT single-chars, not rows."""
+    o = catalog.load(spark, sf_dir, "orders")
+    li = catalog.load(spark, sf_dir, "lineitem")
+    s = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+            F.array_sort(F.collect_set("l_linestatus")).alias("stats"),
+        )
+    )
+    return s.select(
+        "o_orderpriority",
+        F.array_join("flags", ",").alias("flags"),
+        F.array_join(
+            F.array_sort(F.array_intersect("flags", F.array(F.lit("A"), F.lit("N")))),
+            ",",
+        ).alias("flags_in_an"),
+        F.array_join(F.array_sort(F.array_except("flags", "stats")), ",").alias(
+            "flags_not_stats"
+        ),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.concat("flags", "stats"))), ","
+        ).alias("all_codes"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source AS top_source, CAST(n AS BIGINT) AS n_docs
+    FROM c
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, source) = 1
+    ORDER BY lang
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode with a STATED tie-break (CH `topK(1)` / SQL mode() leave
+    ties unspecified — a cross-engine hash check requires determinism):
+    the most frequent source per language, ties to the lexicographically
+    smallest source. Count + max_by on a (count, reversed-source)
+    struct: two narrow aggregations, no window sort."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    # min_by over (-n, source): lexicographic minimum = highest count,
+    # then smallest source — the stated tie-break in ONE aggregate with
+    # map-side partials (one candidate per group per partition crosses
+    # the shuffle; the oracle's window formulation sorts partitions).
+    win = F.min_by(F.struct("source", "n"), F.struct((-F.col("n")).alias("negn"), "source"))
+    return (
+        c.groupBy("lang")
+        .agg(win.alias("w"))
+        .select(
+            "lang",
+            F.col("w.source").alias("top_source"),
+            F.col("w.n").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
