@@ -27,6 +27,96 @@ ORACLES: dict[str, str] = {}
 
 _LOADED = False
 
+# Driver-verification priority. The external correctness harness checks
+# queries in the order ``queries()`` yields them and caps how many it
+# verifies per round (observed: 50). Rounds 1 and 3 covered 100 of the
+# 162 keys; the 62 below have never received a driver correctness row,
+# so they are pinned to the FRONT of the returned dict — most
+# semantically critical first (CDC engine semantics, then streaming,
+# then the llm/sim core, udfs, scalar-fn tail, join/window tail). The
+# first 50 entries are the round-4 window; the 12 analytics-tail keys
+# that follow are queued for round 5's window. Keys registered later
+# (new operators) append AFTER this list in plain registration order so
+# they never displace the backlog.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # round-4 window (50): cdc engines (7)
+    "cdc_replacing_final",
+    "cdc_collapsing_final",
+    "cdc_collapsing_signed_log",
+    "cdc_append_mergetree",
+    "cdc_snapshot_handoff",
+    "cdc_delete_tombstones",
+    "cdc_truncate",
+    # streaming (11)
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_watermark_late",
+    "stream_dedup",
+    "stream_stateful_count",
+    "stream_foreachbatch_upsert",
+    "stream_custom_state",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_topk_per_window",
+    # llm text / similarity / neardup / quality / multimodal (20)
+    "text_exact_dedup",
+    "text_token_stats",
+    "text_stats_per_source",
+    "text_tfidf_top",
+    "text_near_dedup_minhash",
+    "sim_cosine_topk",
+    "sim_knn_join",
+    "sim_centroid_classify",
+    "multimodal_join",
+    "text_near_dedup_simhash",
+    "text_near_dedup_ngram_jaccard",
+    "sim_near_dup_embedding",
+    "sim_ann_ivf",
+    "sim_ivf_recall",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count_bpe",
+    "text_fingerprint",
+    "text_lm_logprob",
+    "multimodal_extract",
+    # udfs (4)
+    "udf_pandas_scalar",
+    "udf_grouped_agg",
+    "udf_table_mapinpandas",
+    "udf_python_scalar",
+    # functions/scalar tail (6)
+    "fn_array",
+    "fn_struct_flatten",
+    "fn_bitwise",
+    "fn_regex",
+    "fn_array_setops",
+    "agg_mode_deterministic",
+    # joins/windows tail (2) — window-50 ends here
+    "join_asof_tolerance",
+    "win_nth_ignore_nulls",
+    # round-5 window: the 12 analytics-tail keys, next in line
+    "text_decontaminate",
+    "agg_hll_sketch_merge",
+    "join_salted_skew",
+    "dedup_cluster_components",
+    "query_tpch_q3",
+    "query_tpch_q18",
+    "agg_regr_linfit",
+    "events_histogram_fixed",
+    "events_anomaly_zscore",
+    "fn_cast_edge",
+    "agg_quantile_histogram_merge",
+    "agg_summap",
+)
+
+
+def _prioritized(d: dict) -> dict:
+    """Reorder a registry dict: _DRIVER_PRIORITY keys first, rest as-is."""
+    out = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
+    out.update((k, v) for k, v in d.items() if k not in out)
+    return out
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a declared query (and its DuckDB oracle SQL, if exact-checkable)."""
@@ -53,18 +143,10 @@ def load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    # Registration order is part of the external contract: downstream
-    # correctness tooling checks queries in registration order and may
-    # cap how many it verifies per run. Groups whose results have not
-    # yet been externally verified register FIRST (cdc, streaming, llm,
-    # udfs, scalar fns), then the long-verified relational core
-    # (SURVEY §2.3 groups A..G).
-    # Registration order is part of the external contract: the driver
-    # verifies queries in registration order and may cap how many it
-    # checks per run. Newest-first — groups that have never received a
-    # driver-green CORRECTNESS row register before groups verified in
-    # earlier rounds.
-    # Round-3 additions (never driver-checked):
+    # Import order no longer dictates what the driver sees first:
+    # queries()/oracle_sql() reorder via _DRIVER_PRIORITY (above), which
+    # pins the 62 never-driver-checked keys to the front. Imports here
+    # just need to cover every module so all registrations run.
     from pg2ch_spark.operators import tpch  # noqa: F401
     from pg2ch_spark.llm import corpus  # noqa: F401
     from pg2ch_spark.operators import reshape  # noqa: F401
@@ -95,9 +177,9 @@ def load_all() -> None:
 
 def queries() -> dict[str, QueryFn]:
     load_all()
-    return dict(QUERIES)
+    return _prioritized(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     load_all()
-    return dict(ORACLES)
+    return _prioritized(ORACLES)

@@ -27,3 +27,25 @@ def test_query_vs_oracle(key, spark, duck):
         return
     result = run_compare(key, df, sql, duck)
     assert result.ok, str(result)
+
+
+def test_driver_window_prioritizes_unchecked_backlog():
+    """The first 50 keys queries() yields must be the never-driver-checked
+    backlog (CDC, streaming, llm core, udfs, fn/join/window tails), and
+    the 12 analytics-tail keys must follow for round 5's window. Newly
+    registered operators append after the priority list and must never
+    displace it."""
+    keys = list(registry.queries())
+    prio = list(registry._DRIVER_PRIORITY)
+    assert keys[: len(prio)] == prio
+    window = keys[:50]
+    assert window[0].startswith("cdc_")
+    assert sum(k.startswith("cdc_") for k in window) == 7
+    assert sum(k.startswith("stream_") for k in window) == 11
+    assert "join_asof_tolerance" in window and "win_nth_ignore_nulls" in window
+    # every window key carries an exact oracle
+    oracles = registry.oracle_sql()
+    assert all(k in oracles for k in window)
+    # oracle_sql() iterates in the same order as queries()
+    prio_with_oracle = [k for k in prio if k in oracles]
+    assert list(oracles)[: len(prio_with_oracle)] == prio_with_oracle
