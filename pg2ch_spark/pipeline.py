@@ -93,7 +93,10 @@ class _AppendSink:
     def state(self) -> DataFrame | None:
         if not os.path.exists(self.path):
             return None
-        return self.spark.read.parquet(self.path)
+        # Partition discovery surfaces the epoch= dirs as a synthetic
+        # column; it is commit bookkeeping, not part of the log schema,
+        # so drop it from the reader-facing state.
+        return self.spark.read.parquet(self.path).drop("epoch")
 
     def final(self) -> DataFrame | None:
         return self.state()
@@ -109,32 +112,54 @@ class _CollapsingSink(_AppendSink):
     last-value side state (one row per key — the same O(keys) footprint
     as the reference's in-memory table buffers): within a batch the
     prior value is a lag() window; the batch's first change per key
-    reads it from the side state; the side state then advances. Signed
-    rows land in epoch-keyed dirs (replay of epoch E overwrites E, and
-    re-running a replayed epoch re-derives the same rows because the
-    side state for it was already advanced atomically with the epoch
-    marker — the state dir is committed via the same two-rename
-    protocol as ReplacingMergeSink)."""
+    reads it from the side state.
+
+    Replay safety: foreachBatch is at-least-once, so the side state is
+    kept as IMMUTABLE per-epoch snapshots (``{path}.prev/e{N}`` = state
+    after applying epoch N). Deriving epoch E always reads the newest
+    snapshot with epoch < E — a replay of an already-applied epoch
+    therefore resolves the same carry it saw the first time and
+    rewrites ``epoch=E`` with identical rows, instead of reading the
+    batch's own post-image as "prior value". Snapshots are committed by
+    staging-dir rename (any crash point either leaves the old snapshot
+    set intact or leaves a stale ``.staging`` that the rerun
+    overwrites); only the newest two are retained, since streaming
+    replays at most the last uncommitted epoch."""
 
     def __init__(
         self, spark: SparkSession, path: str, key_col: str, sign_col: str,
         ver_col: str = "ver",
     ):
         super().__init__(spark, path, key_col, sign_col, ver_col)
-        self.prev_path = path + ".prev"
+        self.prev_root = path + ".prev"
 
-    def _prev(self) -> DataFrame | None:
-        if not os.path.exists(self.prev_path):
+    def _applied_epochs(self) -> list[int]:
+        if not os.path.isdir(self.prev_root):
+            return []
+        return sorted(
+            int(name[1:])
+            for name in os.listdir(self.prev_root)
+            if name.startswith("e") and name[1:].isdigit()
+        )
+
+    def _snapshot_path(self, epoch: int) -> str:
+        return os.path.join(self.prev_root, f"e{epoch}")
+
+    def _prev(self, before_epoch: int) -> DataFrame | None:
+        """Side state as it stood before ``before_epoch`` was applied."""
+        prior = [a for a in self._applied_epochs() if a < before_epoch]
+        if not prior:
             return None
-        return self.spark.read.parquet(self.prev_path)
+        return self.spark.read.parquet(self._snapshot_path(prior[-1]))
 
     def merge(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
         from pyspark.sql import Window
 
         k = self.key_col
         v = self.ver_col
+        epoch = int(epoch_id or 0)
         w = Window.partitionBy(k).orderBy(v)
-        prev = self._prev()
+        prev = self._prev(epoch)
         b = batch_df.withColumn("_lag", F.lag("value").over(w))
         if prev is not None:
             b = b.join(
@@ -154,9 +179,10 @@ class _CollapsingSink(_AppendSink):
             F.col("prev_value").alias("value"),
             F.lit(-1).alias(self.sign_col),
         )
-        out = os.path.join(self.path, f"epoch={int(epoch_id or 0)}")
+        out = os.path.join(self.path, f"epoch={epoch}")
         plus.unionByName(minus).write.mode("overwrite").parquet(out)
-        # advance the side state: latest value per key across old + batch
+        # advance the side state: latest value per key across old + batch,
+        # committed as the immutable snapshot for this epoch
         latest = b.withColumn("_rn", F.row_number().over(w.orderBy(F.desc(v)))).where(
             F.col("_rn") == 1
         ).select(k, v, "value")
@@ -168,14 +194,14 @@ class _CollapsingSink(_AppendSink):
             .drop("_rn")
             .localCheckpoint(eager=True)
         )
-        tmp = self.prev_path + ".staging"
+        snap = self._snapshot_path(epoch)
+        tmp = snap + ".staging"
         newprev.write.mode("overwrite").parquet(tmp)
-        old = self.prev_path + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(self.prev_path):
-            os.rename(self.prev_path, old)
-        os.rename(tmp, self.prev_path)
-        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(snap, ignore_errors=True)  # replay: rebuilt identically
+        os.rename(tmp, snap)
+        # retain current + predecessor; older epochs can no longer replay
+        for stale in self._applied_epochs()[:-2]:
+            shutil.rmtree(self._snapshot_path(stale), ignore_errors=True)
 
     def final(self) -> DataFrame | None:
         log = self.state()
@@ -272,18 +298,36 @@ def run_pipeline(
             _sink.merge(batch_df, epoch_id)
             n_batches += 1
 
-        with _few_state_partitions(spark):
-            q = (
-                cdc.writeStream.foreachBatch(sink_batch)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+        try:
+            with _few_state_partitions(spark):
+                q = (
+                    cdc.writeStream.foreachBatch(sink_batch)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+        finally:
+            # the symlink dir exposing a single-file fixture as a stream
+            # source is per-invocation scratch — reclaim it
+            if _src_dir is not None:
+                shutil.rmtree(_src_dir, ignore_errors=True)
         if isinstance(sink, BufferedMergeSink):
             sink.flush()  # ≙ pg2ch's inactivity_merge_timeout final merge
         final = sink.final() if hasattr(sink, "final") else sink.state()
-        if final is not None:
+        if final is None:
+            # zero-batch stream: the sink path was never created; hand
+            # back an empty frame with the engine's declared schema so
+            # downstream .select/.join never see None
+            if spec.engine == "CollapsingMergeTree":
+                final = spark.createDataFrame([], f"{spec.key_col} bigint, net bigint")
+            else:
+                final = spark.createDataFrame(
+                    [],
+                    f"{spec.key_col} bigint, {spec.ver_col} bigint, "
+                    "op string, value double",
+                )
+        else:
             final = final.localCheckpoint(eager=True)
         result.states[spec.main_table] = final
         result.batches[spec.main_table] = n_batches

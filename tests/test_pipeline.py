@@ -251,3 +251,155 @@ def test_collapsing_carry_equals_global_expansion(spark, tmp_path, seed):
     )
     r = compare_frames(f"carry-seed{seed}", got, expected)
     assert r.ok, str(r)
+
+
+def test_collapsing_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-applied
+    epoch must regenerate byte-identical signed rows (the carry must
+    come from the snapshot PRECEDING the epoch, not the post-image the
+    first application left behind)."""
+    import pyspark.sql.functions as F
+
+    from pg2ch_spark.pipeline import _CollapsingSink
+
+    b0 = pd.DataFrame(
+        {"key": [1, 2, 1], "ver": [1, 2, 3], "op": ["I", "I", "U"],
+         "value": [10.0, 20.0, 11.0]}
+    )
+    b1 = pd.DataFrame(
+        {"key": [1, 2], "ver": [4, 5], "op": ["U", "D"], "value": [12.0, 20.0]}
+    )
+    sink = _CollapsingSink(spark, str(tmp_path / "clog"), "key", "sign")
+    sink.merge(spark.createDataFrame(b0), epoch_id=0)
+    sink.merge(spark.createDataFrame(b1), epoch_id=1)
+
+    def epoch1_rows():
+        return (
+            spark.read.parquet(str(tmp_path / "clog" / "epoch=1"))
+            .orderBy("ver", "sign")
+            .toPandas()
+        )
+
+    first = epoch1_rows()
+    # epoch-1 minus rows must carry epoch-0 priors: U(key1)→11.0, D(key2)→20.0
+    minus = first[first["sign"] == -1].set_index("key")["value"]
+    assert minus[1] == 11.0 and minus[2] == 20.0
+    # replay epoch 1 (crash between merge and checkpoint commit)
+    sink.merge(spark.createDataFrame(b1), epoch_id=1)
+    pd.testing.assert_frame_equal(first, epoch1_rows())
+    # net state is unaffected by the replay
+    net = sink.final().orderBy("key").toPandas()
+    assert net["net"].tolist() == [1]  # key 2 deleted, key 1 alive
+
+
+def test_collapsing_snapshot_staging_crash_recovers(spark, tmp_path):
+    """A crash that leaves only a stale .staging snapshot dir must not
+    lose the carry state: the rerun overwrites staging and derives the
+    same rows from the intact prior snapshot."""
+    from pg2ch_spark.pipeline import _CollapsingSink
+
+    b0 = pd.DataFrame(
+        {"key": [7], "ver": [1], "op": ["I"], "value": [5.0]}
+    )
+    b1 = pd.DataFrame(
+        {"key": [7], "ver": [2], "op": ["U"], "value": [6.0]}
+    )
+    sink = _CollapsingSink(spark, str(tmp_path / "clog"), "key", "sign")
+    sink.merge(spark.createDataFrame(b0), epoch_id=0)
+    # simulate: epoch-1 application crashed after writing the staging
+    # snapshot but before promoting it
+    stale = sink._snapshot_path(1) + ".staging"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk"), "w") as f:
+        f.write("partial write")
+    sink.merge(spark.createDataFrame(b1), epoch_id=1)
+    minus = (
+        spark.read.parquet(str(tmp_path / "clog" / "epoch=1"))
+        .where("sign = -1")
+        .toPandas()
+    )
+    assert minus["value"].tolist() == [5.0]  # prior carried, not lost
+    assert not os.path.exists(stale)
+
+
+def test_append_state_has_no_synthetic_epoch_column(pipe_result):
+    *_, res = pipe_result
+    cols = set(res.states["t_append"].columns)
+    assert cols == {"key", "ver", "op", "value"}
+
+
+def test_zero_batch_stream_yields_empty_typed_state(spark, tmp_path):
+    """A table whose stream produces no batches must yield an EMPTY
+    DataFrame with the declared schema, not None (callers .select on
+    it)."""
+    from pg2ch_spark.streaming.queries import _SCHEMA_CACHE, _events_schema
+    from pg2ch_spark import catalog
+
+    # empty source dir; schema comes from the cache as it would for a
+    # daemon that has seen the table before
+    sf = tmp_path / "sf_empty"
+    src = sf / "events.parquet"
+    os.makedirs(src)
+    real_schema = _events_schema(spark, "/root/testdata/sf0.001")
+    _SCHEMA_CACHE[catalog.table_path(str(sf), "events")] = real_schema
+
+    state_root = str(tmp_path / "state")
+    specs = [
+        TableSpec(main_table="t_r", engine="ReplacingMergeTree"),
+        TableSpec(main_table="t_c", engine="CollapsingMergeTree"),
+        TableSpec(main_table="t_a", engine="MergeTree"),
+    ]
+    res = run_pipeline(spark, specs, str(sf), state_root)
+    for t in ("t_r", "t_a"):
+        df = res.states[t]
+        assert df is not None and df.count() == 0
+        assert set(df.columns) == {"key", "ver", "op", "value"}
+        df.select("key", "value").count()  # selectable, typed
+    dfc = res.states["t_c"]
+    assert dfc is not None and dfc.count() == 0
+    assert set(dfc.columns) == {"key", "net"}
+    teardown(state_root)
+
+
+def test_pipeline_reclaims_stream_source_scratch(spark, tmp_path):
+    """Every invocation must remove the symlink dirs it creates to
+    expose SINGLE-FILE fixtures as stream sources (both the managed
+    and the maxFilesPerTrigger branches) — the real sf fixtures are
+    single files, so this is the daemon's steady-state leak path."""
+    import glob
+
+    from pg2ch_spark.streaming.runner import scratch_dir
+
+    # single-file events table → the symlink-dir branch triggers
+    sf = tmp_path / "sf_single"
+    os.makedirs(sf)
+    pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-03-01", "2024-03-02"]),
+            "user_id": [1, 2],
+            "event_type": ["signup", "view"],
+            "value": [1.0, 2.0],
+            "props": ['{"k":1}', '{"k":2}'],
+        }
+    ).to_parquet(sf / "events.parquet")
+    assert os.path.isfile(sf / "events.parquet")
+
+    probe = scratch_dir("probe_")
+    base = os.path.dirname(probe)
+    os.rmdir(probe)
+
+    def leftovers():
+        return set(glob.glob(os.path.join(base, "pg2ch_pipe_src_*"))) | set(
+            glob.glob(os.path.join(base, "pg2ch_streamsrc_*"))
+        )
+
+    before = leftovers()
+    specs = [TableSpec(main_table="t_r", engine="ReplacingMergeTree")]
+    run_pipeline(spark, specs, str(sf), str(tmp_path / "s1"))
+    run_pipeline(
+        spark, specs, str(sf), str(tmp_path / "s2"), max_files_per_trigger=1
+    )
+    assert leftovers() == before
+    teardown(str(tmp_path / "s1"))
+    teardown(str(tmp_path / "s2"))
