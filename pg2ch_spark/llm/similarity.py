@@ -65,6 +65,31 @@ def cosine(a: str, b: str, dim: int = EMB_DIM) -> Column:
     )
 
 
+# HOF (aggregate/zip_with) forms of the same math, same sequential fold
+# order (0.0 + t₁ + t₂ …) so results are bit-identical to the unrolled
+# expression and the DuckDB oracle. Trade-off, measured at sf0.1 ×200
+# (400k rows × 64 dims, local[8]): per-row eval is EQUAL to the
+# unrolled tree (~8 M rows/s both — zip_with over primitive float
+# arrays stays cheap in Spark 4), but the unrolled tree pays ~1.5-4 s
+# of one-time Janino compile for its ~200-term method while the HOF
+# plan compiles in ~0.1 s. So: single-pass scans (one cosine per row —
+# topk, knn) use the HOF form (fixed cost dominates); the all-pairs /
+# candidate-verify paths in neardup.py keep the unrolled form, where
+# its per-candidate edge inside join conditions amortizes the compile.
+def _hof_dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _hof_norm(a: str) -> Column:
+    return F.expr(
+        f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v))"
+    )
+
+
 # DuckDB-side equivalents (explicit math, same double casts and order —
 # list_cosine_similarity would compute in float32 and diverge at 4dp).
 _DOT_SQL = (
@@ -92,13 +117,28 @@ def _cos_sql(a: str, b: str) -> str:
     """,
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 nearest to vec_id=0 by (rounded cosine DESC, vec_id)."""
+    """Top-10 nearest to vec_id=0 by (rounded cosine DESC, vec_id).
+
+    Plan: broadcast the 1-row query side WITH its norm precomputed (a
+    per-query constant — no reason to recompute it per corpus row),
+    HOF dot/norm per row, TakeOrderedAndProject merge. One corpus scan,
+    no shuffle — the right brute-force plan for one query at any scale.
+    """
     e = catalog.load(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), _hof_norm("embedding").alias("_nq")
+    )
     return (
         e.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
-        .select("vec_id", F.round(cosine("embedding", "qe"), 4).alias("cos_sim"))
+        .select(
+            "vec_id",
+            F.round(
+                _hof_dot("embedding", "qe")
+                / (_hof_norm("embedding") * F.col("_nq")),
+                4,
+            ).alias("cos_sim"),
+        )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
@@ -122,7 +162,9 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN join: top-3 neighbors for each of 20 query vectors."""
     e = catalog.load(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _hof_norm("embedding").alias("_nq"),  # per-query constant
     )
     pairs = (
         e.crossJoin(F.broadcast(q))
@@ -130,7 +172,11 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine("embedding", "qe"), 4).alias("cos_sim"),
+            F.round(
+                _hof_dot("embedding", "qe")
+                / (_hof_norm("embedding") * F.col("_nq")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
