@@ -1,0 +1,218 @@
+"""Live replication path e2e: a scripted fake walsender over a real
+socket (stdlib socketserver speaking just enough of the PostgreSQL
+frontend/backend + streaming-replication protocol) replays canned
+XLogData frames and keepalives; the client under test must decode the
+committed transactions AND emit byte-for-byte-correct standby status
+acks with flush-then-ack ordering. Closes the R2 socket step the same
+way the R12 ClickHouse sink got its stub-server treatment.
+
+Frame payloads are built with the synthetic pgoutput encoder from
+test_pgoutput (the inverse of the parser, test-only).
+"""
+
+from __future__ import annotations
+
+import socketserver
+import struct
+import threading
+
+import pytest
+
+from pg2ch_spark.sources import pgoutput as pg
+from tests.test_pgoutput import begin, commit, insert, relation
+
+FIXED_CLOCK = 0x00C0FFEE  # injected so ack bytes are deterministic
+
+LSN1 = (1 << 32) | 0x100
+LSN2 = (1 << 32) | 0x200
+
+WAL_SCRIPT = [
+    # tx 1: two inserts
+    begin(LSN1, xid=7),
+    relation(42, "accounts", [(1, "id", 23), (0, "balance", 701)]),
+    insert(42, 1, 10.5),
+    insert(42, 2, 20.0),
+    commit(LSN1),
+    # tx 2: one insert (new connection-lifetime relation cache assumed warm)
+    begin(LSN2, xid=8),
+    insert(42, 3, 30.25),
+    commit(LSN2),
+]
+
+
+def _xlogdata(frame: bytes, start: int) -> bytes:
+    return b"w" + struct.pack(">qqq", start, start + len(frame), 0) + frame
+
+
+def _keepalive(wal_end: int, reply: bool) -> bytes:
+    return b"k" + struct.pack(">qqb", wal_end, 0, int(reply))
+
+
+def _msg(typ: bytes, payload: bytes) -> bytes:
+    return typ + struct.pack(">i", len(payload) + 4) + payload
+
+
+class FakeWalSender(socketserver.BaseRequestHandler):
+    """One scripted conversation; records everything the client sends."""
+
+    def _recv_exact(self, n):
+        buf = b""
+        while len(buf) < n:
+            chunk = self.request.recv(n - len(buf))
+            if not chunk:
+                return buf
+            buf += chunk
+        return buf
+
+    def _recv_client_msg(self):
+        head = self._recv_exact(5)
+        if len(head) < 5:
+            return None, None
+        (length,) = struct.unpack(">i", head[1:5])
+        return head[:1], self._recv_exact(length - 4)
+
+    def handle(self):
+        log = self.server.log
+        # 1. startup (length-prefixed, untyped)
+        (n,) = struct.unpack(">i", self._recv_exact(4))
+        startup = self._recv_exact(n - 4)
+        log["startup"] = startup
+        # 2. auth ok + ready
+        self.request.sendall(_msg(b"R", struct.pack(">i", 0)))
+        self.request.sendall(_msg(b"Z", b"I"))
+        # 3. START_REPLICATION query
+        typ, payload = self._recv_client_msg()
+        assert typ == b"Q"
+        log["query"] = payload
+        # 4. CopyBoth + scripted stream
+        self.request.sendall(_msg(b"W", struct.pack(">bh", 0, 0)))
+        out = [_keepalive(0, reply=True)]  # ping before any data
+        pos = 0x100
+        for frame in WAL_SCRIPT:
+            out.append(_xlogdata(frame, pos))
+            pos += len(frame)
+        out.append(_keepalive(pos, reply=True))  # final ping
+        out.append(None)  # CopyDone marker
+        for item in out:
+            if item is None:
+                self.request.sendall(_msg(b"c", b""))
+            else:
+                self.request.sendall(_msg(b"d", item))
+        # 5. drain client messages (acks + terminate), recording bytes
+        acks = []
+        while True:
+            typ, payload = self._recv_client_msg()
+            if typ in (None, b"X"):
+                break
+            if typ == b"d":
+                acks.append(payload)
+        log["acks"] = acks
+        self.server.done.set()
+
+
+@pytest.fixture()
+def walsender():
+    server = socketserver.TCPServer(("127.0.0.1", 0), FakeWalSender)
+    server.log = {}
+    server.done = threading.Event()
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield server
+    server.shutdown()
+    server.server_close()
+
+
+def _expected_ack(lsn: int) -> bytes:
+    return b"r" + struct.pack(">qqqqb", lsn, lsn, lsn, FIXED_CLOCK, 0)
+
+
+def test_replication_stream_decodes_and_acks_byte_for_byte(walsender):
+    host, port = walsender.server_address
+    got = list(
+        pg.replication_stream(
+            host,
+            port,
+            slot="pg2ch_slot",
+            publication="pg2ch_pub",
+            user="repl",
+            database="shop",
+            clock=lambda: FIXED_CLOCK,
+        )
+    )
+    assert walsender.done.wait(5), "server conversation did not finish"
+    log = walsender.log
+
+    # -- decoded transactions match the pure-Python fold of the same WAL
+    expected_rows = list(pg.decode_stream(WAL_SCRIPT))
+    assert [lsn for lsn, _ in got] == [LSN1, LSN2]
+    flat = [r for _, rows in got for r in rows]
+    assert [(r.relation, r.op, r.lsn, r.seq, r.values) for r in flat] == [
+        (r.relation, r.op, r.lsn, r.seq, r.values) for r in expected_rows
+    ]
+    assert flat[0].values == {"id": 1, "balance": 10.5}
+    assert flat[2].values == {"id": 3, "balance": 30.25}
+
+    # -- handshake bytes: protocol 3.0 + replication=database
+    assert log["startup"].startswith(struct.pack(">i", 196608))
+    params = log["startup"][4:].split(b"\x00")
+    kv = dict(zip(params[0::2], params[1::2]))
+    assert kv[b"replication"] == b"database"
+    assert kv[b"user"] == b"repl" and kv[b"database"] == b"shop"
+
+    # -- START_REPLICATION text, byte-for-byte
+    assert log["query"] == (
+        b"START_REPLICATION SLOT pg2ch_slot LOGICAL 0/0 "
+        b"(proto_version '1', publication_names 'pg2ch_pub')\x00"
+    )
+
+    # -- standby status updates, byte-for-byte, flush-then-ack order:
+    # keepalive ping before any commit → flushed=0; tx acks only after
+    # the consumer resumed (sink commit); final ping → flushed=LSN2.
+    assert log["acks"] == [
+        _expected_ack(0),
+        _expected_ack(LSN1),
+        _expected_ack(LSN2),
+        _expected_ack(LSN2),
+    ]
+
+
+def test_crash_before_resume_does_not_ack(walsender):
+    """Consumer crashes mid-sink (never resumes the generator after the
+    first tx): the commit LSN must NOT be acknowledged — the slot would
+    re-deliver from LSN1 on restart (at-least-once)."""
+    host, port = walsender.server_address
+    stream = pg.replication_stream(
+        host,
+        port,
+        slot="pg2ch_slot",
+        publication="pg2ch_pub",
+        clock=lambda: FIXED_CLOCK,
+    )
+    lsn, rows = next(stream)
+    assert lsn == LSN1 and len(rows) == 2
+    stream.close()  # GeneratorExit before the post-yield ack
+    assert walsender.done.wait(5)
+    # only the keepalive reply (flushed=0) ever went out — LSN1 unacked
+    assert walsender.log["acks"] == [_expected_ack(0)]
+
+
+def test_auth_challenge_is_rejected_cleanly():
+    """A server demanding non-trust auth must produce a clear error,
+    not a protocol hang (documented scope boundary)."""
+
+    class Md5Server(FakeWalSender):
+        def handle(self):
+            (n,) = struct.unpack(">i", self._recv_exact(4))
+            self._recv_exact(n - 4)
+            self.request.sendall(_msg(b"R", struct.pack(">i", 5) + b"salt"))
+
+    server = socketserver.TCPServer(("127.0.0.1", 0), Md5Server)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = server.server_address
+        with pytest.raises(pg.PgOutputError, match="auth method 5"):
+            pg.WalSenderClient(host, port)
+    finally:
+        server.shutdown()
+        server.server_close()
