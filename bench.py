@@ -25,12 +25,20 @@ Two measurements, both reported (protocol in BASELINE.md):
    saturates all cores; measured in BASELINE.md) — so each engine is
    reported at its own best schedule on the same machine.
 
+Full-suite runs are SELF-NORMALIZING: the DuckDB oracle suite runs
+immediately before and after the Spark suite on the same host, and the
+output carries both Spark/oracle ratios (``idle_check``). Host noise
+during the window shows up as before/after disagreement, so a recorded
+artifact certifies its own measurement conditions instead of relying
+on a separately-recorded baseline number.
+
 Usage:
-    python bench.py                  # serial pass + concurrent pass
+    python bench.py                  # oracle → serial + concurrent → oracle
     python bench.py --repeat 3      # median of 3 (BASELINE.md protocol)
-    python bench.py --keys q1,q2    # subset
+    python bench.py --keys q1,q2    # subset (skips the idle-check)
     python bench.py --serial-only   # skip the concurrent pass
     python bench.py --oracle        # time the DuckDB oracles instead
+    python bench.py --no-idle-check # skip the bracketing oracle runs
 """
 
 from __future__ import annotations
@@ -157,14 +165,27 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=1)
     ap.add_argument("--oracle", action="store_true", help="time DuckDB oracles instead")
     ap.add_argument("--serial-only", action="store_true", help="skip the concurrent pass")
+    ap.add_argument(
+        "--no-idle-check",
+        action="store_true",
+        help="skip the bracketing oracle runs on full-suite Spark benches",
+    )
     args = ap.parse_args()
 
     keys = args.keys.split(",") if args.keys else None
+    idle_check = (
+        not args.oracle
+        and not args.serial_only
+        and keys is None
+        and not args.no_idle_check
+    )
+    oracle_before = run_oracle(args.sf_dir, None, 1) if idle_check else None
     if args.oracle:
         times = run_oracle(args.sf_dir, keys, args.repeat)
         wall = None
     else:
         times, wall = run_spark(args.sf_dir, keys, args.repeat, args.serial_only)
+    oracle_after = run_oracle(args.sf_dir, None, 1) if idle_check else None
 
     serial_sum = round(sum(times.values()), 3)
     result = {
@@ -179,6 +200,19 @@ def main() -> None:
         "queries": times,
         "sf": _sf_from_dir(args.sf_dir),
     }
+    if idle_check:
+        ob = round(sum(oracle_before.values()), 3)
+        oa = round(sum(oracle_after.values()), 3)
+        headline = result["value"]
+        result["idle_check"] = {
+            # oracle suite serial sums bracketing the Spark run (DuckDB
+            # already saturates all cores per query — serial IS its best
+            # schedule, the BASELINE.md protocol)
+            "oracle_before_sec": ob,
+            "oracle_after_sec": oa,
+            "ratio_vs_before": round(headline / ob, 3),
+            "ratio_vs_after": round(headline / oa, 3),
+        }
     # Full per-query detail: to a sidecar file plus an early stdout line.
     # The final stdout line must survive a bounded tail capture (observed:
     # last 2000 chars), so it inlines only the slowest queries and folds

@@ -401,6 +401,50 @@ def test_hll_sketch_merge_precision(spark):
         assert abs(got[et] - exact) / exact < 0.05, (et, got[et], exact)
 
 
+@pytest.mark.parametrize(
+    ("seed", "n_users", "n_rows"),
+    [(11, 500, 20_000), (23, 5_000, 60_000), (47, 40_000, 120_000)],
+)
+def test_hll_sketch_merge_precision_synthetic(
+    spark, tmp_path, seed, n_users, n_rows
+):
+    """The ±5% bound must hold across corpus sizes and RNGs, not just
+    the one fixture draw: small (all users seen per type), mid, and a
+    cardinality (40k) well past lgK=12's exact-mode threshold where
+    the estimator is genuinely probabilistic."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n_rows, dtype="int64"),
+            "ts": pd.Timestamp("2024-06-01")
+            + pd.to_timedelta(rng.integers(0, 86400, n_rows), unit="s"),
+            "user_id": rng.integers(0, n_users, n_rows).astype("int64"),
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "signup", "error"], n_rows
+            ),
+            "value": rng.uniform(0, 100, n_rows),
+            "props": ['{"k":1}'] * n_rows,
+        }
+    )
+    sf = tmp_path / "sf_hll"
+    os.makedirs(sf)
+    pdf.to_parquet(sf / "events.parquet")
+
+    qs = registry.queries()
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in qs["agg_hll_sketch_merge"](spark, str(sf)).collect()
+    }
+    exact_all = pdf["user_id"].nunique()
+    assert abs(got["ALL"] - exact_all) / exact_all < 0.05
+    for et, grp in pdf.groupby("event_type"):
+        exact = grp["user_id"].nunique()
+        assert abs(got[et] - exact) / exact < 0.05, (et, got[et], exact)
+
+
 def test_dedup_cluster_transitive_chain(spark, tmp_path):
     """Connected components must merge by TRANSITIVITY: A~B and B~C
     put A and C in one cluster even though jaccard(A, C) < 0.5.
