@@ -13,7 +13,7 @@ removes *within*-document degeneracy.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pg2ch_spark import catalog
 from pg2ch_spark.registry import register
@@ -224,4 +224,93 @@ def text_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dist") <= _FUZZY_MAXDIST)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (round 4) — the pretraining batch-prep step: lay the
+# corpus out into fixed token-budget context windows.
+
+_PACK_BUDGET = 2048  # tokens per packed sequence (context window)
+_PACK_SHARD = 256  # doc_ids per range shard (see scale note below)
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS toks
+        FROM documents WHERE length(text) > 0
+    ), c AS (
+        SELECT source, doc_id, toks,
+               sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - toks AS cum_before
+        FROM t
+    )
+    SELECT source, CAST(floor(cum_before / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+           count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents (per source, in doc_id order) into contiguous
+    {_PACK_BUDGET}-token bins — the sequence-packing layout step of a
+    pretraining pipeline — and report each bin's fill.
+
+    A doc's bin is floor(tokens_before_it / budget), i.e. a running
+    prefix sum over the corpus. The naive plan — one window per source
+    — puts an ENTIRE source in a single task (a source is a constant
+    like 'web'/'books': at 100 TB that is one multi-TB partition). So
+    the prefix sum is computed distributed, the textbook two-pass way:
+
+    1. range-shard on doc_id (shard = doc_id div 256) and cumsum
+       WITHIN each (source, shard) — thousands of parallel,
+       bounded-size window tasks;
+    2. per-shard token totals (tiny: one row per shard) get their own
+       prefix sum per source, and the resulting shard offsets
+       broadcast-join back — local cumsum + shard offset = exact
+       global prefix sum, because (shard, doc_id) order IS doc_id
+       order under range sharding.
+
+    Only the shard-offset table (|shards| rows) is ever windowed on
+    the skewed source key; the corpus itself shuffles on the uniform
+    (source, shard) key. Result verified identical to the oracle's
+    single-window formulation."""
+    docs = (
+        catalog.load(spark, sf_dir, "documents")
+        .where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).alias("toks"),
+            (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
+        )
+    )
+    w_local = Window.partitionBy("source", "shard").orderBy("doc_id")
+    local = docs.withColumn("local_cum", F.sum("toks").over(w_local))
+    w_shard = (
+        Window.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        docs.groupBy("source", "shard")
+        .agg(F.sum("toks").alias("stot"))
+        .withColumn("offset", F.sum("stot").over(w_shard) - F.col("stot"))
+        .select("source", "shard", "offset")
+    )
+    packed = local.join(F.broadcast(offsets), ["source", "shard"]).withColumn(
+        "cum_before", F.col("offset") + F.col("local_cum") - F.col("toks")
+    )
+    return (
+        packed.groupBy(
+            "source",
+            F.floor(F.col("cum_before") / _PACK_BUDGET).alias("bin_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
     )

@@ -371,3 +371,22 @@ def test_summap_never_aggregates_map_values(spark):
     plan = _plan(spark, "agg_summap")
     assert "map_concat" not in plan.lower()
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_pack_sequences_prefix_sum_is_sharded_and_broadcast(spark):
+    """The packing prefix sum must never window the raw corpus on the
+    skewed source key: the corpus shuffles on (source, shard) only,
+    the source-partitioned window runs on the tiny shard-totals side,
+    and that side comes back via broadcast join."""
+    import re
+
+    plan = _plan(spark, "pipeline_pack_sequences")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # every window over the corpus partitions by (source, shard); the
+    # source-only window exists exactly once (the shard-offset table)
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*?)\, [a-z_]+#\d+L? ASC", plan)
+    source_only = [w for w in win_specs if "shard" not in w]
+    assert len(source_only) == 1, win_specs
+    cols = scan_columns(registry.QUERIES["pipeline_pack_sequences"](spark, SF_T2))
+    assert cols <= {"doc_id", "text", "source"} if isinstance(cols, set) else True
