@@ -1,0 +1,450 @@
+"""Group K (pipeline ops, round 4) — training-data preparation operators.
+
+Six operators a large-scale pretraining/post-training data pipeline
+runs between "raw corpus" and "batched tokens": BPE merge-candidate
+mining, weighted source mixing, preference-pair construction,
+curriculum length bucketing, incremental snapshot dedup, and
+embedding standardization. All are pure DataFrame plans — the hot
+paths are JVM-side HOFs and hash functions, never Python.
+
+Scale notes (100 TB of documents):
+- bpe merge candidates: the bigram explode multiplies rows ~100×, but
+  map-side partial aggregation collapses each partition's Zipf head
+  before the shuffle; the global top-k is TakeOrderedAndProject (no
+  total sort).
+- weighted mixing: a map-only hash filter — zero shuffle; the kept set
+  is a pure function of (doc_id, source), so re-runs and backfills
+  select the identical sample on any engine.
+- preference pairs: one shuffle on the (source, lang) group key; the
+  two rank orders share the same Exchange (plan-tested).
+- length buckets: global rank computed the distributed two-pass way
+  (range-shard on the order key, local rank + broadcast shard
+  offsets) — the corpus is never windowed in a single task, unlike the
+  naive global ntile (see `pipeline_pack_sequences` for the sibling
+  cumsum form).
+- incremental dedup: anti-join on md5(text) — 16-byte keys shuffle,
+  never the text; the base side of a daily increment is the big side,
+  so the join is shuffle-hash on the hash key (no sort needed).
+- embedding standardize: per-dimension moments are 64 tiny rows
+  broadcast back — the corpus shuffles once (posexplode partial agg)
+  and the normalization itself is a zero-shuffle in-row HOF.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pg2ch_spark import catalog
+from pg2ch_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate mining — the first iteration of BPE tokenizer
+# training: corpus-wide adjacent-token-pair counts, top-k.
+
+_BPE_TOPK = 30
+
+
+@register(
+    "text_bpe_merge_candidates",
+    oracle=f"""
+    WITH t AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+    ), pairs AS (
+        SELECT toks[i] || ' ' || toks[i + 1] AS pair
+        FROM t, unnest(range(1, len(toks))) AS r(i)
+        WHERE len(toks) >= 2
+    ), counted AS (
+        SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n FROM counted
+    QUALIFY row_number() OVER (ORDER BY n DESC, pair) <= {_BPE_TOPK}
+    """,
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} adjacent token pairs corpus-wide — the merge-candidate
+    scan of one BPE training iteration (tokenizer induction over the
+    corpus the engine will later tokenize).
+
+    Bigrams are formed in-row with `zip_with` over two shifted slices
+    (codegen, no Python), exploded, and partially aggregated map-side —
+    the Zipf head collapses before the shuffle, so the exchange carries
+    ~|vocab²∩corpus| rows, not ~|tokens|. The top-k is `orderBy.limit`
+    = TakeOrderedAndProject: each task keeps k rows, the driver merges
+    heaps; no global sort at any scale. Ties break on the pair text so
+    the result is total-ordered and engine-independent.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    return counted.orderBy(F.col("n").desc(), "pair").limit(_BPE_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Weighted source mixing — deterministic hash-threshold sampling to a
+# per-source rate table (the dataset-mixing step of pretraining prep).
+
+# Per-source keep rates by source band: src0-4 full weight, src5-9
+# half, src10-14 quarter, src15-19 eighth. Rates are dyadic so the
+# hex thresholds below are exact (rate × 16^8 is an integer).
+_MIX_THRESHOLDS = {0: None, 1: "80000000", 2: "40000000", 3: "20000000"}
+
+
+@register(
+    "pipeline_mix_weighted",
+    oracle="""
+    WITH banded AS (
+        SELECT doc_id, source, n_chars,
+               CAST(substr(source, 4) AS INT) // 5 AS band,
+               substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8) AS h
+        FROM documents
+    ), kept AS (
+        SELECT * FROM banded
+        WHERE CASE band WHEN 0 THEN TRUE
+                        WHEN 1 THEN h < '80000000'
+                        WHEN 2 THEN h < '40000000'
+                        ELSE h < '20000000' END
+    )
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM kept GROUP BY source
+    """,
+)
+def pipeline_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: each source band keeps a dyadic fraction
+    (1, 1/2, 1/4, 1/8) of its documents, selected by comparing the
+    first 8 hex digits of md5(doc_id:source) against the rate's exact
+    hex threshold — a Bernoulli sample that is a pure function of the
+    row, so any engine (and any re-run over a grown corpus) keeps the
+    identical set. This is how mixture weights ("3 parts web, 1 part
+    code") are applied without an RNG whose state would have to be
+    coordinated across 1000 executors.
+
+    Map-only: the filter is evaluated at the scan (no shuffle until the
+    final per-source count), and the md5 comparison is codegen'd.
+    Fixed-width lowercase hex compares correctly as a string, so no
+    bigint conversion is needed on either engine.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(
+            F.concat_ws(":", F.col("doc_id").cast("string"), "source").cast("binary")
+        ),
+        1,
+        8,
+    )
+    band = (F.substring("source", 4, 5).cast("int") / 5).cast("int")
+    keep = F.when(band == 0, F.lit(True))
+    for b, thr in _MIX_THRESHOLDS.items():
+        if thr is not None:
+            keep = keep.when(band == b, h < F.lit(thr))
+    return (
+        docs.where(keep.otherwise(F.lit(False)))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair construction — the DPO/RLHF data-prep join: per
+# group, pair the best candidate against the worst.
+
+
+@register(
+    "pipeline_pref_pairs",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source, lang
+                                  ORDER BY n_chars DESC, doc_id) AS rk_best,
+               row_number() OVER (PARTITION BY source, lang
+                                  ORDER BY n_chars ASC, doc_id DESC) AS rk_worst,
+               count(*) OVER (PARTITION BY source, lang) AS grp_n
+        FROM documents
+    ), best AS (
+        SELECT source, lang, doc_id AS chosen_id, n_chars AS chosen_chars
+        FROM ranked WHERE rk_best = 1 AND grp_n >= 2
+    ), worst AS (
+        SELECT source, lang, doc_id AS rejected_id, n_chars AS rejected_chars
+        FROM ranked WHERE rk_worst = 1 AND grp_n >= 2
+    )
+    SELECT source, lang, chosen_id, rejected_id,
+           chosen_chars - rejected_chars AS margin_chars
+    FROM best JOIN worst USING (source, lang)
+    """,
+)
+def pipeline_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference pairs per (source, lang): the highest-ranked document
+    (n_chars DESC, doc_id — a stand-in for a reward score) paired with
+    the lowest-ranked (n_chars ASC, doc_id DESC), with the score
+    margin — the "chosen vs rejected" construction step of DPO/RLHF
+    data prep. Groups of one are dropped (no pair exists); the
+    opposite tie-break directions guarantee chosen ≠ rejected for
+    every group of ≥2 even when all scores tie.
+
+    The oracle ranks with two windows; here both extremes come out of
+    ONE aggregation — max/min over struct(n_chars, −doc_id), whose
+    lexicographic order encodes exactly those two tie-breaks — so the
+    corpus is scanned once and shuffled once, with map-side partials
+    (each partition contributes one candidate pair per group, not its
+    rows). No window, no self-join (plan-tested).
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    ranked = F.struct(
+        F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("negid")
+    )
+    agg = (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("grp_n"),
+            F.max(ranked).alias("mx"),
+            F.min(ranked).alias("mn"),
+        )
+        .where(F.col("grp_n") >= 2)
+    )
+    return agg.select(
+        "source",
+        "lang",
+        (-F.col("mx.negid")).alias("chosen_id"),
+        (-F.col("mn.negid")).alias("rejected_id"),
+        (F.col("mx.nc") - F.col("mn.nc")).alias("margin_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum length bucketing — ntile(4) over token count, computed as
+# a DISTRIBUTED global rank (range-shard + broadcast offsets), never a
+# single-task window.
+
+_CURR_K = 4  # buckets
+_CURR_SHARD = 16  # n_tokens per range shard
+
+
+@register(
+    "pipeline_length_buckets",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), b AS (
+        SELECT doc_id, n_tokens,
+               ntile({_CURR_K}) OVER (ORDER BY n_tokens, doc_id) AS bucket
+        FROM t
+    )
+    SELECT bucket, count(*) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM b GROUP BY bucket
+    """,
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum length buckets: documents split into {k} equal-depth
+    buckets by (token count, doc_id) order — the length-bucketed
+    batching / curriculum-stage assignment step (short docs first,
+    long-context docs last).
+
+    The oracle's `ntile(4) OVER (ORDER BY ...)` is a single-task global
+    sort — the one window shape this repo bans at scale. Here the
+    global rank is computed the distributed two-pass way (sibling of
+    `pipeline_pack_sequences`' prefix sum):
+
+    1. range-shard on the LEADING order key (shard = n_tokens div
+       {shard}) — range sharding means (shard, n_tokens, doc_id) order
+       IS global (n_tokens, doc_id) order;
+    2. row_number within each shard (bounded parallel windows) + each
+       shard's row count prefix-summed into broadcast offsets → exact
+       global rank;
+    3. ntile's bucket boundary formula applied to the rank in closed
+       form: with n rows, the first n mod k buckets get ⌈n/k⌉ rows —
+       and n itself is the full-frame sum in the SAME offsets window
+       pass, so the broadcast side carries (shard, offset, n_total)
+       and no second corpus scan or cross join exists.
+    """
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    sharded = docs.withColumn(
+        "shard", (F.col("n_tokens") / _CURR_SHARD).cast("long")
+    )
+    w_local = Window.partitionBy("shard").orderBy("n_tokens", "doc_id")
+    local = sharded.withColumn("local_rk", F.row_number().over(w_local))
+    w_shard = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # |shards| rows (≤ max_tokens/16) — the only globally-windowed
+    # frame; both window frames share its one tiny sort.
+    offsets = (
+        sharded.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("srows"))
+        .withColumn("offset", F.sum("srows").over(w_shard) - F.col("srows"))
+        .withColumn("n_total", F.sum("srows").over(w_all))
+        .select("shard", "offset", "n_total")
+    )
+    ranked = local.join(F.broadcast(offsets), "shard").withColumn(
+        "rk", F.col("offset") + F.col("local_rk")
+    )
+    base = (F.col("n_total") / _CURR_K).cast("long")
+    rem = F.col("n_total") % _CURR_K
+    big = rem * (base + 1)  # rows covered by the ⌈n/k⌉-sized buckets
+    bucket = F.when(
+        F.col("rk") <= big, F.ceil(F.col("rk") / (base + 1))
+    ).otherwise(rem + F.ceil((F.col("rk") - big) / base))
+    return (
+        ranked.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental snapshot dedup — the daily-ingest primitive: dedup a new
+# batch against the already-ingested corpus, then within itself.
+
+
+@register(
+    "dedup_incremental_snapshot",
+    oracle="""
+    WITH base AS (
+        SELECT DISTINCT md5(text) AS th FROM documents WHERE source = 'src0'
+    ), incoming AS (
+        SELECT doc_id, source, md5(text) AS th FROM documents
+        WHERE source <> 'src0'
+    ), vs_base AS (
+        SELECT i.* FROM incoming i ANTI JOIN base b ON i.th = b.th
+    ), in_batch AS (
+        SELECT doc_id, source, th,
+               row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rk
+        FROM vs_base
+    )
+    SELECT source,
+           count(*) FILTER (rk = 1) AS n_kept,
+           count(*) FILTER (rk > 1) AS n_dropped_in_batch,
+           (SELECT count(*) FROM incoming) -
+               (SELECT count(*) FROM vs_base) AS n_dropped_vs_base
+    FROM in_batch GROUP BY source
+    """,
+)
+def dedup_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an incoming batch (source ≠ src0) against
+    the ingested corpus snapshot (src0): drop exact duplicates of the
+    base first (anti-join on md5(text)), then keep-first within the
+    survivors — the ordering a daily ingest runs so a doc seen
+    yesterday never re-enters and today's internal dups collapse once.
+    Per-source report: kept, dropped-in-batch, dropped-vs-base (the
+    latter a corpus-wide constant column, as in the oracle).
+
+    Both steps shuffle 16-byte md5 keys, never text. At 100 TB the
+    base is the big side, so the anti-join hashes the INCREMENT
+    (days are small, snapshots are huge) — Spark's left-anti with the
+    small left side broadcast when it fits, shuffle-hash otherwise;
+    either way the snapshot is never sorted.
+    """
+    docs = catalog.load(spark, sf_dir, "documents").withColumn(
+        "th", F.md5(F.col("text").cast("binary"))
+    )
+    base = docs.where(F.col("source") == "src0").select("th").distinct()
+    incoming = docs.where(F.col("source") != "src0").select(
+        "doc_id", "source", "th"
+    )
+    vs_base = incoming.join(base, "th", "left_anti")
+    n_in = incoming.groupBy().agg(F.count(F.lit(1)).alias("_n_in"))
+    n_vs = vs_base.groupBy().agg(F.count(F.lit(1)).alias("_n_vs"))
+    dropped_vs_base = n_in.crossJoin(n_vs).select(
+        (F.col("_n_in") - F.col("_n_vs")).alias("n_dropped_vs_base")
+    )
+    w = Window.partitionBy("th").orderBy("doc_id")
+    in_batch = vs_base.withColumn("rk", F.row_number().over(w))
+    return (
+        in_batch.groupBy("source")
+        .agg(
+            F.count(F.when(F.col("rk") == 1, 1)).alias("n_kept"),
+            F.count(F.when(F.col("rk") > 1, 1)).alias("n_dropped_in_batch"),
+        )
+        .crossJoin(F.broadcast(dropped_vs_base))
+        .select("source", "n_kept", "n_dropped_in_batch", "n_dropped_vs_base")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding standardization — per-dimension z-scoring (feature
+# whitening, diagonal form) of the embedding corpus.
+
+_STD_DIMS = 4  # emitted dims (stats computed over all 64)
+
+
+@register(
+    "embedding_standardize",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, i,
+               CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+    ), stats AS (
+        SELECT i, avg(v) AS mu,
+               sqrt(avg(v * v) - avg(v) * avg(v)) AS sigma
+        FROM e GROUP BY i
+    )
+    SELECT e.vec_id, e.label, e.i AS dim,
+           round((e.v - s.mu) / s.sigma, 4) AS z
+    FROM e JOIN stats s ON e.i = s.i
+    WHERE e.i <= {_STD_DIMS}
+    """,
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (z-score whitening, diagonal
+    covariance) of the embedding corpus — the normalization step before
+    cosine/ANN indexing when dimensions have unequal scales. Emits the
+    first {dims} dims per vector; the moment statistics cover ALL
+    dimensions.
+
+    Population moments per dimension are one posexplode + partial agg —
+    the shuffle carries 64 (sum, sumsq, count) partials per map task,
+    not the corpus — and the 64-row stats frame broadcasts back onto
+    the exploded rows. sigma uses the E[v²]−E[v]² closed form so one
+    pass suffices (same form as the oracle, so float rounding agrees).
+    Values cast float→double BEFORE any arithmetic on both engines.
+    """
+    emb = catalog.load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    ).withColumn("dim", F.col("pos") + 1)
+    stats = e.groupBy("dim").agg(
+        F.avg("v").alias("mu"),
+        F.sqrt(F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")).alias(
+            "sigma"
+        ),
+    )
+    return (
+        e.where(F.col("dim") <= _STD_DIMS)
+        .join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "label",
+            "dim",
+            F.round((F.col("v") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+        )
+    )

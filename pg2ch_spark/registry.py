@@ -171,6 +171,9 @@ def load_all() -> None:
         sorts,
         setops,
     )
+    # Round-4 additions (append after the backlog window — see
+    # _DRIVER_PRIORITY):
+    from pg2ch_spark.llm import pipelineops  # noqa: F401
 
     _LOADED = True
 

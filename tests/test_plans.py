@@ -390,3 +390,73 @@ def test_pack_sequences_prefix_sum_is_sharded_and_broadcast(spark):
     assert len(source_only) == 1, win_specs
     cols = scan_columns(registry.QUERIES["pipeline_pack_sequences"](spark, SF_T2))
     assert cols <= {"doc_id", "text", "source"} if isinstance(cols, set) else True
+
+
+def test_bpe_merge_candidates_partial_agg_then_topk(spark):
+    """The bigram count must partially aggregate map-side (the Zipf
+    head collapses before the shuffle) and the global top-k must be
+    TakeOrderedAndProject, never a full sort."""
+    plan = _plan(spark, "text_bpe_merge_candidates")
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+    cols = scan_columns(registry.QUERIES["text_bpe_merge_candidates"](spark, SF_T2))
+    assert cols == ["text"]
+
+
+def test_mix_weighted_filter_is_map_only(spark):
+    """The hash-threshold keep filter must run at the scan side: the
+    only exchange in the plan is the final per-source aggregation."""
+    from pg2ch_spark.plans import exchange_count
+
+    df = registry.QUERIES["pipeline_mix_weighted"](spark, SF_T2)
+    assert exchange_count(df) == 1
+    plan = _plan(spark, "pipeline_mix_weighted")
+    assert "Join" not in plan  # pure filter + agg, no join of any kind
+
+
+def test_pref_pairs_single_scan_single_exchange(spark):
+    """Both extremes must come out of one aggregation: one corpus scan,
+    one shuffle with map-side partials, no window, no self-join."""
+    from pg2ch_spark.plans import exchange_count
+
+    df = registry.QUERIES["pipeline_pref_pairs"](spark, SF_T2)
+    plan = _plan(spark, "pipeline_pref_pairs")
+    assert exchange_count(df) == 1
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "Window" not in plan
+    # struct min/max plans as SortAggregate — still partial + final
+    assert plan.count("Aggregate(key") + plan.count("HashAggregate(key") >= 2
+
+
+def test_length_buckets_rank_is_sharded_and_broadcast(spark):
+    """The global rank must come from shard-local windows + broadcast
+    offsets — the raw corpus is never windowed in a single task."""
+    import re
+
+    plan = _plan(spark, "pipeline_length_buckets")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # no corpus-wide single-partition window: the only SinglePartition
+    # exchange is the |shards|-row offsets frame (which aggregates
+    # before windowing), and n_total rides that same frame — no
+    # second global agg, no cross join.
+    assert len(re.findall(r"Exchange SinglePartition", plan)) <= 1
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_shuffles_hashes_not_text(spark):
+    """Both dedup steps key on md5(text): no plan node may shuffle or
+    sort the raw text column."""
+    import re
+
+    plan = _plan(spark, "dedup_incremental_snapshot")
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1), m.group(0)
+
+
+def test_embedding_standardize_stats_are_broadcast(spark):
+    """The 64-row per-dimension moment table must broadcast back onto
+    the exploded corpus — never a sort-merge join."""
+    plan = _plan(spark, "embedding_standardize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
