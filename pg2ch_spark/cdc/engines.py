@@ -221,3 +221,43 @@ def cdc_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", "ver", "op", "value")
     )
     return _latest_per_key(tail).select("key", "ver", "op", "value")
+
+
+@register(
+    "cdc_bucketed_compaction",
+    oracle=CDC_CTE
+    + """
+    SELECT key, ver, op, value FROM cdc
+    QUALIFY row_number() OVER (PARTITION BY key ORDER BY ver DESC) = 1
+    """,
+)
+def cdc_bucketed_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree state built through the O(touched)
+    `BucketedMergeSink` (the production MERGE shape — hash-bucketed
+    main state, flushes rewrite only delta-touched buckets): the
+    derived CDC log is applied in three interleaved batches with a
+    forced compaction each, and the answer is the sink's final on-disk
+    state. The oracle is the plain latest-per-key SQL — if bucket
+    routing, pruning, staged renames, or the buffer tier drop or
+    duplicate any row, the hash gate fails. Crash/replay properties
+    are covered in tests/test_cdc_properties.py."""
+    import shutil
+    import uuid
+
+    from pg2ch_spark.cdc.merge_sink import BucketedMergeSink
+    from pg2ch_spark.streaming.runner import scratch_dir
+
+    base = scratch_dir("pg2ch_buckq_")
+    root = base + "/" + uuid.uuid4().hex[:8]
+    try:
+        cdc = derive_cdc(spark, sf_dir)
+        sink = BucketedMergeSink(
+            spark, root + "/state", "key", "ver", merge_every=1, n_buckets=16
+        )
+        for b in range(3):
+            sink.merge(cdc.where(F.pmod("ver", F.lit(3)) == b))
+        state = sink.state().select("key", "ver", "op", "value")
+        # materialize before the scratch tree is reclaimed
+        return state.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -139,3 +139,119 @@ class BufferedMergeSink(ReplacingMergeSink):
         lag — a FINAL-style read here keeps the test contract exact)."""
         self.flush()
         return super().state()
+
+
+class BucketedMergeSink(BufferedMergeSink):
+    """Buffer→merge sink whose compaction is O(touched state), not
+    O(total state) — the production MERGE shape.
+
+    `BufferedMergeSink` amortizes the per-batch cost, but its flush
+    still rewrites the WHOLE main state: at 100 TB of keyed state a
+    micro-batch touching 0.1% of keys would rewrite 100 TB. Real
+    engines avoid that by file-level pruning (Delta/Iceberg MERGE INTO
+    rewrites only data files containing matched keys; ClickHouse merges
+    per-part). This sink implements the same idea directly: main state
+    lives in ``n_buckets`` fixed hash buckets of the key
+    (``pmod(xxhash64(key), n)``, one parquet dir ``b<i>`` each — plain
+    names, so no partition-discovery column leaks into the schema), and
+    a flush
+
+    1. collapses the buffer to its argmax-per-key delta,
+    2. lists the delta's DISTINCT buckets (≤ n_buckets ints — the only
+       driver-side data, bounded by construction),
+    3. replacing-merges delta + existing state FOR THOSE BUCKETS ONLY
+       in one Spark job (staging dir partitioned by bucket),
+    4. promotes each touched bucket with the two-rename protocol.
+
+    Untouched buckets are never read, never written. At scale
+    n_buckets is sized so a bucket ≈ a compaction unit (e.g. 4096
+    buckets over 100 TB → ~25 GB rewrites per touched bucket).
+
+    Convergence under at-least-once replay is inherited: the bucket
+    renames are not atomic as a group, but a crash anywhere before the
+    buffer truncate re-runs the same flush, and re-merging an
+    already-merged delta is a no-op by argmax(ver). Per-bucket ``.old``
+    recovery mirrors ``ReplacingMergeSink.state()``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str,
+        ver_col: str,
+        merge_every: int = 4,
+        n_buckets: int = 16,
+    ):
+        super().__init__(spark, path, key_col, ver_col, merge_every)
+        self.n_buckets = n_buckets
+        self.buckets_rewritten = 0  # cumulative, for pruning assertions
+
+    def _bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "_b", F.pmod(F.xxhash64(self.key_col), F.lit(self.n_buckets))
+        )
+
+    def _bucket_dir(self, b: int) -> str:
+        return os.path.join(self.path, f"b{b}")
+
+    def _recover_bucket(self, b: int) -> str | None:
+        """Promote a crash-window ``.old`` back, return the dir if it
+        holds data."""
+        bdir = self._bucket_dir(b)
+        if not os.path.exists(bdir) and os.path.exists(bdir + ".old"):
+            os.rename(bdir + ".old", bdir)
+        return bdir if os.path.exists(bdir) else None
+
+    def flush(self) -> None:
+        if not os.path.exists(self.buffer_path):
+            return
+        buf = self.spark.read.parquet(self.buffer_path)
+        delta = self._bucket(self._latest_per_key(buf))
+        touched = sorted(
+            r["_b"] for r in delta.select("_b").distinct().collect()
+        )
+        existing = [
+            d for d in (self._recover_bucket(b) for b in touched) if d is not None
+        ]
+        merged = delta
+        if existing:
+            current = self._bucket(self.spark.read.parquet(*existing))
+            merged = current.unionByName(delta)
+        staging = self.path + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            self._latest_per_key(merged)
+            .repartition(max(len(touched), 1), "_b")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        os.makedirs(self.path, exist_ok=True)
+        for b in touched:
+            src = os.path.join(staging, f"_b={b}")
+            if not os.path.exists(src):
+                continue  # defensive: argmax keeps ≥1 row per delta key
+            bdir = self._bucket_dir(b)
+            old = bdir + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(bdir):
+                os.rename(bdir, old)
+            os.rename(src, bdir)
+            shutil.rmtree(old, ignore_errors=True)
+            self.buckets_rewritten += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(self.buffer_path, ignore_errors=True)
+        self._batches_buffered = 0
+        self.merges_done += 1
+
+    def state(self) -> DataFrame | None:
+        self.flush()
+        dirs = [
+            d
+            for d in (self._recover_bucket(b) for b in range(self.n_buckets))
+            if d is not None
+        ]
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)

@@ -123,3 +123,101 @@ def test_buffered_sink_converges_like_single_tier(spark):
     # 7 batches, threshold 3 -> 2 threshold merges + 1 flush-on-read;
     # the single-tier sink paid the O(state) rewrite 7 times.
     assert two_tier.merges_done == 3
+
+
+def test_bucketed_sink_converges_like_single_tier(spark):
+    """The bucketed compaction must produce byte-identical state to the
+    rewrite-everything sink on the same batch sequence."""
+    from pg2ch_spark.cdc.merge_sink import BucketedMergeSink, ReplacingMergeSink
+
+    base = tempfile.mkdtemp(prefix="pg2ch_bucktest_")
+    ref = ReplacingMergeSink(spark, base + "/ref", "key", "ver")
+    buck = BucketedMergeSink(
+        spark, base + "/buck", "key", "ver", merge_every=2, n_buckets=8
+    )
+    cdc = _random_cdc(spark, seed=7, n=400, n_keys=40)
+    for b in range(4):
+        batch = cdc.where(F.pmod("ver", F.lit(4)) == b)
+        ref.merge(batch)
+        buck.merge(batch)
+    got = {(r.key, r.ver, r.op, r.value) for r in buck.state().collect()}
+    want = {(r.key, r.ver, r.op, r.value) for r in ref.state().collect()}
+    assert got == want
+
+
+def test_bucketed_sink_rewrites_only_touched_buckets(spark):
+    """A delta touching one key must rewrite exactly one bucket dir;
+    every other bucket's files stay untouched on disk."""
+    import os
+
+    from pg2ch_spark.cdc.merge_sink import BucketedMergeSink
+
+    base = tempfile.mkdtemp(prefix="pg2ch_bucktest_")
+    sink = BucketedMergeSink(
+        spark, base + "/s", "key", "ver", merge_every=1, n_buckets=8
+    )
+    sink.merge(_random_cdc(spark, seed=8, n=200, n_keys=40))  # full spread
+    full_rewrites = sink.buckets_rewritten
+    snapshot = {
+        d: sorted(os.listdir(os.path.join(sink.path, d)))
+        for d in os.listdir(sink.path)
+    }
+    one_key = spark.createDataFrame(
+        [(5, 10_000, "U", 1.0)], "key long, ver long, op string, value double"
+    )
+    sink.merge(one_key)
+    assert sink.buckets_rewritten == full_rewrites + 1
+    changed = [
+        d
+        for d in snapshot
+        if sorted(os.listdir(os.path.join(sink.path, d))) != snapshot[d]
+    ]
+    assert len(changed) == 1
+    # and the updated row won
+    got = {r.key: r.ver for r in sink.state().collect()}
+    assert got[5] == 10_000
+
+
+def test_bucketed_sink_recovers_bucket_crash_window(spark):
+    """A crash between the two renames of one bucket (only ``.old``
+    left) must be healed on the next read, like the single-tier
+    sink's state() recovery."""
+    import os
+
+    from pg2ch_spark.cdc.merge_sink import BucketedMergeSink
+
+    base = tempfile.mkdtemp(prefix="pg2ch_bucktest_")
+    sink = BucketedMergeSink(
+        spark, base + "/s", "key", "ver", merge_every=1, n_buckets=4
+    )
+    sink.merge(_random_cdc(spark, seed=9, n=100, n_keys=20))
+    before = {(r.key, r.ver) for r in sink.state().collect()}
+    victim = os.path.join(sink.path, "b1")
+    os.rename(victim, victim + ".old")  # simulate crash between renames
+    after = {(r.key, r.ver) for r in sink.state().collect()}
+    assert after == before
+    assert os.path.exists(victim) and not os.path.exists(victim + ".old")
+
+
+def test_bucketed_sink_reflush_same_buffer_is_noop(spark):
+    """Re-running a flush whose buffer survived a crash (buffer truncate
+    is the last step) must converge to the same state."""
+    import shutil
+
+    from pg2ch_spark.cdc.merge_sink import BucketedMergeSink
+
+    base = tempfile.mkdtemp(prefix="pg2ch_bucktest_")
+    sink = BucketedMergeSink(
+        spark, base + "/s", "key", "ver", merge_every=2, n_buckets=4
+    )
+    batch = _random_cdc(spark, seed=10, n=120, n_keys=15)
+    # merge_every=2, one merge() buffers without flushing
+    sink.merge(batch)
+    shutil.copytree(sink.buffer_path, sink.buffer_path + ".saved")
+    sink.flush()
+    state1 = {(r.key, r.ver, r.value) for r in sink.state().collect()}
+    # crash-replay: the truncated buffer "reappears" and is re-flushed
+    shutil.copytree(sink.buffer_path + ".saved", sink.buffer_path)
+    sink.flush()
+    state2 = {(r.key, r.ver, r.value) for r in sink.state().collect()}
+    assert state1 == state2
