@@ -448,3 +448,91 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("v") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component by power iteration — distributed iterative
+# linear algebra over the embedding corpus (uncentered PCA / top
+# singular direction).
+
+_PCA_ITERS = 2  # fixed, deterministic — the declared contract
+
+
+@register(
+    "sim_pca_power_component",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+    ), s0 AS (
+        SELECT vec_id, sum(x) AS s FROM e GROUP BY vec_id
+    ), v1 AS (
+        SELECT e.i, sum(e.x * s0.s) AS w FROM e JOIN s0 USING (vec_id) GROUP BY e.i
+    ), v1n AS (
+        SELECT i, w / sqrt(sum(w * w) OVER ()) AS v FROM v1
+    ), s1 AS (
+        SELECT e.vec_id, sum(e.x * v1n.v) AS s
+        FROM e JOIN v1n ON e.i = v1n.i GROUP BY e.vec_id
+    ), v2 AS (
+        SELECT e.i, sum(e.x * s1.s) AS w FROM e JOIN s1 USING (vec_id) GROUP BY e.i
+    ), v2n AS (
+        SELECT i, w / sqrt(sum(w * w) OVER ()) AS v FROM v2
+    ), sgn AS (
+        SELECT CASE WHEN (SELECT v FROM v2n WHERE i = 1) < 0
+                    THEN -1 ELSE 1 END AS sg
+    )
+    SELECT i AS dim, round(v * sg, 6) AS component FROM v2n, sgn
+    """,
+)
+def sim_pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus (uncentered PCA)
+    by {iters} fixed power iterations from the all-ones start — the
+    corpus-level spectral statistic behind whitening/low-rank debiasing
+    of embedding spaces. Sign-canonicalized (dim-1 component ≥ 0) so
+    the direction is unique; fixed iteration count keeps the value
+    deterministic and exactly oracle-checkable, like
+    `sim_ann_kmeans_train`'s two Lloyd steps.
+
+    Each iteration is the matrix-free product vᵀ ← Xᵀ(Xv): the row
+    scores Xv are an in-row `aggregate` fold over zip_with(emb, v) —
+    v enters as a 64-literal broadcast array, no join — and Xᵀs is one
+    posexplode partial-agg shuffle carrying 64 partials per map task.
+    The driver touches only the 64-double iterate between iterations
+    (normalization), exactly the kmeans-centroid orchestration shape;
+    the corpus is scanned {iters}+0 times and never collected.
+    """
+    import math
+
+    emb = catalog.load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+
+    def xtxv(v: list[float]) -> list[float]:
+        vlit = F.array(*[F.lit(float(c)) for c in v])
+        s = F.aggregate(
+            F.zip_with("x", vlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        w = (
+            emb.select(F.posexplode("x").alias("pos", "xj"), s.alias("s"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("xj") * F.col("s")).alias("w"))
+            .collect()
+        )  # 64 rows — the bounded iterate, as in kmeans
+        out = [0.0] * len(v)
+        for r in w:
+            out[r["pos"]] = r["w"]
+        return out
+
+    v = [1.0] * 64
+    for _ in range(_PCA_ITERS):
+        w = xtxv(v)
+        norm = math.sqrt(sum(c * c for c in w))
+        v = [c / norm for c in w]
+    sg = -1.0 if v[0] < 0 else 1.0
+    rows = [(i + 1, c * sg) for i, c in enumerate(v)]
+    return (
+        spark.createDataFrame(rows, "dim int, component double")
+        .select("dim", F.round("component", 6).alias("component"))
+    )
