@@ -495,11 +495,14 @@ def sim_pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each iteration is the matrix-free product vᵀ ← Xᵀ(Xv): the row
     scores Xv are an in-row `aggregate` fold over zip_with(emb, v) —
-    v enters as a 64-literal broadcast array, no join — and Xᵀs is one
-    posexplode partial-agg shuffle carrying 64 partials per map task.
-    The driver touches only the 64-double iterate between iterations
-    (normalization), exactly the kmeans-centroid orchestration shape;
-    the corpus is scanned {iters}+0 times and never collected.
+    v enters as a 64-literal broadcast array, no join — and Xᵀs is ONE
+    map-side-partial aggregation of 64 `sum(x[j]·s)` expressions (a
+    single whole-stage-codegen pass; the shuffle carries one 64-double
+    partial row per task — no posexplode of the corpus, which would
+    shuffle rows×dims). The driver touches only the 64-double iterate
+    between iterations (normalization), exactly the kmeans-centroid
+    orchestration shape; the corpus is scanned {iters} times and never
+    collected.
     """
     import math
 
@@ -514,16 +517,18 @@ def sim_pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, y: acc + y,
         )
-        w = (
-            emb.select(F.posexplode("x").alias("pos", "xj"), s.alias("s"))
-            .groupBy("pos")
-            .agg(F.sum(F.col("xj") * F.col("s")).alias("w"))
-            .collect()
-        )  # 64 rows — the bounded iterate, as in kmeans
-        out = [0.0] * len(v)
-        for r in w:
-            out[r["pos"]] = r["w"]
-        return out
+        row = (
+            emb.select(F.col("x"), s.alias("s"))
+            .groupBy()
+            .agg(
+                *[
+                    F.sum(F.col("x")[j] * F.col("s")).alias(f"w{j}")
+                    for j in range(len(v))
+                ]
+            )
+            .collect()[0]
+        )  # 1 row × 64 doubles — the bounded iterate, as in kmeans
+        return [row[f"w{j}"] for j in range(len(v))]
 
     v = [1.0] * 64
     for _ in range(_PCA_ITERS):
