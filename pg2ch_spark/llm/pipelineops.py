@@ -541,3 +541,73 @@ def sim_pca_power_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(rows, "dim int, component double")
         .select("dim", F.round("component", 6).alias("component"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture diagnostics — per-source token-distribution entropy and KL
+# divergence against the corpus mixture.
+
+
+@register(
+    "corpus_mixture_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ), c AS (
+        SELECT source, token, count(*) AS n FROM toks GROUP BY source, token
+    ), s AS (
+        SELECT source, sum(n) AS ns FROM c GROUP BY source
+    ), q AS (
+        SELECT token, sum(n) AS nt FROM c GROUP BY token
+    ), tot AS (
+        SELECT sum(n) AS nn FROM c
+    )
+    SELECT c.source, CAST(s.ns AS BIGINT) AS n_tokens,
+           round(-sum((c.n / s.ns) * ln(c.n / s.ns)), 4) AS entropy,
+           round(sum((c.n / s.ns) * ln((c.n / s.ns) / (q.nt / tot.nn))), 4)
+               AS kl_vs_corpus
+    FROM c JOIN s USING (source) JOIN q USING (token), tot
+    GROUP BY c.source, s.ns
+    """,
+)
+def corpus_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution diagnostics: Shannon entropy of
+    each source's unigram distribution and its KL divergence from the
+    corpus mixture — the "is this source diverse / how far from the
+    blend" dashboard behind mixture-weight tuning.
+
+    Everything reduces to vocabulary-scale frames before any math: one
+    corpus shuffle builds (source, token) counts with map-side
+    partials; source totals, corpus token counts, and the grand total
+    all derive from THAT aggregate (vocab-size inputs, never the
+    corpus). The log-ratio sums shuffle |sources|×|vocab∩source| rows.
+    All divisions are double-cast before ln so both engines compute
+    identical expressions, rounded 4dp.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = c.groupBy("source").agg(F.sum("n").alias("ns"))
+    q = c.groupBy("token").agg(F.sum("n").alias("nt"))
+    tot = s.groupBy().agg(F.sum("ns").alias("nn"))
+    p = F.col("n").cast("double") / F.col("ns").cast("double")
+    pq = p / (F.col("nt").cast("double") / F.col("nn").cast("double"))
+    return (
+        c.join(F.broadcast(s), "source")
+        .join(q, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "ns")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+            F.round(F.sum(p * F.log(pq)), 4).alias("kl_vs_corpus"),
+        )
+        .select(
+            "source",
+            F.col("ns").cast("bigint").alias("n_tokens"),
+            "entropy",
+            "kl_vs_corpus",
+        )
+    )

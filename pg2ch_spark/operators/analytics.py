@@ -1056,3 +1056,76 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w_cur).cast("double"), 4).alias("p"),
     )
+
+
+_TOP_PATHS_K = 20
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                         > {_SESSION_GAP_S}
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sessions GROUP BY user_id, sid
+    ), counted AS (
+        SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions FROM counted
+    QUALIFY row_number() OVER (ORDER BY n_sessions DESC, path) <= {_TOP_PATHS_K}
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} session journey paths: sessions (same 30-min idle rule
+    as `events_sessionize`) rendered as ordered 'type>type>…' strings,
+    counted corpus-wide — the "most common user journeys" query CH
+    answers with groupArray + arrayStringConcat.
+
+    The session windows reuse ONE HashPartitioning(user_id) exchange
+    (the sessionize shape); each session's path materializes as a
+    sorted array bounded by the session length (the gap rule bounds it
+    in wall-time, not corpus size). Path counts partial-aggregate
+    map-side — duplicate journeys collapse before the shuffle — and
+    the global top-k is TakeOrderedAndProject. Tie-break on the path
+    string keeps the result total-ordered."""
+    ev = catalog.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_S), 1).otherwise(0).alias("new_s"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    paths = sessions.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    return counted.orderBy(F.col("n_sessions").desc(), "path").limit(_TOP_PATHS_K)
