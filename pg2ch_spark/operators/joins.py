@@ -341,3 +341,53 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH pairs AS (
+        SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS vid,
+               abs(v.event_id - p.event_id) AS d
+        FROM events p JOIN events v
+          ON v.user_id = p.user_id AND v.event_type = 'view'
+        WHERE p.event_type = 'purchase'
+    )
+    SELECT purchase_id, user_id, vid AS nearest_view_id,
+           CAST(d AS BIGINT) AS dist
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY purchase_id ORDER BY d, vid) = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas ``merge_asof`` direction='nearest' —
+    completing the backward / forward+tolerance / nearest direction
+    surface): per purchase, the view minimizing |Δevent_id| in either
+    direction, equidistant ties resolved to the earlier (backward)
+    view. Purchases whose user has no views are out of scope by the
+    inner-join contract (the backward variant covers the LEFT form).
+
+    Same single-shuffle shape as the other as-of variants: the user
+    equi-join carries the pair stream into ONE min-of-struct aggregate
+    — min(struct(dist, view_id)) encodes the (d, vid) order, so no
+    window, no row_number, no per-pair materialization beyond the
+    partial aggregation."""
+    ev = catalog.load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id"
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), F.col("user_id").alias("v_user")
+    )
+    d = F.abs(F.col("vid") - F.col("purchase_id"))
+    return (
+        p.join(v, F.col("user_id") == F.col("v_user"))
+        .groupBy("purchase_id", "user_id")
+        .agg(F.min(F.struct(d.alias("d"), F.col("vid").alias("vid"))).alias("m"))
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("m.vid").alias("nearest_view_id"),
+            F.col("m.d").cast("bigint").alias("dist"),
+        )
+    )
