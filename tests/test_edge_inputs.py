@@ -290,6 +290,17 @@ def empty_duck(empty_sf_dir):
         "events_gap_fill",
         "win_cum_distinct_users",
         "embedding_mean_pool",
+        # round 4 (sim_pca_power_component excluded by contract: the
+        # principal direction of an empty corpus is undefined)
+        "text_bpe_merge_candidates",
+        "pipeline_mix_weighted",
+        "pipeline_pref_pairs",
+        "pipeline_length_buckets",
+        "dedup_incremental_snapshot",
+        "corpus_mixture_entropy",
+        "embedding_standardize",
+        "events_transition_matrix",
+        "events_top_paths",
     ],
 )
 def test_empty_inputs_match_oracle(spark, empty_sf_dir, empty_duck, key):
@@ -528,6 +539,13 @@ def random_docs_duck(random_docs_dir):
         "text_near_dedup_ngram_jaccard",
         "text_decontaminate",
         "pipeline_pretrain_filter",
+        # round 4
+        "text_bpe_merge_candidates",
+        "pipeline_mix_weighted",
+        "pipeline_pref_pairs",
+        "pipeline_length_buckets",
+        "dedup_incremental_snapshot",
+        "corpus_mixture_entropy",
     ],
 )
 def test_random_docs_match_oracle(spark, random_docs_dir, random_docs_duck, key):
@@ -593,6 +611,9 @@ def random_emb_duck(random_emb_dir):
         "embedding_quantize_int8",
         "sim_centroid_classify",
         "sim_lsh_hyperplane",
+        # round 4
+        "embedding_standardize",
+        "sim_pca_power_component",
     ],
 )
 def test_random_embeddings_match_oracle(spark, random_emb_dir, random_emb_duck, key):
