@@ -43,12 +43,17 @@ Design (Spark-first, not a port):
   handshake, ``START_REPLICATION``, CopyBoth streaming with XLogData
   decode and keepalive handling, and flush-then-ack standby status
   updates — e2e-tested against a scripted fake walsender
-  (tests/test_walsender_e2e.py). Auth beyond trust (scram/TLS) is the
-  one documented production extension point.
+  (tests/test_walsender_e2e.py). Auth: trust and SCRAM-SHA-256 with
+  mutual verification (RFC 5802/7677; checked against RFC 7677 §3's
+  published vector). TLS (sslmode socket wrap before startup) is the
+  one remaining documented production extension point.
 """
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import hmac
 import socket
 import struct
 import time
@@ -549,6 +554,48 @@ def resolve_unchanged(df, key_col: str, ver_col: str, value_columns: list[str]):
 # a stdlib socket (no driver dependency).
 
 
+# -- SCRAM-SHA-256 (RFC 5802 / RFC 7677, as used by PostgreSQL SASL) --------
+
+
+def scram_salted_password(password: str, salt: bytes, iterations: int) -> bytes:
+    """Hi(password, salt, i) — PBKDF2-HMAC-SHA-256 per RFC 5802 §2.2."""
+    return hashlib.pbkdf2_hmac("sha256", password.encode(), salt, iterations)
+
+
+def _hmac256(key: bytes, msg: bytes) -> bytes:
+    return hmac.new(key, msg, hashlib.sha256).digest()
+
+
+def scram_client_final(
+    password: str, client_first_bare: str, server_first: str
+) -> tuple[str, bytes]:
+    """Compute the client-final-message and the expected ServerSignature.
+
+    Returns ``(client_final_message, server_signature)`` — the caller
+    sends the first and verifies the server's ``v=`` against the
+    second (mutual authentication, RFC 5802 §3).
+    """
+    attrs = dict(p.split("=", 1) for p in server_first.split(","))
+    nonce, salt_b64, iters = attrs["r"], attrs["s"], int(attrs["i"])
+    salted = scram_salted_password(password, base64.b64decode(salt_b64), iters)
+    client_key = _hmac256(salted, b"Client Key")
+    stored_key = hashlib.sha256(client_key).digest()
+    without_proof = f"c=biws,r={nonce}"  # biws = b64("n,,"), no channel binding
+    auth_message = ",".join([client_first_bare, server_first, without_proof]).encode()
+    client_sig = _hmac256(stored_key, auth_message)
+    proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+    server_key = _hmac256(salted, b"Server Key")
+    server_sig = _hmac256(server_key, auth_message)
+    final = without_proof + ",p=" + base64.b64encode(proof).decode()
+    return final, server_sig
+
+
+def _default_nonce() -> str:
+    import secrets
+
+    return secrets.token_urlsafe(18)
+
+
 def _pg_clock_us() -> int:
     """Now in µs since the PostgreSQL epoch (2000-01-01)."""
     return int(time.time() * 1_000_000) - _EPOCH_2000_US
@@ -570,11 +617,14 @@ class WalSenderClient:
     Standby status updates flow back with the FLUSHED position — i.e.
     only what the sink has committed (flush-then-ack, at-least-once).
 
-    Scope: trust-auth handshake (AuthenticationOk). scram/md5/TLS are
-    deployment concerns a production build layers into ``_handshake``;
-    everything at and above the replication sub-protocol is complete.
-    ``clock`` is injectable so tests can pin the status-update clock
-    field and assert acks byte-for-byte.
+    Auth: trust (AuthenticationOk straight away) and SCRAM-SHA-256
+    (RFC 5802/7677 over the PostgreSQL SASL messages, with mutual
+    authentication — the server's ``v=`` signature is verified before
+    any credential-dependent traffic). md5 is legacy-rejected; TLS
+    remains the one documented deployment extension (sslmode wrap of
+    the socket before startup). ``clock`` and ``nonce`` are injectable
+    so tests can pin the status-update clock field and the SCRAM
+    exchange and assert both byte-for-byte.
     """
 
     def __init__(
@@ -584,10 +634,13 @@ class WalSenderClient:
         *,
         user: str = "postgres",
         database: str = "postgres",
+        password: str | None = None,
         timeout: float = 10.0,
         clock: Callable[[], int] = _pg_clock_us,
+        nonce: Callable[[], str] = _default_nonce,
     ):
         self.user, self.database = user, database
+        self.password, self.nonce = password, nonce
         self.clock = clock
         self._flushed = 0
         self._decoder = WalDecoder()
@@ -639,14 +692,60 @@ class WalSenderClient:
             body += k.encode() + b"\x00" + v.encode() + b"\x00"
         body += b"\x00"
         self._sock.sendall(struct.pack(">i", len(body) + 4) + body)
+        scram_state: tuple[str, bytes] | None = None  # (first_bare, server_sig)
         while True:
             typ, payload = self._recv_msg()
             if typ == b"R":
                 (code,) = struct.unpack(">i", payload[:4])
-                if code != 0:  # 0 = AuthenticationOk
+                if code == 0:  # AuthenticationOk
+                    continue
+                if code == 10:  # AuthenticationSASL: mechanism list
+                    mechs = payload[4:].split(b"\x00")
+                    if b"SCRAM-SHA-256" not in mechs:
+                        raise PgOutputError(
+                            f"no supported SASL mechanism in {mechs!r}"
+                        )
+                    if self.password is None:
+                        raise PgOutputError(
+                            "server requires SCRAM-SHA-256 but no password given"
+                        )
+                    first_bare = f"n=,r={self.nonce()}"
+                    initial = ("n,," + first_bare).encode()
+                    self._send_msg(
+                        b"p",
+                        b"SCRAM-SHA-256\x00"
+                        + struct.pack(">i", len(initial))
+                        + initial,
+                    )
+                    scram_state = (first_bare, b"")
+                elif code == 11:  # AuthenticationSASLContinue
+                    assert scram_state is not None, "SASLContinue before SASL"
+                    server_first = payload[4:].decode()
+                    first_bare = scram_state[0]
+                    nonce = dict(
+                        p.split("=", 1) for p in server_first.split(",")
+                    )["r"]
+                    if not nonce.startswith(first_bare.split("r=", 1)[1]):
+                        raise PgOutputError("server nonce does not extend ours")
+                    final, server_sig = scram_client_final(
+                        self.password, first_bare, server_first
+                    )
+                    self._send_msg(b"p", final.encode())
+                    scram_state = (first_bare, server_sig)
+                elif code == 12:  # AuthenticationSASLFinal: verify v=
+                    assert scram_state is not None, "SASLFinal before SASL"
+                    got = dict(
+                        p.split("=", 1) for p in payload[4:].decode().split(",")
+                    )["v"]
+                    if base64.b64decode(got) != scram_state[1]:
+                        raise PgOutputError(
+                            "server signature mismatch (not the server that "
+                            "holds our credentials)"
+                        )
+                else:
                     raise PgOutputError(
-                        f"unsupported auth method {code} (trust-auth scope; "
-                        "see WalSenderClient docstring)"
+                        f"unsupported auth method {code} (trust + "
+                        "SCRAM-SHA-256 scope; see WalSenderClient docstring)"
                     )
             elif typ == b"E":
                 raise PgOutputError(f"startup failed: {self._error_text(payload)}")
@@ -744,8 +843,10 @@ def replication_stream(
     start_lsn: int = 0,
     user: str = "postgres",
     database: str = "postgres",
+    password: str | None = None,
     timeout: float = 10.0,
     clock: Callable[[], int] = _pg_clock_us,
+    nonce: Callable[[], str] = _default_nonce,
 ) -> Iterator[tuple[int, list[CdcRow]]]:
     """Live CDC: yields (commit_lsn, rows) per committed transaction.
 
@@ -759,7 +860,14 @@ def replication_stream(
     snapshot name, then start here from the slot's LSN.
     """
     client = WalSenderClient(
-        host, port, user=user, database=database, timeout=timeout, clock=clock
+        host,
+        port,
+        user=user,
+        database=database,
+        password=password,
+        timeout=timeout,
+        clock=clock,
+        nonce=nonce,
     )
     try:
         client.start_replication(slot, publication, start_lsn=start_lsn)

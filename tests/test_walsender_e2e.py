@@ -71,14 +71,21 @@ class FakeWalSender(socketserver.BaseRequestHandler):
         (length,) = struct.unpack(">i", head[1:5])
         return head[:1], self._recv_exact(length - 4)
 
+    def authenticate(self, log) -> bool:
+        """Auth phase — default: trust (AuthenticationOk straight away)."""
+        self.request.sendall(_msg(b"R", struct.pack(">i", 0)))
+        return True
+
     def handle(self):
         log = self.server.log
         # 1. startup (length-prefixed, untyped)
         (n,) = struct.unpack(">i", self._recv_exact(4))
         startup = self._recv_exact(n - 4)
         log["startup"] = startup
-        # 2. auth ok + ready
-        self.request.sendall(_msg(b"R", struct.pack(">i", 0)))
+        # 2. auth + ready (auth failure ends the conversation)
+        if not self.authenticate(log):
+            self.server.done.set()
+            return
         self.request.sendall(_msg(b"Z", b"I"))
         # 3. START_REPLICATION query
         typ, payload = self._recv_client_msg()
@@ -216,3 +223,210 @@ def test_auth_challenge_is_rejected_cleanly():
     finally:
         server.shutdown()
         server.server_close()
+
+
+# ---------------------------------------------------------------------------
+# SCRAM-SHA-256 (RFC 5802/7677 over the PostgreSQL SASL messages)
+
+SCRAM_PASSWORD = "s3cr3t-repl"
+SCRAM_SALT_B64 = "QSXCR+Q6sek8bf92"  # fixed server salt (b64)
+SCRAM_ITERS = 4096
+CLIENT_NONCE = "fyko+d2lbbFgONRv9qkxdawL"  # injected, deterministic
+SERVER_NONCE_EXT = "3rfcNHYJY1ZVvWVs7j"
+
+
+class ScramWalSender(FakeWalSender):
+    """Fake walsender that demands SCRAM-SHA-256 and VERIFIES the proof
+    against the stored password before letting replication proceed."""
+
+    def authenticate(self, log):
+        import base64
+        import hashlib
+        import hmac as hmac_mod
+
+        # AuthenticationSASL with the mechanism list
+        self.request.sendall(
+            _msg(b"R", struct.pack(">i", 10) + b"SCRAM-SHA-256\x00\x00")
+        )
+        typ, payload = self._recv_client_msg()
+        assert typ == b"p"
+        mech_end = payload.index(b"\x00")
+        assert payload[:mech_end] == b"SCRAM-SHA-256"
+        (ilen,) = struct.unpack(">i", payload[mech_end + 1 : mech_end + 5])
+        client_first = payload[mech_end + 5 : mech_end + 5 + ilen].decode()
+        log["client_first"] = client_first
+        assert client_first.startswith("n,,")
+        first_bare = client_first[3:]
+        client_nonce = dict(
+            p.split("=", 1) for p in first_bare.split(",")
+        )["r"]
+        server_first = (
+            f"r={client_nonce}{SERVER_NONCE_EXT},s={SCRAM_SALT_B64},i={SCRAM_ITERS}"
+        )
+        self.request.sendall(
+            _msg(b"R", struct.pack(">i", 11) + server_first.encode())
+        )
+        typ, payload = self._recv_client_msg()
+        assert typ == b"p"
+        client_final = payload.decode()
+        log["client_final"] = client_final
+        # verify the proof server-side (RFC 5802 §3)
+        attrs = dict(p.split("=", 1) for p in client_final.split(","))
+        salted = hashlib.pbkdf2_hmac(
+            "sha256",
+            SCRAM_PASSWORD.encode(),
+            base64.b64decode(SCRAM_SALT_B64),
+            SCRAM_ITERS,
+        )
+        client_key = hmac_mod.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        without_proof = client_final.rsplit(",p=", 1)[0]
+        auth_msg = ",".join([first_bare, server_first, without_proof]).encode()
+        client_sig = hmac_mod.new(stored_key, auth_msg, hashlib.sha256).digest()
+        expected_proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        if base64.b64decode(attrs["p"]) != expected_proof:
+            log["proof_ok"] = False
+            self.request.sendall(
+                _msg(b"E", b"SFATAL\x00M" + b"password authentication failed\x00\x00")
+            )
+            return False
+        log["proof_ok"] = True
+        server_key = hmac_mod.new(salted, b"Server Key", hashlib.sha256).digest()
+        server_sig = hmac_mod.new(server_key, auth_msg, hashlib.sha256).digest()
+        self.request.sendall(
+            _msg(
+                b"R",
+                struct.pack(">i", 12)
+                + b"v="
+                + base64.b64encode(server_sig),
+            )
+        )
+        self.request.sendall(_msg(b"R", struct.pack(">i", 0)))
+        return True
+
+
+@pytest.fixture()
+def scram_walsender():
+    server = socketserver.TCPServer(("127.0.0.1", 0), ScramWalSender)
+    server.log = {}
+    server.done = threading.Event()
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield server
+    server.shutdown()
+    server.server_close()
+
+
+def test_scram_authenticated_replication_end_to_end(scram_walsender):
+    """Full SCRAM exchange against a verifying server, then the same
+    replication conversation as the trust path: decoded rows AND acks
+    must be identical — auth is transparent to the stream."""
+    host, port = scram_walsender.server_address
+    got = list(
+        pg.replication_stream(
+            host,
+            port,
+            slot="pg2ch_slot",
+            publication="pg2ch_pub",
+            user="repl",
+            database="shop",
+            password=SCRAM_PASSWORD,
+            clock=lambda: FIXED_CLOCK,
+            nonce=lambda: CLIENT_NONCE,
+        )
+    )
+    assert scram_walsender.done.wait(5)
+    log = scram_walsender.log
+    assert log["proof_ok"] is True
+    assert log["client_first"] == f"n,,n=,r={CLIENT_NONCE}"
+    assert log["client_final"].startswith(
+        f"c=biws,r={CLIENT_NONCE}{SERVER_NONCE_EXT},p="
+    )
+    expected_rows = list(pg.decode_stream(WAL_SCRIPT))
+    flat = [r for _, rows in got for r in rows]
+    assert [(r.op, r.lsn, r.seq, r.values) for r in flat] == [
+        (r.op, r.lsn, r.seq, r.values) for r in expected_rows
+    ]
+    assert log["acks"] == [
+        _expected_ack(0),
+        _expected_ack(LSN1),
+        _expected_ack(LSN2),
+        _expected_ack(LSN2),
+    ]
+
+
+def test_scram_wrong_password_fails_cleanly(scram_walsender):
+    host, port = scram_walsender.server_address
+    with pytest.raises(pg.PgOutputError, match="authentication failed"):
+        pg.WalSenderClient(
+            host, port, password="wrong", nonce=lambda: CLIENT_NONCE
+        )
+    assert scram_walsender.log["proof_ok"] is False
+
+
+def test_scram_detects_forged_server_signature():
+    """Mutual auth: a server that validates our proof but cannot
+    produce the ServerSignature (doesn't hold the credentials) must be
+    rejected by the client."""
+
+    class ForgingServer(ScramWalSender):
+        def authenticate(self, log):
+            import base64
+
+            self.request.sendall(
+                _msg(b"R", struct.pack(">i", 10) + b"SCRAM-SHA-256\x00\x00")
+            )
+            typ, payload = self._recv_client_msg()
+            mech_end = payload.index(b"\x00")
+            client_first = payload[mech_end + 5 :].decode()
+            client_nonce = client_first[3:].split("r=", 1)[1]
+            server_first = (
+                f"r={client_nonce}{SERVER_NONCE_EXT},"
+                f"s={SCRAM_SALT_B64},i={SCRAM_ITERS}"
+            )
+            self.request.sendall(
+                _msg(b"R", struct.pack(">i", 11) + server_first.encode())
+            )
+            self._recv_client_msg()  # client-final; "accept" blindly
+            self.request.sendall(
+                _msg(
+                    b"R",
+                    struct.pack(">i", 12)
+                    + b"v="
+                    + base64.b64encode(b"\x00" * 32),
+                )
+            )
+
+    server = socketserver.TCPServer(("127.0.0.1", 0), ForgingServer)
+    server.log = {}
+    server.done = threading.Event()
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = server.server_address
+        with pytest.raises(pg.PgOutputError, match="signature mismatch"):
+            pg.WalSenderClient(
+                host, port, password=SCRAM_PASSWORD, nonce=lambda: CLIENT_NONCE
+            )
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_scram_client_final_matches_rfc7677_vector():
+    """RFC 7677 §3's published SCRAM-SHA-256 example, byte-for-byte."""
+    first_bare = "n=user,r=rOprNGfwEbeRWgbNEkqO"
+    server_first = (
+        "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    final, server_sig = pg.scram_client_final("pencil", first_bare, server_first)
+    assert final == (
+        "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    )
+    import base64
+
+    assert base64.b64encode(server_sig).decode() == (
+        "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+    )
