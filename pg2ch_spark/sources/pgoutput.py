@@ -45,8 +45,9 @@ Design (Spark-first, not a port):
   updates — e2e-tested against a scripted fake walsender
   (tests/test_walsender_e2e.py). Auth: trust and SCRAM-SHA-256 with
   mutual verification (RFC 5802/7677; checked against RFC 7677 §3's
-  published vector). TLS (sslmode socket wrap before startup) is the
-  one remaining documented production extension point.
+  published vector). TLS: libpq's SSLRequest dance with sslmode
+  require / verify-full, e2e-tested over real TLS sockets including
+  the SCRAM-inside-TLS composition.
 """
 
 from __future__ import annotations
@@ -620,11 +621,20 @@ class WalSenderClient:
     Auth: trust (AuthenticationOk straight away) and SCRAM-SHA-256
     (RFC 5802/7677 over the PostgreSQL SASL messages, with mutual
     authentication — the server's ``v=`` signature is verified before
-    any credential-dependent traffic). md5 is legacy-rejected; TLS
-    remains the one documented deployment extension (sslmode wrap of
-    the socket before startup). ``clock`` and ``nonce`` are injectable
-    so tests can pin the status-update clock field and the SCRAM
-    exchange and assert both byte-for-byte.
+    any credential-dependent traffic). md5 is legacy-rejected.
+
+    TLS: ``sslmode`` follows libpq's semantics for the modes a
+    replication daemon uses — ``disable`` (plaintext), ``require``
+    (TLS, no chain verification — libpq's own default behavior for
+    require), ``verify-full`` (chain + hostname against
+    ``ssl_context``, which the caller loads with the CA). The
+    SSLRequest dance precedes the startup packet: 8-byte magic, one
+    'S'/'N' byte back, then the whole session — auth included — rides
+    the wrapped socket.
+
+    ``clock`` and ``nonce`` are injectable so tests can pin the
+    status-update clock field and the SCRAM exchange and assert both
+    byte-for-byte.
     """
 
     def __init__(
@@ -635,6 +645,8 @@ class WalSenderClient:
         user: str = "postgres",
         database: str = "postgres",
         password: str | None = None,
+        sslmode: str = "disable",
+        ssl_context=None,
         timeout: float = 10.0,
         clock: Callable[[], int] = _pg_clock_us,
         nonce: Callable[[], str] = _default_nonce,
@@ -645,7 +657,26 @@ class WalSenderClient:
         self._flushed = 0
         self._decoder = WalDecoder()
         self._sock = socket.create_connection((host, port), timeout=timeout)
+        if sslmode != "disable":
+            self._start_tls(host, sslmode, ssl_context)
         self._handshake()
+
+    def _start_tls(self, host: str, sslmode: str, ctx) -> None:
+        """libpq's SSLRequest: magic 80877103, one-byte answer, wrap."""
+        import ssl as ssl_mod
+
+        self._sock.sendall(struct.pack(">ii", 8, 80877103))
+        answer = self._recv_exact(1)
+        if answer != b"S":
+            raise PgOutputError(
+                f"server refused TLS (sslmode={sslmode}, answer={answer!r})"
+            )
+        if ctx is None:
+            ctx = ssl_mod.create_default_context()
+            if sslmode == "require":  # encrypt without chain verification
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl_mod.CERT_NONE
+        self._sock = ctx.wrap_socket(self._sock, server_hostname=host)
 
     # -- wire helpers -------------------------------------------------------
 
@@ -844,6 +875,8 @@ def replication_stream(
     user: str = "postgres",
     database: str = "postgres",
     password: str | None = None,
+    sslmode: str = "disable",
+    ssl_context=None,
     timeout: float = 10.0,
     clock: Callable[[], int] = _pg_clock_us,
     nonce: Callable[[], str] = _default_nonce,
@@ -865,6 +898,8 @@ def replication_stream(
         user=user,
         database=database,
         password=password,
+        sslmode=sslmode,
+        ssl_context=ssl_context,
         timeout=timeout,
         clock=clock,
         nonce=nonce,

@@ -430,3 +430,162 @@ def test_scram_client_final_matches_rfc7677_vector():
     assert base64.b64encode(server_sig).decode() == (
         "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
     )
+
+
+# ---------------------------------------------------------------------------
+# TLS (libpq SSLRequest dance + wrapped session)
+
+
+@pytest.fixture(scope="module")
+def tls_cert(tmp_path_factory):
+    import subprocess
+
+    d = tmp_path_factory.mktemp("tls")
+    key, cert = str(d / "key.pem"), str(d / "cert.pem")
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048",
+            "-keyout", key, "-out", cert, "-days", "2", "-nodes",
+            "-subj", "/CN=127.0.0.1",
+            "-addext", "subjectAltName=IP:127.0.0.1",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return key, cert
+
+
+class TlsWalSender(FakeWalSender):
+    """SSLRequest → 'S' → wrapped socket → the normal conversation."""
+
+    def handle(self):
+        req = self._recv_exact(8)
+        n, magic = struct.unpack(">ii", req)
+        assert n == 8 and magic == 80877103
+        self.request.sendall(b"S")
+        self.request = self.server.ssl_ctx.wrap_socket(
+            self.request, server_side=True
+        )
+        super().handle()
+
+
+class TlsScramWalSender(TlsWalSender, ScramWalSender):
+    """TLS wrap first, then SCRAM inside the tunnel (MRO: Tls.handle →
+    Fake.handle → Scram.authenticate)."""
+
+
+def _tls_server(handler, tls_cert):
+    import ssl
+
+    key, cert = tls_cert
+    server = socketserver.TCPServer(("127.0.0.1", 0), handler)
+    server.ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    server.ssl_ctx.load_cert_chain(cert, key)
+    server.log = {}
+    server.done = threading.Event()
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server
+
+
+def test_tls_replication_end_to_end(tls_cert):
+    """sslmode=require (encrypt, no chain check — libpq semantics)
+    against a self-signed server: the whole conversation, decoded rows
+    and ack bytes, must be identical to the plaintext path."""
+    server = _tls_server(TlsWalSender, tls_cert)
+    try:
+        host, port = server.server_address
+        got = list(
+            pg.replication_stream(
+                host,
+                port,
+                slot="pg2ch_slot",
+                publication="pg2ch_pub",
+                sslmode="require",
+                clock=lambda: FIXED_CLOCK,
+            )
+        )
+        assert server.done.wait(5)
+        assert [lsn for lsn, _ in got] == [LSN1, LSN2]
+        assert server.log["acks"] == [
+            _expected_ack(0),
+            _expected_ack(LSN1),
+            _expected_ack(LSN2),
+            _expected_ack(LSN2),
+        ]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_tls_verify_full_pins_the_ca(tls_cert):
+    """sslmode=verify-full with the server's own cert as CA: chain and
+    hostname (IP SAN) verification must pass."""
+    import ssl
+
+    server = _tls_server(TlsWalSender, tls_cert)
+    try:
+        host, port = server.server_address
+        ctx = ssl.create_default_context(cafile=tls_cert[1])
+        got = list(
+            pg.replication_stream(
+                host,
+                port,
+                slot="pg2ch_slot",
+                publication="pg2ch_pub",
+                sslmode="verify-full",
+                ssl_context=ctx,
+                clock=lambda: FIXED_CLOCK,
+            )
+        )
+        assert server.done.wait(5)
+        assert [lsn for lsn, _ in got] == [LSN1, LSN2]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_tls_plus_scram_compose(tls_cert):
+    """SCRAM inside the TLS tunnel — the production deployment shape."""
+    server = _tls_server(TlsScramWalSender, tls_cert)
+    try:
+        host, port = server.server_address
+        got = list(
+            pg.replication_stream(
+                host,
+                port,
+                slot="pg2ch_slot",
+                publication="pg2ch_pub",
+                password=SCRAM_PASSWORD,
+                sslmode="require",
+                clock=lambda: FIXED_CLOCK,
+                nonce=lambda: CLIENT_NONCE,
+            )
+        )
+        assert server.done.wait(5)
+        assert server.log["proof_ok"] is True
+        assert [lsn for lsn, _ in got] == [LSN1, LSN2]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_tls_refused_fails_cleanly():
+    """A server answering 'N' to SSLRequest must fail sslmode=require
+    with a clear error (libpq would also refuse to continue)."""
+
+    class NoTlsServer(FakeWalSender):
+        def handle(self):
+            self._recv_exact(8)
+            self.request.sendall(b"N")
+
+    server = socketserver.TCPServer(("127.0.0.1", 0), NoTlsServer)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = server.server_address
+        with pytest.raises(pg.PgOutputError, match="refused TLS"):
+            pg.WalSenderClient(host, port, sslmode="require")
+    finally:
+        server.shutdown()
+        server.server_close()
