@@ -174,6 +174,7 @@ def load_all() -> None:
     # Round-4 additions (append after the backlog window — see
     # _DRIVER_PRIORITY):
     from pg2ch_spark.llm import pipelineops  # noqa: F401
+    from pg2ch_spark.operators import tpch_partsupp  # noqa: F401
 
     _LOADED = True
 
