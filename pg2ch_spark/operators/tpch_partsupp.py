@@ -122,20 +122,31 @@ def query_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = catalog.load(spark, sf_dir, "part").where(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     )
-    eligible = (
-        ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+    # Slice parts FIRST: the per-part min is unchanged for the parts
+    # that survive, and the pre-aggregate shrinks to the slice — small
+    # enough to broadcast the join-back (no sort-merge anywhere).
+    sliced = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("ps_partkey", "ps_supplycost_cents", "s_acctbal", "s_name", "n_name")
+        .select(
+            "ps_partkey",
+            "ps_supplycost_cents",
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+        )
     )
-    min_cost = eligible.groupBy("ps_partkey").agg(
+    min_cost = sliced.groupBy(F.col("ps_partkey").alias("_mk")).agg(
         F.min("ps_supplycost_cents").alias("_min_cents")
     )
     return (
-        eligible.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
-        .join(
-            min_cost,
-            (eligible.ps_partkey == min_cost.ps_partkey)
+        sliced.join(
+            F.broadcast(min_cost),
+            (F.col("ps_partkey") == F.col("_mk"))
             & (F.col("ps_supplycost_cents") == F.col("_min_cents")),
         )
         .select(

@@ -460,3 +460,36 @@ def test_embedding_standardize_stats_are_broadcast(spark):
     plan = _plan(spark, "embedding_standardize")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q2_broadcasts_dims_and_takes_ordered(spark):
+    """Q2's supplier/nation/region/part sides all broadcast; the
+    top-100 must be TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "query_tpch_q2")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q16_not_in_is_broadcast_anti(spark):
+    plan = _plan(spark, "query_tpch_q16")
+    assert "LeftAnti, BuildRight" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    )
+
+
+def test_tpch_q20_preaggregates_fact_before_joins(spark):
+    """The lineitem 1995 shipment sums must aggregate BEFORE joining
+    partsupp — the plan contains a HashAggregate whose child scans
+    lineitem, below any join."""
+    import re
+
+    plan = _plan(spark, "query_tpch_q20")
+    # the lineitem scan reads only the pre-agg's columns
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li_scans = [cols for cols in m if "l_partkey" in cols]
+    assert li_scans and all(
+        set(c.split(":")[0] for c in cols.split(",")) <=
+        {"l_partkey", "l_suppkey", "l_quantity", "l_shipdate"}
+        for cols in li_scans
+    )
