@@ -31,7 +31,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from pg2ch_spark import catalog
-from pg2ch_spark.cdc.merge_sink import BufferedMergeSink, ReplacingMergeSink
+from pg2ch_spark.cdc.merge_sink import (
+    BucketedMergeSink,
+    BufferedMergeSink,
+    ReplacingMergeSink,
+)
 
 ENGINES = ("ReplacingMergeTree", "CollapsingMergeTree", "MergeTree")
 
@@ -47,12 +51,20 @@ class TableSpec:
     sign_col: str = "sign"
     # 1 = merge every flush (single-tier); >1 = two-tier buffer (R8/R9)
     merge_threshold: int = 1
+    # 0 = rewrite-everything compaction; >0 = hash-bucketed main state,
+    # flushes rewrite only delta-touched buckets (O(touched) — the
+    # production MERGE shape; ReplacingMergeTree only)
+    n_buckets: int = 0
 
     def __post_init__(self) -> None:
         if self.engine not in ENGINES:
             raise ValueError(f"unknown engine {self.engine!r}; one of {ENGINES}")
         if self.merge_threshold < 1:
             raise ValueError("merge_threshold must be >= 1")
+        if self.n_buckets < 0:
+            raise ValueError("n_buckets must be >= 0")
+        if self.n_buckets and self.engine != "ReplacingMergeTree":
+            raise ValueError("bucketed state requires engine=ReplacingMergeTree")
 
 
 def spec_from_mapping(m: dict) -> TableSpec:
@@ -246,17 +258,27 @@ def run_pipeline(
         ckpt = os.path.join(table_dir, "_checkpoint")
         state_path = os.path.join(table_dir, "state")
         if spec.engine == "ReplacingMergeTree":
-            sink = (
-                ReplacingMergeSink(spark, state_path, spec.key_col, spec.ver_col)
-                if spec.merge_threshold == 1
-                else BufferedMergeSink(
+            if spec.n_buckets:
+                sink = BucketedMergeSink(
+                    spark,
+                    state_path,
+                    spec.key_col,
+                    spec.ver_col,
+                    merge_every=spec.merge_threshold,
+                    n_buckets=spec.n_buckets,
+                )
+            elif spec.merge_threshold == 1:
+                sink = ReplacingMergeSink(
+                    spark, state_path, spec.key_col, spec.ver_col
+                )
+            else:
+                sink = BufferedMergeSink(
                     spark,
                     state_path,
                     spec.key_col,
                     spec.ver_col,
                     merge_every=spec.merge_threshold,
                 )
-            )
         elif spec.engine == "CollapsingMergeTree":
             sink = _CollapsingSink(
                 spark, state_path, spec.key_col, spec.sign_col, spec.ver_col

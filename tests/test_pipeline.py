@@ -403,3 +403,40 @@ def test_pipeline_reclaims_stream_source_scratch(spark, tmp_path):
     assert leftovers() == before
     teardown(str(tmp_path / "s1"))
     teardown(str(tmp_path / "s2"))
+
+
+def test_bucketed_spec_equals_single_tier(spark, pipe_sf_dir, tmp_path_factory):
+    """A bucketed ReplacingMergeTree TableSpec (n_buckets) must produce
+    the identical replicated state as the rewrite-everything sink over
+    the same two-batch replay, with the bucket layout on disk."""
+    state_root = str(tmp_path_factory.mktemp("pipe_bucket_state"))
+    specs = [
+        TableSpec(main_table="t_plain", engine="ReplacingMergeTree"),
+        TableSpec(
+            main_table="t_bucketed",
+            engine="ReplacingMergeTree",
+            merge_threshold=1,
+            n_buckets=8,
+        ),
+    ]
+    res = run_pipeline(
+        spark, specs, pipe_sf_dir, state_root, max_files_per_trigger=1
+    )
+    try:
+        a = res.states["t_plain"].toPandas().sort_values("key").reset_index(drop=True)
+        b = (
+            res.states["t_bucketed"]
+            .toPandas()
+            .sort_values("key")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        bucket_dirs = os.listdir(os.path.join(state_root, "t_bucketed", "state"))
+        assert all(d.startswith("b") for d in bucket_dirs) and bucket_dirs
+    finally:
+        teardown(state_root)
+
+
+def test_bucketed_spec_rejected_for_other_engines():
+    with pytest.raises(ValueError, match="bucketed state requires"):
+        TableSpec(main_table="x", engine="MergeTree", n_buckets=4)
