@@ -624,3 +624,93 @@ def test_random_embeddings_match_oracle(spark, random_emb_dir, random_emb_duck, 
         random_emb_duck.execute(oracles[key]).df(),
     )
     assert r.ok, str(r)
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): closed-form invariants checked across the
+# whole input space, not just the fixture sizes.
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(n=st.integers(min_value=1, max_value=5000))
+def test_ntile_closed_form_matches_sql_semantics(n):
+    """pipeline_length_buckets computes ntile(4) from the global rank in
+    closed form; property: for ANY corpus size the formula reproduces
+    SQL ntile semantics — first n mod k buckets get ceil(n/k) rows, the
+    rest floor(n/k), buckets contiguous and non-decreasing in rank."""
+    k = 4
+    base, rem = divmod(n, k)
+
+    def bucket(rk: int) -> int:  # the operator's formula
+        big = rem * (base + 1)
+        if rk <= big:
+            return -(-rk // (base + 1))  # ceil
+        return rem + (-(-(rk - big) // base))
+
+    sizes = {}
+    prev = 0
+    for rk in range(1, n + 1):
+        b = bucket(rk)
+        assert b >= prev  # contiguous, non-decreasing
+        prev = b
+        sizes[b] = sizes.get(b, 0) + 1
+    expected = {
+        b: (base + 1 if b <= rem else base)
+        for b in range(1, min(k, n) + 1)
+        if (base + 1 if b <= rem else base) > 0
+    }
+    assert sizes == expected
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    password=st.text(min_size=1, max_size=40).filter(lambda s: "," not in s),
+    salt=st.binary(min_size=8, max_size=24),
+    iters=st.integers(min_value=1, max_value=4096),
+    cnonce=st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+        min_size=8,
+        max_size=24,
+    ),
+    snonce_ext=st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+        min_size=8,
+        max_size=24,
+    ),
+)
+def test_scram_proof_round_trip(password, salt, iters, cnonce, snonce_ext):
+    """Property: for ANY password/salt/iteration-count/nonces, the
+    client proof the walsender client computes verifies under the
+    server-side SCRAM check (RFC 5802 §3), and the expected server
+    signature matches the one the server would emit."""
+    import base64
+    import hashlib
+    import hmac as hmac_mod
+
+    from pg2ch_spark.sources import pgoutput as pg
+
+    first_bare = f"n=,r={cnonce}"
+    server_first = (
+        f"r={cnonce}{snonce_ext},s={base64.b64encode(salt).decode()},i={iters}"
+    )
+    final, expected_server_sig = pg.scram_client_final(
+        password, first_bare, server_first
+    )
+    attrs = dict(p.split("=", 1) for p in final.split(","))
+    # server-side verification
+    salted = hashlib.pbkdf2_hmac("sha256", password.encode(), salt, iters)
+    client_key = hmac_mod.new(salted, b"Client Key", hashlib.sha256).digest()
+    stored_key = hashlib.sha256(client_key).digest()
+    without_proof = final.rsplit(",p=", 1)[0]
+    auth_msg = ",".join([first_bare, server_first, without_proof]).encode()
+    client_sig = hmac_mod.new(stored_key, auth_msg, hashlib.sha256).digest()
+    assert base64.b64decode(attrs["p"]) == bytes(
+        a ^ b for a, b in zip(client_key, client_sig)
+    )
+    server_key = hmac_mod.new(salted, b"Server Key", hashlib.sha256).digest()
+    assert (
+        hmac_mod.new(server_key, auth_msg, hashlib.sha256).digest()
+        == expected_server_sig
+    )
