@@ -71,6 +71,20 @@ DEFAULT_KEYS = [
     "text_vocab_heavy_hitters",
     "events_gap_fill",
     "dedup_cluster_components",
+    # round 4: pipeline-prep, derived-partsupp, path/markov, sinks
+    "text_bpe_merge_candidates",
+    "pipeline_mix_weighted",
+    "pipeline_length_buckets",
+    "dedup_incremental_snapshot",
+    "corpus_mixture_entropy",
+    "events_top_paths",
+    "events_transition_matrix",
+    "join_asof_nearest",
+    "query_tpch_q2",
+    "query_tpch_q11",
+    "query_tpch_q20",
+    "cdc_bucketed_compaction",
+    "sim_pca_power_component",
 ]
 
 
