@@ -187,3 +187,94 @@ def multimodal_extract(spark, sf_dir: str) -> DataFrame:
     # same batch-size-bounding repartition as extract_features
     bucketed = media.repartition(F.spark_partition_id(), F.length("payload"))
     return bucketed.mapInPandas(run, _EXTRACT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio windowing (round 4): overlapping fixed-length analysis windows
+# over a PCM payload — the STFT-framing layout step (win 25 ms, hop
+# 10 ms at the declared 8 kHz ≙ 200/80 samples at 1 byte/sample).
+
+_AUD_WIN = 200
+_AUD_HOP = 80
+_AUD_MS_PER_HOP = 10
+_AUD_MS_PER_WIN = 25
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id AS media_id, text, strlen(text) AS n_samples
+        FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id, CAST(k AS INT) AS win_idx,
+           CAST(k * {_AUD_MS_PER_HOP} AS BIGINT) AS start_ms,
+           CAST(k * {_AUD_MS_PER_HOP} + {_AUD_MS_PER_WIN} AS BIGINT) AS end_ms,
+           md5(substr(text, k * {_AUD_HOP} + 1, {_AUD_WIN})) AS win_hash
+    FROM media, unnest(range(0,
+         -- n >= W guard BEFORE the division: DuckDB's // truncates
+         -- toward zero while the Spark side's Python // floors, so the
+         -- negative (sub-window) branch must never reach the division
+         CASE WHEN n_samples >= {_AUD_WIN}
+              THEN (n_samples - {_AUD_WIN}) // {_AUD_HOP} + 1 ELSE 0 END))
+         AS t(k)
+    """,
+)
+def multimodal_audio_windows(spark, sf_dir: str) -> DataFrame:
+    """Audio analysis-window plumbing: each payload expands to its
+    OVERLAPPING 25 ms windows at a 10 ms hop (the STFT/feature-frame
+    layout every speech pipeline runs) inside mapInPandas — the
+    counterpart of `multimodal_framesample`'s strided, non-overlapping
+    video sampling. Window COUNT math (1 + ⌊(n−W)/H⌋, zero for
+    sub-window clips) and per-window start/end timestamps are the
+    audio-specific semantics under test; the window "decode" is the
+    documented md5 fake (no audio codec in this container —
+    multimodal.decode_image's contract), so alignment is exactly
+    oracle-checked, not row-counted.
+
+    Scale: the expansion runs where the payload lives; a window row
+    carries 16 hash bytes + 3 longs, so the 2.5× sample-overlap factor
+    applies to hashes, never to payload bytes on the wire.
+    """
+    import hashlib
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from pg2ch_spark import catalog
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    media = docs.where(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+    def windows(batches):
+        for pdf in batches:
+            ids, idxs, starts, ends, hashes = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = len(raw)
+                for k in range(max((n - _AUD_WIN) // _AUD_HOP + 1, 0)):
+                    ids.append(mid)
+                    idxs.append(k)
+                    starts.append(k * _AUD_MS_PER_HOP)
+                    ends.append(k * _AUD_MS_PER_HOP + _AUD_MS_PER_WIN)
+                    hashes.append(
+                        hashlib.md5(raw[k * _AUD_HOP : k * _AUD_HOP + _AUD_WIN])
+                        .hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "win_idx": idxs,
+                    "start_ms": starts,
+                    "end_ms": ends,
+                    "win_hash": hashes,
+                }
+            )
+
+    return media.repartition(32).mapInPandas(
+        windows,
+        "media_id long, win_idx int, start_ms long, end_ms long, win_hash string",
+    )
