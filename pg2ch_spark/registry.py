@@ -98,14 +98,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # ROUND-5 REORDER PLAN (do this at the START of round 5, not
     # before round 4's driver run): after CORRECTNESS_r04 lands, the
     # never-driver-checked set becomes the 12 analytics-tail keys
-    # below PLUS the 16 round-4 additions (text_bpe_merge_candidates,
+    # below PLUS the 17 round-4 additions (text_bpe_merge_candidates,
     # pipeline_mix_weighted, pipeline_pref_pairs,
     # pipeline_length_buckets, dedup_incremental_snapshot,
     # embedding_standardize, sim_pca_power_component,
     # corpus_mixture_entropy, events_transition_matrix,
     # events_top_paths, join_asof_nearest, cdc_bucketed_compaction,
-    # query_tpch_q2/q11/q16/q20) — move all 28 to the FRONT of this
-    # tuple so round 5's 50-key window covers them; all 28 already
+    # query_tpch_q2/q11/q16/q20, multimodal_audio_windows) — move all
+    # 29 to the FRONT of this
+    # tuple so round 5's 50-key window covers them; all 29 already
     # pass the local vanilla-session differential (round-4 session).
     # round-5 window: the 12 analytics-tail keys, next in line
     "text_decontaminate",
