@@ -1,0 +1,120 @@
+"""The WHOLE reference daemon in one test: PG socket → pgoutput decode
+→ engine merge → ClickHouse HTTP insert.
+
+Every stage has its own e2e suite (test_walsender_e2e, test_pipeline,
+test_clickhouse_e2e); this file chains them over real sockets the way
+pg2ch actually runs — a replication connection consumed transaction by
+transaction with flush-then-ack, each transaction merged into
+ReplacingMergeTree state (both the plain and the bucket-pruned sink),
+and the final state POSTed as TabSeparated to the CH endpoint — so a
+regression anywhere in the R2→R9→R12 chain fails ONE assertion about
+bytes received by "ClickHouse".
+"""
+
+from __future__ import annotations
+
+import socketserver
+import threading
+
+import pytest
+
+from pg2ch_spark.sources import clickhouse as ch
+from pg2ch_spark.sources import pgoutput as pg
+from tests.test_clickhouse_e2e import http_stub  # noqa: F401  (fixture)
+from tests.test_walsender_e2e import (
+    FIXED_CLOCK,
+    LSN1,
+    LSN2,
+    WAL_SCRIPT,
+    FakeWalSender,
+    _expected_ack,
+)
+
+
+@pytest.fixture()
+def walsender():
+    server = socketserver.TCPServer(("127.0.0.1", 0), FakeWalSender)
+    server.log = {}
+    server.done = threading.Event()
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield server
+    server.shutdown()
+    server.server_close()
+
+
+@pytest.mark.parametrize("n_buckets", [0, 4])
+def test_pg_socket_to_clickhouse_http(
+    spark, walsender, http_stub, tmp_path, n_buckets  # noqa: F811
+):
+    from pg2ch_spark.cdc.merge_sink import BucketedMergeSink, ReplacingMergeSink
+
+    host, port = walsender.server_address
+    endpoint, received = http_stub
+
+    state = str(tmp_path / f"state{n_buckets}")
+    if n_buckets:
+        sink = BucketedMergeSink(
+            spark, state, "key", "ver", merge_every=1, n_buckets=n_buckets
+        )
+    else:
+        sink = ReplacingMergeSink(spark, state, "key", "ver")
+
+    # R2: consume the replication stream; R5/R9: merge each committed
+    # transaction BEFORE resuming (resume == flush-then-ack).
+    stream = pg.replication_stream(
+        host,
+        port,
+        slot="pg2ch_slot",
+        publication="pg2ch_pub",
+        clock=lambda: FIXED_CLOCK,
+    )
+    n_tx = 0
+    try:
+        for commit_lsn, rows in stream:
+            batch = spark.createDataFrame(
+                [
+                    (int(r.values["id"]), r.scalar_ver, r.op, float(r.values["balance"]))
+                    for r in rows
+                ],
+                "key long, ver long, op string, value double",
+            )
+            sink.merge(batch)  # sink commit, THEN the generator resume acks
+            n_tx += 1
+    finally:
+        stream.close()  # keep the single-threaded fixture server unstuck
+    assert n_tx == 2 and walsender.done.wait(5)
+
+    # flush-then-ack order on the wire, byte-for-byte
+    assert walsender.log["acks"] == [
+        _expected_ack(0),
+        _expected_ack(LSN1),
+        _expected_ack(LSN2),
+        _expected_ack(LSN2),
+    ]
+
+    # R12: final state → ClickHouse TSV over HTTP
+    final = sink.state().orderBy("key")
+    ch.clickhouse_sink(endpoint, "db.accounts", ["key", "ver", "op", "value"])(
+        final.coalesce(1), epoch_id=0
+    )
+
+    # what "ClickHouse" received must be the argmax-per-key of the WAL
+    expected = {}
+    for r in pg.decode_stream(WAL_SCRIPT):
+        k = int(r.values["id"])
+        if k not in expected or r.scalar_ver > expected[k][0]:
+            expected[k] = (r.scalar_ver, r.op, float(r.values["balance"]))
+    body = b"".join(b for _, b in received).decode()
+    got = {}
+    for line in filter(None, body.split("\n")):
+        k, ver, op, val = line.split("\t")
+        got[int(k)] = (int(ver), op, float(val))
+    assert got == expected
+    # and the INSERT targeted the right table (query is URL-encoded)
+    import urllib.parse
+
+    assert received and all(
+        "INSERT INTO `db`.`accounts`" in urllib.parse.unquote(path)
+        for path, _ in received
+    )
