@@ -1129,3 +1129,62 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
     return counted.orderBy(F.col("n_sessions").desc(), "path").limit(_TOP_PATHS_K)
+
+
+@register(
+    "events_abtest_lift",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               count(*) FILTER (user_id % 2 = 0) AS n_c,
+               count(*) FILTER (user_id % 2 = 1) AS n_t,
+               avg(value) FILTER (user_id % 2 = 0) AS mu_c,
+               avg(value) FILTER (user_id % 2 = 1) AS mu_t,
+               avg(value * value) FILTER (user_id % 2 = 0) AS m2_c,
+               avg(value * value) FILTER (user_id % 2 = 1) AS m2_t
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_c, n_t,
+           round(mu_t - mu_c, 4) AS lift,
+           round((mu_t - mu_c) /
+                 sqrt((m2_c - mu_c * mu_c) / n_c + (m2_t - mu_t * mu_t) / n_t),
+                 4) AS z_stat
+    FROM m
+    """,
+)
+def events_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B lift per event type: users split deterministically into
+    control/treatment by user_id parity; report group sizes, mean lift,
+    and the two-sample z statistic (Welch denominator from single-pass
+    E[x²]−E[x]² variances) — the experiment-readout query every
+    product-analytics deployment runs.
+
+    ONE aggregation: both variants' counts and first/second moments are
+    conditional aggregates over the same (event_type) groupBy — no
+    pivot, no self-join, map-side partials carry 6 doubles per group.
+    The z denominator uses identical closed forms on both engines, so
+    rounding at 4dp is engine-stable (the `events_anomaly_zscore`
+    precedent)."""
+    ev = catalog.load(spark, sf_dir, "events")
+    is_c = F.col("user_id") % 2 == 0
+    is_t = F.col("user_id") % 2 == 1
+    m = ev.groupBy("event_type").agg(
+        F.count(F.when(is_c, 1)).alias("n_c"),
+        F.count(F.when(is_t, 1)).alias("n_t"),
+        F.avg(F.when(is_c, F.col("value"))).alias("mu_c"),
+        F.avg(F.when(is_t, F.col("value"))).alias("mu_t"),
+        F.avg(F.when(is_c, F.col("value") * F.col("value"))).alias("m2_c"),
+        F.avg(F.when(is_t, F.col("value") * F.col("value"))).alias("m2_t"),
+    )
+    lift = F.col("mu_t") - F.col("mu_c")
+    z = lift / F.sqrt(
+        (F.col("m2_c") - F.col("mu_c") * F.col("mu_c")) / F.col("n_c")
+        + (F.col("m2_t") - F.col("mu_t") * F.col("mu_t")) / F.col("n_t")
+    )
+    return m.select(
+        "event_type",
+        "n_c",
+        "n_t",
+        F.round(lift, 4).alias("lift"),
+        F.round(z, 4).alias("z_stat"),
+    )
