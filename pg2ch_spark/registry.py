@@ -124,6 +124,47 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 
+# Prepared for round 5 — swap in AFTER CORRECTNESS_r04 lands with:
+#     _DRIVER_PRIORITY = _ROUND5_PRIORITY + _DRIVER_PRIORITY
+# (_prioritized dedups via dict insertion, first occurrence wins, so
+# prepending is safe). 30 keys: the 12 analytics-tail (above) + the 18
+# round-4 additions; the window's remaining 20 slots re-verify the
+# round-4 head, which is exactly what a re-check should hit.
+_ROUND5_PRIORITY: tuple[str, ...] = (
+    "text_decontaminate",
+    "agg_hll_sketch_merge",
+    "join_salted_skew",
+    "dedup_cluster_components",
+    "query_tpch_q3",
+    "query_tpch_q18",
+    "agg_regr_linfit",
+    "events_histogram_fixed",
+    "events_anomaly_zscore",
+    "fn_cast_edge",
+    "agg_quantile_histogram_merge",
+    "agg_summap",
+    # round-4 additions (all pre-verified green this session)
+    "cdc_bucketed_compaction",
+    "query_tpch_q2",
+    "query_tpch_q11",
+    "query_tpch_q16",
+    "query_tpch_q20",
+    "text_bpe_merge_candidates",
+    "pipeline_mix_weighted",
+    "pipeline_pref_pairs",
+    "pipeline_length_buckets",
+    "dedup_incremental_snapshot",
+    "embedding_standardize",
+    "sim_pca_power_component",
+    "corpus_mixture_entropy",
+    "events_transition_matrix",
+    "events_top_paths",
+    "events_abtest_lift",
+    "join_asof_nearest",
+    "multimodal_audio_windows",
+)
+
+
 def _prioritized(d: dict) -> dict:
     """Reorder a registry dict: _DRIVER_PRIORITY keys first, rest as-is."""
     out = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
