@@ -162,6 +162,10 @@ _ROUND5_PRIORITY: tuple[str, ...] = (
     "events_abtest_lift",
     "join_asof_nearest",
     "multimodal_audio_windows",
+    "events_cohort_matrix",
+    "join_point_in_interval",
+    "events_concurrency_sweep",
+    "events_active_rollup",
 )
 
 
@@ -229,6 +233,7 @@ def load_all() -> None:
     # _DRIVER_PRIORITY):
     from pg2ch_spark.llm import pipelineops  # noqa: F401
     from pg2ch_spark.operators import tpch_partsupp  # noqa: F401
+    from pg2ch_spark.operators import behavior  # noqa: F401
 
     _LOADED = True
 

@@ -493,3 +493,43 @@ def test_tpch_q20_preaggregates_fact_before_joins(spark):
         {"l_partkey", "l_suppkey", "l_quantity", "l_shipdate"}
         for cols in li_scans
     )
+
+
+def test_cohort_matrix_is_joinless_and_distinctless(spark):
+    """The cohort matrix must come from ONE groupBy(user_id) — no join
+    back to a firsts table, and no COUNT(DISTINCT) expansion: after the
+    per-user (cohort_day, day-set) collapse each user owns one exploded
+    row per cell, so the cell count is a plain count(*)."""
+    plan = _plan(spark, "events_cohort_matrix")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "Expand"):
+        assert node not in plan, f"unexpected {node} in cohort-matrix plan"
+
+
+def test_point_in_interval_join_is_blocked_not_nested_loop(spark):
+    """No equi-key exists between points and intervals; the hour-grain
+    blocking must make the match a shuffled/broadcast equi-join plus a
+    residual range filter — never a nested-loop over all pairs."""
+    plan = _plan(spark, "join_point_in_interval")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_active_rollup_avoids_distinct_expand(spark):
+    """DAU/WAU/MAU must come from the min-offset collapse, not from a
+    multi-COUNT(DISTINCT) aggregate (which would Expand the exploded
+    contributions 3x); the day-grid semi-join must broadcast."""
+    plan = _plan(spark, "events_active_rollup")
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_concurrency_sweep_has_no_pair_join(spark):
+    """The sweep-line concurrency plan must contain NO row-scale join:
+    the only join is the broadcast of the |shards|-row offset table.
+    A SortMergeJoin/ShuffledHashJoin would mean the pair set is being
+    materialized — the exact thing the sweep exists to avoid."""
+    plan = _plan(spark, "events_concurrency_sweep")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the offsets broadcast
