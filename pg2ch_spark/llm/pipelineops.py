@@ -611,3 +611,75 @@ def corpus_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_vs_corpus",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter ablation matrix — which filter combinations remove
+# what, the governance readout every production filtering pipeline
+# ships next to its kept/dropped counts.
+
+_ABL_MIN_CHARS = 200
+_ABL_MIN_TOKS = 40
+
+
+@register(
+    "pipeline_quality_ablation",
+    oracle=f"""
+    WITH flags AS (
+        SELECT n_chars,
+               n_chars >= {_ABL_MIN_CHARS} AS len_ok,
+               len(string_split(text, ' ')) >= {_ABL_MIN_TOKS} AS tok_ok,
+               lang = 'en' AS lang_ok
+        FROM documents
+    ), tot AS (SELECT count(*) AS total FROM flags)
+    SELECT len_ok, tok_ok, lang_ok,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           round(count(*) / (SELECT CAST(total AS DOUBLE) FROM tot), 4)
+               AS frac
+    FROM flags
+    GROUP BY len_ok, tok_ok, lang_ok
+    ORDER BY len_ok, tok_ok, lang_ok
+    """,
+)
+def pipeline_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter ablation matrix: the corpus partitioned by every
+    combination of three quality gates (length ≥ {_ABL_MIN_CHARS}
+    chars, ≥ {_ABL_MIN_TOKS} tokens, lang = en) with doc counts, char
+    mass, and corpus fraction per cell — the readout that tells a
+    pipeline owner which gate does the work, which are redundant, and
+    what the intersection would keep, BEFORE committing a filter
+    change to a 100 TB run (`pipeline_pretrain_filter` applies the
+    gates; this op audits them).
+
+    One map-side-combined shuffle on the 8-value flag-triple key; the
+    corpus fraction divides by a 1-row total broadcast back (the
+    scalar-subquery shape of `query_tpch_q11`). The flags are in-row
+    codegen predicates — adding a gate adds a boolean column, not a
+    pass.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    flags = docs.select(
+        "n_chars",
+        (F.col("n_chars") >= _ABL_MIN_CHARS).alias("len_ok"),
+        (F.size(F.split("text", " ")) >= _ABL_MIN_TOKS).alias("tok_ok"),
+        (F.col("lang") == "en").alias("lang_ok"),
+    )
+    tot = flags.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    return (
+        flags.groupBy("len_ok", "tok_ok", "lang_ok")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "len_ok",
+            "tok_ok",
+            "lang_ok",
+            "n_docs",
+            "chars",
+            F.round(F.col("n_docs") / F.col("total").cast("double"), 4).alias("frac"),
+        )
+        .orderBy("len_ok", "tok_ok", "lang_ok")
+    )

@@ -166,6 +166,9 @@ _ROUND5_PRIORITY: tuple[str, ...] = (
     "join_point_in_interval",
     "events_concurrency_sweep",
     "events_active_rollup",
+    "agg_countmin_heavy",
+    "sample_weighted_bottomk",
+    "pipeline_quality_ablation",
 )
 
 
@@ -234,6 +237,7 @@ def load_all() -> None:
     from pg2ch_spark.llm import pipelineops  # noqa: F401
     from pg2ch_spark.operators import tpch_partsupp  # noqa: F401
     from pg2ch_spark.operators import behavior  # noqa: F401
+    from pg2ch_spark.operators import summaries  # noqa: F401
 
     _LOADED = True
 

@@ -533,3 +533,33 @@ def test_concurrency_sweep_has_no_pair_join(spark):
     assert "ShuffledHashJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # the offsets broadcast
+
+
+def test_weighted_bottomk_is_zero_shuffle(spark):
+    """The weighted bottom-k sample must be one scan + TakeOrdered:
+    rank keys are built in-row (array_min over salted hashes) and the
+    global k-smallest is per-task heaps + driver merge — NO Exchange
+    anywhere in the plan."""
+    plan = _plan(spark, "sample_weighted_bottomk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_countmin_sketch_is_broadcast_and_topk_is_heap(spark):
+    """The d×256-cell sketch must broadcast to the top-k lookup (never
+    a row-scale shuffle join), and the exact top-k must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "agg_countmin_heavy")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_ablation_single_pass_no_expand(spark):
+    """The ablation matrix groups on the flag triple directly — no
+    CUBE Expand — and the corpus fraction comes from a 1-row total
+    broadcast (BNLJ with a single-row build side), not a row-scale
+    join."""
+    plan = _plan(spark, "pipeline_quality_ablation")
+    assert "Expand" not in plan
+    assert "SortMergeJoin" not in plan
