@@ -278,6 +278,106 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interval × interval overlap join — symmetric containment's harder
+# sibling: a pair can share MANY blocking grains, so the join needs a
+# dedup rule; the first-common-grain condition provides it join-time,
+# with no DISTINCT pass.
+
+_MONITOR_MOD = 50  # monitor-set selector: user_id % 50 == 0
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH spans AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               min(CAST(floor(epoch(ts)) AS BIGINT)) AS lo,
+               max(CAST(floor(epoch(ts)) AS BIGINT)) AS hi
+        FROM events GROUP BY 1, 2
+    )
+    SELECT v.user_id AS monitor_user, v.day,
+           count(*) AS n_overlaps,
+           CAST(sum(least(v.hi, o.hi) - greatest(v.lo, o.lo)) AS BIGINT)
+               AS overlap_s
+    FROM spans v
+    JOIN spans o
+      ON v.user_id % {_MONITOR_MOD} = 0
+     AND o.user_id <> v.user_id
+     AND v.lo <= o.hi AND o.lo <= v.hi
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join: for each monitor-set user's
+    daily activity span, every OTHER user's span it overlaps, reduced
+    to per-(monitor, day) overlap counts and total overlapping
+    seconds — the concurrent-activity audit around designated users.
+
+    Harder than `join_point_in_interval`'s point case: two intervals
+    can share MANY hour grains, so naive grain blocking double-counts
+    every pair. The fix is the first-common-grain rule, applied as a
+    join-time predicate — a surviving pair is kept only in the grain
+    containing max(lo_v, lo_o). If the intervals overlap at all, that
+    instant lies inside both, so exactly one grain accepts the pair:
+    exact dedup with NO distinct pass and no pair key re-shuffle. Both
+    sides explode to covered grains (≤ 24, bounded by span/grain), the
+    match is a shuffled equi-join on the grain (plan-tested: no BNLJ),
+    and the monitor-set filter bounds output to |monitors| ×
+    |concurrent spans| — the irreducible answer size.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    sec = catalog.ts_epoch_s(ev)
+    spans = (
+        ev.select("user_id", sec.alias("s"))
+        .groupBy("user_id", (F.col("s") / F.lit(86400)).cast("long").alias("day"))
+        .agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    )
+    grains = F.explode(
+        F.sequence(
+            (F.col("lo") / F.lit(_GRAIN_S)).cast("long"),
+            (F.col("hi") / F.lit(_GRAIN_S)).cast("long"),
+        )
+    ).alias("grain")
+    v = spans.where(F.col("user_id") % _MONITOR_MOD == 0).select(
+        F.col("user_id").alias("monitor_user"),
+        "day",
+        F.col("lo").alias("v_lo"),
+        F.col("hi").alias("v_hi"),
+        grains,
+    )
+    o = spans.select(
+        F.col("user_id").alias("o_user"),
+        F.col("lo").alias("o_lo"),
+        F.col("hi").alias("o_hi"),
+        grains,
+    )
+    first_grain = (
+        F.greatest(F.col("v_lo"), F.col("o_lo")) / F.lit(_GRAIN_S)
+    ).cast("long")
+    return (
+        v.join(o, "grain")
+        .where(
+            (F.col("o_user") != F.col("monitor_user"))
+            & (F.col("v_lo") <= F.col("o_hi"))
+            & (F.col("o_lo") <= F.col("v_hi"))
+            & (first_grain == F.col("grain"))
+        )
+        .groupBy("monitor_user", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum(
+                F.least(F.col("v_hi"), F.col("o_hi"))
+                - F.greatest(F.col("v_lo"), F.col("o_lo"))
+            )
+            .cast("bigint")
+            .alias("overlap_s"),
+        )
+        .orderBy("monitor_user", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rolling liveness rollup — DAU/WAU/MAU per day, exact, without a
 # trailing-window COUNT(DISTINCT).
 

@@ -169,6 +169,8 @@ _ROUND5_PRIORITY: tuple[str, ...] = (
     "agg_countmin_heavy",
     "sample_weighted_bottomk",
     "pipeline_quality_ablation",
+    "join_interval_overlap",
+    "agg_hll_dyadic_exact",
 )
 
 

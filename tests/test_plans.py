@@ -563,3 +563,24 @@ def test_quality_ablation_single_pass_no_expand(spark):
     plan = _plan(spark, "pipeline_quality_ablation")
     assert "Expand" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_interval_overlap_blocked_join_no_nested_loop(spark):
+    """Interval×interval overlap must ride the grain equi-join (the
+    small monitor side may broadcast — that is the right call), never
+    a nested loop; the first-common-grain rule means no Distinct/
+    Dedup node appears for pair dedup."""
+    plan = _plan(spark, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_hll_dyadic_state_is_integer_and_tiny(spark):
+    """The HLL plan must aggregate to the 256-bucket integer state via
+    partial max (map-side combine IS the sketch merge) — shiftleft
+    (integer) in the aggregate, and no float sum anywhere before the
+    single estimate division."""
+    plan = _plan(spark, "agg_hll_dyadic_exact")
+    assert plan.count("HashAggregate") >= 4  # partial+final for bucket max and state
+    assert "shiftleft" in plan
