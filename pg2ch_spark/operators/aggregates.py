@@ -163,19 +163,30 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_filtered",
     oracle="""
     SELECT user_id,
-           round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase_total,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6)))
+                          FILTER (WHERE event_type = 'purchase'), 2)
+                AS DOUBLE) AS purchase_total,
            count(*) AS n_events
     FROM events GROUP BY user_id
     """,
 )
 def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTER-clause aggregate as conditional sum — stays a single
-    map-side-combinable hash agg (no second pass)."""
+    map-side-combinable hash agg (no second pass). Decimal-mediated sum
+    (order-insensitive — see cdc_summing_final)."""
     ev = catalog.load(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 2).alias(
-            "purchase_total"
-        ),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,6)"),
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("purchase_total"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -233,7 +244,9 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_salted_skew",
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total
     FROM events GROUP BY event_type
     """,
 )
@@ -253,8 +266,14 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load(spark, sf_dir, "events")
     partial = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16))).groupBy(
         "event_type", "_salt"
-    ).agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv"))
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        # decimal partials: the salted rewrite re-orders the summation,
+        # which is only value-identical to the plain GROUP BY oracle if
+        # addition is associative — exact decimals make it so
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+    )
     return partial.groupBy("event_type").agg(
         F.sum("pn").cast("bigint").alias("n"),
-        F.round(F.sum("pv"), 2).alias("total"),
+        F.round(F.sum("pv"), 2).cast("double").alias("total"),
     )

@@ -96,7 +96,8 @@ _SESSION_GAP_S = 30 * 60
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            count(*) AS n_events,
            max(t) - min(t) AS duration_s,
-           round(sum(value), 2) AS value_total
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS value_total
     FROM sessions GROUP BY user_id, session_id
     """,
 )
@@ -132,7 +133,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
         .cast("bigint")
         .alias("duration_s"),
-        F.round(F.sum("value"), 2).alias("value_total"),
+        # decimal-mediated sum (order-insensitive — see cdc_summing_final)
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("value_total"),
     )
 
 

@@ -680,7 +680,8 @@ def cdc_versioned_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT key,
            count(*) AS n_parts,
-           round(sum(value), 2) AS val_sum,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS val_sum,
            max(ver) AS last_ver
     FROM cdc WHERE op IN ('I', 'U')
     GROUP BY key
@@ -701,7 +702,15 @@ def cdc_summing_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.sum("value"), 2).alias("val_sum"),
+            # decimal-mediated sum: a double sum's partial-order rounding
+            # can land an ulp either side of a half-cent boundary and
+            # diverge from the oracle there (caught by the randomized
+            # edge corpus, round 4) — summing exact decimals removes the
+            # order sensitivity; the final 2dp value casts back to
+            # double exactly.
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("val_sum"),
             F.max("ver").alias("last_ver"),
         )
     )

@@ -128,7 +128,8 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
-               round(sum(value), 2) AS day_value
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS day_value
         FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
     )
     SELECT user_id, day,
@@ -149,7 +150,13 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
-    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    ).agg(
+        # decimal-mediated daily sum (order-insensitive — see
+        # cdc_summing_final) so both engines average IDENTICAL inputs
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("day_value")
+    )
     w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, Window.currentRow)
     return daily.select(
         "user_id", "day", F.round(F.avg("day_value").over(w), 6).alias("mavg7")

@@ -389,7 +389,9 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_static_join",
     oracle="""
-    SELECT c.c_mktsegment AS segment, count(*) AS n, round(sum(e.value), 2) AS total
+    SELECT c.c_mktsegment AS segment, count(*) AS n,
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1
     """,
@@ -408,7 +410,14 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events_schema(spark, sf_dir),
         lambda df: df.join(F.broadcast(cust), df.user_id == cust.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")),
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal-mediated sum (order-insensitive across micro-batch
+            # boundaries too — see cdc_summing_final)
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total"),
+        ),
     )
     return res
 

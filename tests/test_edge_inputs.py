@@ -185,6 +185,13 @@ def edge_events_duck(edge_events_dir):
         "events_funnel",
         "cdc_versioned_collapsing",
         "cdc_summing_final",
+        # round 4: tiny corpus exercises single-user cohorts, sub-window
+        # liveness, and the monitor-set-empty path of the overlap join
+        "events_cohort_matrix",
+        "events_active_rollup",
+        "events_concurrency_sweep",
+        "join_point_in_interval",
+        "join_interval_overlap",
     ],
 )
 def test_event_edges_match_oracle(spark, edge_events_dir, edge_events_duck, key):
@@ -325,7 +332,11 @@ def random_events_dir(tmp_path_factory):
 
     rng = np.random.default_rng(20260813)
     n = 600
-    users = rng.integers(1, 40, n)  # ~15 events/user, some sparse
+    # 1..120 so the monitor-set selector (user_id % 50 == 0) of
+    # join_interval_overlap has real members (50, 100); every test on
+    # this fixture is differential, so the generator change is
+    # self-consistent on both engines.
+    users = rng.integers(1, 121, n)  # ~5 events/user, some sparse
     # bursty offsets: many events inside the same minute, some far apart
     offs = np.sort(rng.choice([1, 2, 5, 60, 600, 3600, 7200], n) * rng.integers(0, 50, n))
     types = rng.choice(
@@ -375,6 +386,13 @@ def random_events_duck(random_events_dir):
         "agg_regr_linfit",
         "join_asof_tolerance",
         "cdc_pipeline_replicating",
+        # round 4 behavior-analytics batch
+        "events_cohort_matrix",
+        "events_active_rollup",
+        "events_concurrency_sweep",
+        "join_point_in_interval",
+        "join_interval_overlap",
+        "agg_hll_dyadic_exact",
     ],
 )
 def test_random_events_match_oracle(spark, random_events_dir, random_events_duck, key):
@@ -546,6 +564,10 @@ def random_docs_duck(random_docs_dir):
         "pipeline_length_buckets",
         "dedup_incremental_snapshot",
         "corpus_mixture_entropy",
+        # round 4 summaries batch
+        "agg_countmin_heavy",
+        "sample_weighted_bottomk",
+        "pipeline_quality_ablation",
     ],
 )
 def test_random_docs_match_oracle(spark, random_docs_dir, random_docs_duck, key):
