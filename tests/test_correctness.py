@@ -49,3 +49,32 @@ def test_driver_window_prioritizes_unchecked_backlog():
     # oracle_sql() iterates in the same order as queries()
     prio_with_oracle = [k for k in prio if k in oracles]
     assert list(oracles)[: len(prio_with_oracle)] == prio_with_oracle
+
+
+def test_round5_priority_covers_all_unchecked_keys():
+    """Round-5 window audit: prepending _ROUND5_PRIORITY to
+    _DRIVER_PRIORITY must put EVERY key that will still lack a driver
+    CORRECTNESS row after round 4 (not in r1/r3 artifacts, not in the
+    round-4 50-key window) inside the round-5 50-key window. Round 3's
+    verdict was precisely about this invariant silently breaking."""
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked = set()
+    for art in ("CORRECTNESS_r01.json", "CORRECTNESS_r03.json"):
+        with open(os.path.join(here, art)) as f:
+            checked |= set(json.load(f))
+    all_keys = list(registry.queries())
+    checked |= set(all_keys[:50])  # the round-4 driver window
+    sim = []
+    for k in (
+        list(registry._ROUND5_PRIORITY)
+        + list(registry._DRIVER_PRIORITY)
+        + all_keys
+    ):
+        if k not in sim:
+            sim.append(k)
+    r5_window = set(sim[:50])
+    missed = [k for k in all_keys if k not in checked and k not in r5_window]
+    assert missed == [], f"never-checked keys outside the round-5 window: {missed}"
