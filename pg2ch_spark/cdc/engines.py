@@ -261,3 +261,53 @@ def cdc_bucketed_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         return state.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "cdc_aggregating_final",
+    oracle=CDC_CTE
+    + """
+    SELECT key,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS val_sum,
+           min(value) AS val_min,
+           max(value) AS val_max,
+           arg_max(value, ver) AS val_last,
+           max(ver) AS last_ver
+    FROM cdc WHERE op IN ('I', 'U')
+    GROUP BY key
+    """,
+)
+def cdc_aggregating_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatingMergeTree FINAL — the engine-family member the other
+    group-I operators leave out: each part holds a pre-aggregated
+    STATE per key (count / sum / min / max / argMax-by-version), and a
+    merge COMBINES states instead of replacing (Replacing), cancelling
+    (Collapsing), or summing one column (Summing). ClickHouse persists
+    these as -State columns read back with -Merge; here every chosen
+    aggregate is algebraically mergeable, so Spark's map-side partial
+    aggregation IS the engine's background merge and the shuffle
+    carries one state row per (partition, key).
+
+    The sum state is decimal-mediated (see cdc_summing_final); min /
+    max / argMax pass stored doubles through untouched, so no
+    arithmetic crosses the engine boundary for them. Deletes are
+    excluded like Summing — pg2ch's counter tables never tombstone
+    into aggregating state.
+    """
+    log = derive_cdc(spark, sf_dir)
+    return (
+        log.where(F.col("op").isin("I", "U"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("val_sum"),
+            F.min("value").alias("val_min"),
+            F.max("value").alias("val_max"),
+            F.max_by("value", "ver").alias("val_last"),
+            F.max("ver").alias("last_ver"),
+        )
+    )

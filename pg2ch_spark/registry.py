@@ -176,6 +176,7 @@ _ROUND5_PRIORITY: tuple[str, ...] = (
     "pipeline_quality_ablation",
     "join_interval_overlap",
     "agg_hll_dyadic_exact",
+    "cdc_aggregating_final",
 )
 
 

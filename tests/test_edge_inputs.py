@@ -387,6 +387,7 @@ def random_events_duck(random_events_dir):
         "join_asof_tolerance",
         "cdc_pipeline_replicating",
         # round 4 behavior-analytics batch
+        "cdc_aggregating_final",
         "events_cohort_matrix",
         "events_active_rollup",
         "events_concurrency_sweep",
