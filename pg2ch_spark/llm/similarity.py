@@ -257,3 +257,128 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e, d.doc_id == e.vec_id)
         .select("doc_id", "label", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation eval — how much retrieval quality survives
+# cutting the embedding to its prefix dims (MRL-style deployments keep
+# one 64-dim index and serve 8/16/32-dim truncations for cheap tiers).
+
+_MAT_DIMS = (8, 16, 32, 64)
+_MAT_QUERIES = 10
+_MAT_TOPK = 10
+
+
+@register(
+    "sim_matryoshka_recall",
+    oracle=f"""
+    WITH ks AS (SELECT unnest(ARRAY{list(_MAT_DIMS)}) AS k),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < {_MAT_QUERIES}
+    ),
+    pairs AS (
+        SELECT ks.k, q.query_id, e.vec_id AS neighbor_id,
+               round(
+                 list_sum(list_transform(range(1, ks.k + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, ks.k + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, ks.k + 1),
+                      i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))),
+                 4) AS cos_sim
+        FROM embeddings e, q, ks
+        WHERE e.vec_id != q.query_id
+    ),
+    tops AS (
+        SELECT k, query_id, neighbor_id FROM pairs
+        QUALIFY row_number() OVER (PARTITION BY k, query_id
+                                   ORDER BY cos_sim DESC, neighbor_id)
+                <= {_MAT_TOPK}
+    ),
+    base AS (SELECT query_id, neighbor_id FROM tops WHERE k = {EMB_DIM}),
+    hits AS (
+        SELECT t.k, t.query_id, count(b.neighbor_id) AS n_hit
+        FROM tops t
+        LEFT JOIN base b ON b.query_id = t.query_id
+                        AND b.neighbor_id = t.neighbor_id
+        GROUP BY t.k, t.query_id
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           round(avg(CAST(n_hit AS DOUBLE)) / {_MAT_TOPK}, 4) AS recall_at_{_MAT_TOPK}
+    FROM hits GROUP BY k ORDER BY k
+    """,
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_MAT_TOPK} of prefix-truncated embeddings vs the full
+    {EMB_DIM}-dim ranking, per truncation width k ∈ {_MAT_DIMS} — the
+    eval that decides which Matryoshka serving tier is safe. The k =
+    {EMB_DIM} row is the identity sanity check (recall 1.0).
+
+    One pass computes every tier: the corpus crossJoins the broadcast
+    ({_MAT_QUERIES} queries × |ks| widths) side — each corpus row is
+    scanned ONCE and sliced in-row per (query, k), so the plan is the
+    `sim_knn_join` broadcast shape with a 4× wider flop budget, not 4
+    scans. Truncated cosines renormalize over the prefix (slice, then
+    the same double-cast sequential fold both engines share); per-tier
+    top-k via one window over (k, query); recall joins each tier's
+    list against the k={EMB_DIM} baseline with a broadcast semi-count.
+    At billions of vectors this stays a single corpus scan + one
+    window shuffle on (k, query, cos) — the eval never re-reads the
+    index."""
+    e = catalog.load(spark, sf_dir, "embeddings")
+    ks = spark.range(0, len(_MAT_DIMS)).select(
+        F.element_at(F.array(*[F.lit(k) for k in _MAT_DIMS]), (F.col("id") + 1).cast("int")).alias("k")
+    )
+    q = (
+        e.where(F.col("vec_id") < _MAT_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .crossJoin(ks)
+        .select("query_id", "k", F.slice("qe", 1, F.col("k")).alias("qe"))
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "k",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _hof_dot("slice(embedding, 1, k)", "qe")
+                / (_hof_norm("slice(embedding, 1, k)") * _hof_norm("qe")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("k", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    tops = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= _MAT_TOPK)
+        .select("k", "query_id", "neighbor_id")
+    )
+    # Baseline membership WITHOUT a self-join (a join against the
+    # k=EMB_DIM slice would recompute the whole corpus pass for the
+    # build side): a window over (query, neighbor) spans all tiers'
+    # rows at once, so "is this neighbor in the full-dim top-k" is a
+    # max-of-flag over the group — one pass, no second scan.
+    w_pair = Window.partitionBy("query_id", "neighbor_id")
+    hits = (
+        tops.withColumn(
+            "in_base",
+            F.max(F.when(F.col("k") == EMB_DIM, 1).otherwise(0)).over(w_pair),
+        )
+        .groupBy("k", "query_id")
+        .agg(F.sum("in_base").alias("n_hit"))
+    )
+    return (
+        hits.groupBy("k")
+        .agg(
+            F.round(F.avg(F.col("n_hit").cast("double")) / _MAT_TOPK, 4).alias(
+                f"recall_at_{_MAT_TOPK}"
+            )
+        )
+        .select(F.col("k").cast("bigint").alias("k"), f"recall_at_{_MAT_TOPK}")
+        .orderBy("k")
+    )

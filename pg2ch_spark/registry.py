@@ -177,6 +177,7 @@ _ROUND5_PRIORITY: tuple[str, ...] = (
     "join_interval_overlap",
     "agg_hll_dyadic_exact",
     "cdc_aggregating_final",
+    "sim_matryoshka_recall",
 )
 
 

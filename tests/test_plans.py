@@ -584,3 +584,17 @@ def test_hll_dyadic_state_is_integer_and_tiny(spark):
     plan = _plan(spark, "agg_hll_dyadic_exact")
     assert plan.count("HashAggregate") >= 4  # partial+final for bucket max and state
     assert "shiftleft" in plan
+
+
+def test_matryoshka_recall_is_one_scan_all_tiers(spark):
+    """Every truncation tier must ride ONE corpus pass: the broadcast
+    (query × k) side fans out in-row — no SortMergeJoin anywhere, and
+    the embeddings table is scanned a bounded number of times (corpus
+    pass + the tiny query-side build), never once per tier."""
+    plan = _plan(spark, "sim_matryoshka_recall")
+    assert "SortMergeJoin" not in plan
+    # exactly 2 file scans: the corpus pass and the pushed-down query
+    # build (vec_id < 10). Baseline membership is a window flag over
+    # (query, neighbor), NOT a self-join — a join build side would
+    # recompute the corpus pass.
+    assert plan.count("FileScan parquet") <= 2
