@@ -448,3 +448,72 @@ def events_active_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("target").alias("day"), "dau", "wau", "mau")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Consecutive-day streaks — gaps-and-islands at day granularity, the
+# engagement metric next to the DAU rollup.
+
+
+@register(
+    "events_day_streaks",
+    oracle="""
+    WITH pres AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        FROM events
+    ), isl AS (
+        SELECT user_id, day,
+               day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS island
+        FROM pres
+    ), runs AS (
+        SELECT user_id, island, count(*) AS run_len
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(sum(run_len) AS BIGINT) AS active_days,
+           count(*) AS n_streaks,
+           CAST(max(run_len) AS BIGINT) AS max_streak
+    FROM runs GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (plus total
+    active days and streak count) — the engagement metric every
+    retention dashboard pairs with `events_active_rollup`.
+
+    Gaps-and-islands with ONE Exchange end-to-end: the naive chain
+    (distinct presence → row_number window → island rollup) costs
+    three user-key shuffles, because distinct() partitions on
+    (user_id, day) — which does NOT satisfy the window's user_id
+    clustering — and the window's output doesn't pre-split the island
+    key. Instead: one groupBy(user_id) collects the distinct day SET
+    (map-side partials dedup), `array_sort` + `posexplode` rebuild the
+    ordered sequence IN-ROW (day − position ≙ day − row_number —
+    constant exactly within a consecutive run), and both downstream
+    rollups cluster by user_id, so HashPartitioning(user_id) carries
+    through (plan-tested: exactly one user-key Exchange). The per-user
+    day set is bounded by the observation window, never event volume.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    day = (catalog.ts_epoch_s(ev) / F.lit(86400)).cast("long")
+    per_user = (
+        ev.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("day")).alias("days"))
+    )
+    isl = per_user.select(
+        "user_id", F.posexplode("days").alias("pos", "day")
+    ).select("user_id", (F.col("day") - F.col("pos")).alias("island"))
+    runs = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("run_len"))
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.sum("run_len").cast("bigint").alias("active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("run_len").cast("bigint").alias("max_streak"),
+        )
+        .orderBy("user_id")
+    )

@@ -178,6 +178,7 @@ _ROUND5_PRIORITY: tuple[str, ...] = (
     "agg_hll_dyadic_exact",
     "cdc_aggregating_final",
     "sim_matryoshka_recall",
+    "events_day_streaks",
 )
 
 

@@ -598,3 +598,14 @@ def test_matryoshka_recall_is_one_scan_all_tiers(spark):
     # (query, neighbor), NOT a self-join — a join build side would
     # recompute the corpus pass.
     assert plan.count("FileScan parquet") <= 2
+
+
+def test_day_streaks_single_exchange(spark):
+    """Gaps-and-islands at day scale: the row_number window, the island
+    rollup, and the per-user rollup must all reuse ONE user-key
+    Exchange (the events_sessionize property)."""
+    plan = _plan(spark, "events_day_streaks")
+    import re
+
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(hash_exchanges) == 1, plan.count("Exchange")
