@@ -278,3 +278,112 @@ def multimodal_audio_windows(spark, sf_dir: str) -> DataFrame:
         windows,
         "media_id long, win_idx int, start_ms long, end_ms long, win_hash string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize (round 4): the remaining member of the decode / extract /
+# resize / frame-sample quartet — aspect-preserving target geometry +
+# a deterministic strided-resample fake where a real scaler would run.
+
+_FIT_BOX = 224  # fit-within box (the ubiquitous vision-model input)
+_RS_MAX_BYTES = 64  # fake resample keeps <= 64 strided payload bytes
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id AS media_id, text, strlen(text) AS n,
+               CAST(strlen(text) % 640 + 16 AS INTEGER) AS width,
+               CAST((strlen(text) * 7) % 480 + 16 AS INTEGER) AS height
+        FROM documents WHERE doc_id % 3 = 0
+    ), geom AS (
+        SELECT media_id, text, n, width, height,
+               greatest(width, height) AS m
+        FROM media
+    ), sized AS (
+        SELECT media_id, text, n, width, height,
+               CASE WHEN m <= {_FIT_BOX} THEN width
+                    ELSE greatest((width * {_FIT_BOX}) // m, 1) END AS new_w,
+               CASE WHEN m <= {_FIT_BOX} THEN height
+                    ELSE greatest((height * {_FIT_BOX}) // m, 1) END AS new_h,
+               greatest(n // {_RS_MAX_BYTES}, 1) AS stride
+        FROM geom
+    )
+    SELECT media_id, width, height, new_w, new_h,
+           CAST(stride AS BIGINT) AS stride,
+           md5(array_to_string(list_transform(
+               range(0, (n + stride - 1) // stride),
+               j -> substr(text, 1 + j * stride, 1)), '')) AS resized_hash
+    FROM sized ORDER BY media_id
+    """,
+)
+def multimodal_resize(spark, sf_dir: str) -> DataFrame:
+    """Resize stage of the multimodal quartet (decode → extract →
+    RESIZE → frame-sample): aspect-preserving fit into the
+    {_FIT_BOX}×{_FIT_BOX} model input box (integer floor math — never
+    upscale, floor at 1 px) plus the resample itself as a
+    deterministic strided-byte fake (a real scaler is stubbed per the
+    `decode_image` contract — no image libs in this container). The
+    target-geometry arithmetic is pure integer in BOTH engines, and
+    the fake resample's byte selection (every stride-th payload byte,
+    stride = max(n // {_RS_MAX_BYTES}, 1)) is hash-checked, so the
+    mapInPandas plumbing — payload through Arrow, row alignment,
+    output schema — is exactly verified, not row-counted.
+
+    Scale: geometry math never touches the payload (column pruning
+    keeps it out of any metadata-only consumer); the resample runs
+    where the payload lives via mapInPandas and ships back 16 hash
+    bytes + 5 ints per image, never resized bytes on the wire unless
+    a sink asks for them.
+    """
+    import hashlib
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from pg2ch_spark import catalog
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    media = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+    def resize(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "new_w", "new_h", "stride",
+                "resized_hash",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = len(raw)
+                w, h = n % 640 + 16, (n * 7) % 480 + 16
+                m = max(w, h)
+                if m <= _FIT_BOX:
+                    nw, nh = w, h
+                else:
+                    nw = max((w * _FIT_BOX) // m, 1)
+                    nh = max((h * _FIT_BOX) // m, 1)
+                stride = max(n // _RS_MAX_BYTES, 1)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["new_w"].append(nw)
+                out["new_h"].append(nh)
+                out["stride"].append(stride)
+                out["resized_hash"].append(
+                    hashlib.md5(raw[::stride]).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        media.repartition(32)
+        .mapInPandas(
+            resize,
+            "media_id long, width int, height int, new_w int, new_h int, "
+            "stride long, resized_hash string",
+        )
+        .orderBy("media_id")
+    )

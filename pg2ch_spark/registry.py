@@ -179,6 +179,7 @@ _ROUND5_PRIORITY: tuple[str, ...] = (
     "cdc_aggregating_final",
     "sim_matryoshka_recall",
     "events_day_streaks",
+    "multimodal_resize",
 )
 
 
