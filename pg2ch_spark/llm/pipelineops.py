@@ -683,3 +683,132 @@ def pipeline_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("len_ok", "tok_ok", "lang_ok")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end prep chain — the composition showcase: filter → exact
+# dedup → weighted mix → sequence packing as ONE declared query, the
+# way a user actually wires these stages together.
+
+_E2E_MIN_CHARS = 200
+_E2E_MIN_TOKS = 40
+_E2E_PACK = 2048
+_E2E_SHARD = 256
+
+
+@register(
+    "pipeline_e2e_prep",
+    oracle=f"""
+    WITH filtered AS (
+        SELECT doc_id, source, text, len(string_split(text, ' ')) AS toks
+        FROM documents
+        WHERE n_chars >= {_E2E_MIN_CHARS}
+          AND len(string_split(text, ' ')) >= {_E2E_MIN_TOKS}
+          AND lang = 'en'
+    ), deduped AS (
+        SELECT doc_id, source, toks FROM filtered
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ), banded AS (
+        SELECT doc_id, source, toks,
+               CAST(substr(source, 4) AS INT) // 5 AS band,
+               substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8) AS h
+        FROM deduped
+    ), mixed AS (
+        SELECT doc_id, source, toks FROM banded
+        WHERE CASE band WHEN 0 THEN TRUE
+                        WHEN 1 THEN h < '80000000'
+                        WHEN 2 THEN h < '40000000'
+                        ELSE h < '20000000' END
+    ), packed AS (
+        SELECT source, doc_id, toks,
+               sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - toks AS cum_before
+        FROM mixed
+    )
+    SELECT source, CAST(floor(cum_before / {_E2E_PACK}.0) AS BIGINT) AS bin_id,
+           count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+)
+def pipeline_e2e_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE prep pipeline as one declared query: quality filter →
+    exact dedup (md5 keep-first) → deterministic weighted source mix →
+    {_E2E_PACK}-token sequence packing, reported as per-(source, bin)
+    fills. Each stage is the semantics of its standalone operator
+    (`pipeline_pretrain_filter`-style gates, `text_exact_dedup`,
+    `pipeline_mix_weighted`, `pipeline_pack_sequences`) chained the
+    way a user actually runs them — the composition is itself under
+    the hash gate, so stage interfaces (what dedup hands to mix, what
+    mix hands to packing) are verified, not assumed.
+
+    The composed plan keeps each stage's scale property: gates are
+    scan-time filters (pushed down), dedup shuffles 16-byte md5 keys
+    (never text — text is dropped right after hashing), the mix is a
+    map-only hash threshold, and the prefix sum is the range-sharded
+    two-pass form — window cumsums only ever see one bounded
+    (source, shard) slice, and only the |shards|-row offset table is
+    windowed on the skewed source key. One corpus scan feeds the whole
+    chain; total shuffles: dedup key + shard cumsum + offsets + final
+    rollup — none carrying payload text.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    filtered = docs.where(
+        (F.col("n_chars") >= _E2E_MIN_CHARS)
+        & (toks >= _E2E_MIN_TOKS)
+        & (F.col("lang") == "en")
+    ).select("doc_id", "source", toks.alias("toks"), F.md5(F.col("text").cast("binary")).alias("th"))
+    w_dedup = Window.partitionBy("th").orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("_rn", F.row_number().over(w_dedup))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "source", "toks")
+    )
+    band = (F.substring("source", 4, 10).cast("int") / F.lit(5)).cast("int")
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.col("source")
+            ).cast("binary")
+        ),
+        1,
+        8,
+    )
+    mixed = (
+        deduped.withColumn("band", band)
+        .withColumn("h", h)
+        .where(
+            (F.col("band") == 0)
+            | ((F.col("band") == 1) & (F.col("h") < "80000000"))
+            | ((F.col("band") == 2) & (F.col("h") < "40000000"))
+            | ((F.col("band") >= 3) & (F.col("h") < "20000000"))
+        )
+        .select("doc_id", "source", "toks", (F.col("doc_id") / _E2E_SHARD).cast("long").alias("shard"))
+    )
+    w_local = Window.partitionBy("source", "shard").orderBy("doc_id")
+    local = mixed.withColumn("local_cum", F.sum("toks").over(w_local))
+    w_shard = (
+        Window.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        mixed.groupBy("source", "shard")
+        .agg(F.sum("toks").alias("stot"))
+        .withColumn("offset", F.sum("stot").over(w_shard) - F.col("stot"))
+        .select("source", "shard", "offset")
+    )
+    packed = local.join(F.broadcast(offsets), ["source", "shard"]).withColumn(
+        "cum_before", F.col("offset") + F.col("local_cum") - F.col("toks")
+    )
+    return (
+        packed.groupBy(
+            "source", F.floor(F.col("cum_before") / _E2E_PACK).alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )

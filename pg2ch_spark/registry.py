@@ -180,6 +180,7 @@ _ROUND5_PRIORITY: tuple[str, ...] = (
     "sim_matryoshka_recall",
     "events_day_streaks",
     "multimodal_resize",
+    "pipeline_e2e_prep",
 )
 
 
