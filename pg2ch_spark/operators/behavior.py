@@ -517,3 +517,55 @@ def events_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment overlap matrix — ClickHouse groupBitmap{And,Or} territory:
+# audience intersections without any pairwise user-list join.
+
+
+@register(
+    "events_segment_overlap",
+    oracle="""
+    WITH sets AS (
+        SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+        FROM events GROUP BY user_id
+    ), pairs AS (
+        SELECT a.t AS type_a, b.t AS type_b
+        FROM sets, unnest(types) AS a(t), unnest(types) AS b(t)
+        WHERE a.t <= b.t
+    )
+    SELECT type_a, type_b, count(*) AS n_users
+    FROM pairs GROUP BY type_a, type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def events_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-segment overlap matrix: for every (unordered) pair of
+    event types, how many users did BOTH — the intersection table
+    ClickHouse serves with groupBitmapAnd over per-segment bitmaps.
+
+    The naive plan joins per-type user lists pairwise — |types|²
+    row-scale semi-joins. This one never joins: ONE groupBy(user_id)
+    collects each user's distinct type set (map-side partial dedup; the
+    set is bounded by |types|, a constant), the ≤|types|² pairs explode
+    IN-ROW from that set, and a user contributes each pair at most once
+    — so the matrix cell is a plain count(*), the same
+    joinless-and-DISTINCT-less shape as `events_cohort_matrix`. The
+    diagonal (a = a) doubles as each segment's size. One wide shuffle
+    on user_id + one constant-size agg shuffle, at any event volume.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    sets = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs = (
+        sets.select(F.explode("types").alias("type_a"), "types")
+        .select("type_a", F.explode("types").alias("type_b"))
+        .where(F.col("type_a") <= F.col("type_b"))
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("type_a", "type_b")
+    )

@@ -181,6 +181,7 @@ _ROUND5_PRIORITY: tuple[str, ...] = (
     "events_day_streaks",
     "multimodal_resize",
     "pipeline_e2e_prep",
+    "events_segment_overlap",
 )
 
 

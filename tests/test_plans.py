@@ -609,3 +609,12 @@ def test_day_streaks_single_exchange(spark):
 
     hash_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
     assert len(hash_exchanges) == 1, plan.count("Exchange")
+
+
+def test_segment_overlap_is_joinless(spark):
+    """The overlap matrix must come from one groupBy(user_id) + in-row
+    pair explode — no join of per-type user lists anywhere."""
+    plan = _plan(spark, "events_segment_overlap")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"unexpected {node}"
