@@ -737,3 +737,52 @@ def test_scram_proof_round_trip(password, salt, iters, cnonce, snonce_ext):
         hmac_mod.new(server_key, auth_msg, hashlib.sha256).digest()
         == expected_server_sig
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch property tests (round 4): the count-min bound must hold for
+# EVERY token (the declared query only exposes the top-10), and the
+# dyadic HLL's relative error must stay inside the theoretical band on
+# corpora it was never tuned on.
+
+def test_countmin_bound_holds_for_every_token(spark, duck):
+    """est >= true for ALL tokens — the one-sided CM guarantee, checked
+    exhaustively by recomputing the sketch in DuckDB and joining every
+    token against its estimate."""
+    overs = duck.execute("""
+        WITH t AS (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE length(text) > 0
+        ), counts AS (
+            SELECT token, count(*) AS n FROM t WHERE token <> '' GROUP BY token
+        ), buckets AS (
+            SELECT token, n, j, substr(md5(token), 2 * j + 1, 2) AS bucket
+            FROM counts, unnest(range(0, 4)) AS r(j)
+        ), sketch AS (
+            SELECT j, bucket, sum(n) AS c FROM buckets GROUP BY j, bucket
+        ), est AS (
+            SELECT b.token, any_value(b.n) AS true_n, min(s.c) AS est_n
+            FROM buckets b JOIN sketch s ON s.j = b.j AND s.bucket = b.bucket
+            GROUP BY b.token
+        )
+        SELECT count(*) FILTER (WHERE est_n < true_n) AS violations,
+               count(*) AS n_tokens
+        FROM est
+    """).fetchone()
+    violations, n_tokens = overs
+    assert n_tokens > 0
+    assert violations == 0, f"{violations}/{n_tokens} tokens under-estimated"
+
+
+def test_hll_dyadic_error_within_band(spark):
+    """|est - true| / true must stay within 3 × 1.04/sqrt(256) ≈ 19.5%
+    on all three event corpora (shipped sf0.01 + sf0.001 + sf0.1) —
+    the raw-estimator band, no corpus-specific tuning."""
+    from pg2ch_spark import registry
+
+    qs = registry.queries()
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
+        row = qs["agg_hll_dyadic_exact"](spark, sf_dir).collect()[0]
+        rel = abs(row.est - row.true_n) / row.true_n
+        assert rel < 3 * 1.04 / 16, f"{sf_dir}: rel err {rel:.3f}, true {row.true_n}"
