@@ -786,3 +786,52 @@ def test_hll_dyadic_error_within_band(spark):
         row = qs["agg_hll_dyadic_exact"](spark, sf_dir).collect()[0]
         rel = abs(row.est - row.true_n) / row.true_n
         assert rel < 3 * 1.04 / 16, f"{sf_dir}: rel err {rel:.3f}, true {row.true_n}"
+
+
+def test_sweep_equals_blocked_join_on_tie_heavy_corpus(spark, tmp_path):
+    """The sweep-line concurrency and the blocked containment join are
+    two physical strategies for ONE semantic — they must agree row-for-
+    row on a corpus built to stress every boundary: span lo == hi
+    (instant spans), purchases exactly AT lo and AT hi, multiple
+    markers on the same second, spans and purchases crossing hour-grain
+    edges, and a purchase at hi+1 (must NOT count that span)."""
+    t0 = pd.Timestamp("2024-03-01 00:00:00")
+    rows = []  # (user, off_s, type)
+    # u1: span [0, 3600] exactly one grain wide; purchases at lo, hi, hi+1s-ish
+    rows += [(1, 0, "view"), (1, 3600, "view")]
+    rows += [(2, 0, "purchase")]          # at u1.lo (and its own instant span)
+    rows += [(3, 3600, "purchase")]       # at u1.hi
+    rows += [(4, 3601, "purchase")]       # 1s past u1.hi -> u1 must not count
+    # u5: instant span exactly at a grain boundary (7200)
+    rows += [(5, 7200, "view")]
+    rows += [(6, 7200, "purchase")]       # same second as u5's instant span
+    # u7: span crossing a grain edge [7199, 7201]
+    rows += [(7, 7199, "view"), (7, 7201, "view")]
+    # u8: many markers at the same second as a purchase
+    rows += [(8, 7200, "view"), (8, 7200, "click"), (8, 7200, "purchase")]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(1, len(rows) + 1),
+            "ts": [t0 + pd.Timedelta(seconds=o) for _, o, _ in rows],
+            "user_id": [u for u, _, _ in rows],
+            "event_type": [t for _, _, t in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    d = str(tmp_path / "ties")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"), coerce_timestamps=None)
+
+    qs = registry.queries()
+    a = qs["join_point_in_interval"](spark, d).toPandas()
+    b = qs["events_concurrency_sweep"](spark, d).toPandas()
+    r = compare_frames("sweep-vs-join", a, b)
+    assert r.ok, str(r)
+    # spot-check the designed boundaries
+    got = {int(row.purchase_id): int(row.n_active) for row in a.itertuples()}
+    by_uid = {u: i + 1 for i, (u, _, _) in enumerate(rows) if rows[i][2] == "purchase"}
+    # u4's purchase at 3601: u1's span [0,3600] must NOT count; only its own
+    assert got[by_uid[4]] == 1
+    # u3's purchase at 3600: inside u1's span AND its own -> 2
+    assert got[by_uid[3]] == 2
