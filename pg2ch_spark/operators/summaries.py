@@ -25,7 +25,7 @@ Scale notes:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pg2ch_spark import catalog
 from pg2ch_spark.registry import register
@@ -311,5 +311,184 @@ def agg_hll_dyadic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_present").cast("bigint").alias("nonzero_buckets"),
             harm.alias("harm"),
             F.round(F.lit(_HLL_NUM) / harm, 2).alias("est"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) theta sketch with set-operation estimates — uniqTheta
+# territory: distinct counts AND intersection cardinality from k-sized
+# mergeable sketches, never a pairwise user-list join.
+
+_KMV_K = 64
+_KMV_SALTS = 32  # phase-1 parallelism for the per-segment bottom-k
+# DuckDB has no conv(); reconstruct the 32-bit int from 8 hex digits the
+# established minhash-oracle way (strpos is 1-based; -1 maps '0'->0).
+_H32_SQL = (
+    "CAST(list_sum(list_transform(range(1, 9), "
+    "j -> (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), j, 1)) - 1) "
+    "* CAST(16 ** (8 - j) AS BIGINT))) AS BIGINT)"
+)
+
+
+@register(
+    "agg_kmv_intersect",
+    oracle=f"""
+    WITH members AS (
+        SELECT DISTINCT
+               CASE WHEN event_type = 'purchase' THEN 'A' ELSE 'B' END AS seg,
+               user_id
+        FROM events WHERE event_type IN ('purchase', 'error')
+    ), hs AS (
+        SELECT DISTINCT seg, {_H32_SQL} AS h FROM members
+    ), sk AS (
+        SELECT seg, h FROM hs
+        QUALIFY row_number() OVER (PARTITION BY seg ORDER BY h) <= {_KMV_K}
+    ), seg_est AS (
+        SELECT seg, count(*) AS n_sk, max(h) AS kth
+        FROM sk GROUP BY seg
+    ), uh AS (
+        SELECT DISTINCT h FROM sk
+    ), usk AS (
+        -- distinct FIRST (separate CTE): DuckDB evaluates QUALIFY
+        -- before DISTINCT, so a combined form ranks duplicate hashes
+        -- and truncates the union sketch to k/2 when A ≈ B
+        SELECT h FROM uh
+        QUALIFY row_number() OVER (ORDER BY h) <= {_KMV_K}
+    ), u_est AS (
+        SELECT count(*) AS n_u, max(h) AS kth_u,
+               sum(CASE WHEN h IN (SELECT h FROM sk WHERE seg = 'A')
+                         AND h IN (SELECT h FROM sk WHERE seg = 'B')
+                        THEN 1 ELSE 0 END) AS n_both
+        FROM usk
+    ), truth AS (
+        SELECT count(DISTINCT user_id) FILTER (WHERE seg = 'A') AS true_a,
+               count(DISTINCT user_id) FILTER (WHERE seg = 'B') AS true_b,
+               count(DISTINCT user_id) AS true_union
+        FROM members
+    ), truth_i AS (
+        SELECT count(*) AS true_inter FROM (
+            SELECT user_id FROM members GROUP BY user_id HAVING count(*) = 2
+        )
+    )
+    SELECT t.true_a, t.true_b, t.true_union,
+           CAST(ti.true_inter AS BIGINT) AS true_inter,
+           round(CASE WHEN a.n_sk < {_KMV_K} THEN CAST(a.n_sk AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * 4294967296.0 / a.kth END, 2) AS est_a,
+           round(CASE WHEN b.n_sk < {_KMV_K} THEN CAST(b.n_sk AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * 4294967296.0 / b.kth END, 2) AS est_b,
+           round(CASE WHEN u.n_u < {_KMV_K} THEN CAST(u.n_u AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * 4294967296.0 / u.kth_u END, 2) AS est_union,
+           round(u.n_both * (CASE WHEN u.n_u < {_KMV_K} THEN CAST(u.n_u AS DOUBLE)
+                                  ELSE ({_KMV_K} - 1) * 4294967296.0 / u.kth_u END)
+                 / u.n_u, 2) AS est_inter
+    FROM truth t, truth_i ti, u_est u,
+         (SELECT * FROM seg_est WHERE seg = 'A') a,
+         (SELECT * FROM seg_est WHERE seg = 'B') b
+    """,
+)
+def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k theta) sketches over two user
+    segments (A = purchasers, B = error-hitters) with distinct-count
+    AND intersection estimates — the uniqTheta answer to "how many
+    users are in both segments" that never joins user lists. Exactly
+    cross-engine-checkable like the other sketches here: hashes are
+    md5-derived 32-bit ints, the k-th minimum is an integer, and each
+    estimate is (k−1)·2³²/kth — integer inputs into one IEEE-defined
+    float expression (sub-k segments fall back to their exact size).
+
+    Sketch algebra under test: bottom-k(A ∪ B) = bottom-k(bottom-k(A)
+    ∪ bottom-k(B)) — the union sketch derives from the two segment
+    sketches alone, and the intersection estimate is the classic
+    (matches in union sketch)/k × union estimate. At scale the
+    per-segment bottom-k runs salted two-phase (window rank ≤ k inside
+    {_KMV_SALTS} salt slices → merge the ≤{_KMV_SALTS}·k survivors),
+    so no task ever sorts a whole segment; a production build would
+    swap the rank step for a bounded k-heap accumulator, same
+    algebra. Everything after phase 1 is ≤ a few hundred rows.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    members = (
+        ev.where(F.col("event_type").isin("purchase", "error"))
+        .select(
+            F.when(F.col("event_type") == "purchase", "A").otherwise("B").alias("seg"),
+            "user_id",
+        )
+        .distinct()
+    )
+    h32 = F.expr(
+        "CAST(conv(substr(md5(CAST(CAST(user_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    hs = members.select("seg", h32.alias("h")).distinct()
+    w_salt = Window.partitionBy("seg", F.pmod("h", F.lit(_KMV_SALTS))).orderBy("h")
+    survivors = hs.withColumn("_rn", F.row_number().over(w_salt)).where(
+        F.col("_rn") <= _KMV_K
+    )
+    w_seg = Window.partitionBy("seg").orderBy("h")
+    sk = (
+        survivors.withColumn("_rk", F.row_number().over(w_seg))
+        .where(F.col("_rk") <= _KMV_K)
+        .select("seg", "h")
+    )
+    seg_est = sk.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth")
+    )
+    in_a = sk.where(F.col("seg") == "A").select(F.col("h").alias("h_a"))
+    in_b = sk.where(F.col("seg") == "B").select(F.col("h").alias("h_b"))
+    w_u = Window.orderBy("h")
+    usk = (
+        sk.select("h")
+        .distinct()
+        .withColumn("_ru", F.row_number().over(w_u))
+        .where(F.col("_ru") <= _KMV_K)
+        .join(F.broadcast(in_a), F.col("h") == F.col("h_a"), "left")
+        .join(F.broadcast(in_b), F.col("h") == F.col("h_b"), "left")
+    )
+    u_est = usk.agg(
+        F.count(F.lit(1)).alias("n_u"),
+        F.max("h").alias("kth_u"),
+        F.sum(
+            F.when(F.col("h_a").isNotNull() & F.col("h_b").isNotNull(), 1).otherwise(0)
+        ).alias("n_both"),
+    )
+    truth = members.agg(
+        F.countDistinct(F.when(F.col("seg") == "A", F.col("user_id"))).alias("true_a"),
+        F.countDistinct(F.when(F.col("seg") == "B", F.col("user_id"))).alias("true_b"),
+        F.countDistinct("user_id").alias("true_union"),
+    )
+    truth_i = (
+        members.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == 2)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_inter"))
+    )
+
+    def est(n_col: str, kth_col: str):
+        return F.when(
+            F.col(n_col) < _KMV_K, F.col(n_col).cast("double")
+        ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(4294967296.0) / F.col(kth_col))
+
+    a = seg_est.where(F.col("seg") == "A").select(
+        F.col("n_sk").alias("na"), F.col("kth").alias("ka")
+    )
+    b = seg_est.where(F.col("seg") == "B").select(
+        F.col("n_sk").alias("nb"), F.col("kth").alias("kb")
+    )
+    return (
+        truth.crossJoin(F.broadcast(truth_i))
+        .crossJoin(F.broadcast(u_est))
+        .crossJoin(F.broadcast(a))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "true_a",
+            "true_b",
+            "true_union",
+            "true_inter",
+            F.round(est("na", "ka"), 2).alias("est_a"),
+            F.round(est("nb", "kb"), 2).alias("est_b"),
+            F.round(est("n_u", "kth_u"), 2).alias("est_union"),
+            F.round(
+                F.col("n_both") * est("n_u", "kth_u") / F.col("n_u"), 2
+            ).alias("est_inter"),
         )
     )

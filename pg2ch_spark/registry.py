@@ -182,6 +182,7 @@ _ROUND5_PRIORITY: tuple[str, ...] = (
     "multimodal_resize",
     "pipeline_e2e_prep",
     "events_segment_overlap",
+    "agg_kmv_intersect",
 )
 
 

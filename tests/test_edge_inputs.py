@@ -388,6 +388,9 @@ def random_events_duck(random_events_dir):
         "cdc_pipeline_replicating",
         # round 4 behavior-analytics batch
         "cdc_aggregating_final",
+        "agg_kmv_intersect",
+        "events_segment_overlap",
+        "events_day_streaks",
         "events_cohort_matrix",
         "events_active_rollup",
         "events_concurrency_sweep",
