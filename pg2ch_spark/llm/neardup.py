@@ -615,3 +615,65 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (exact oracle) — the ASYMMETRIC relation Jaccard
+# misses: a short doc quoted inside a long one scores low Jaccard but
+# high containment.
+
+_CONTAIN_MIN = 0.9
+
+
+@register(
+    "text_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(ni AS DOUBLE) / least(x.n, y.n), 4) AS containment,
+           round(CAST(ni AS DOUBLE) / (x.n + y.n - ni), 4) AS jaccard
+    FROM inter
+    JOIN sz x ON x.doc_id = doc_a
+    JOIN sz y ON y.doc_id = doc_b
+    WHERE CAST(ni AS DOUBLE) / least(x.n, y.n) >= {_CONTAIN_MIN}
+    """,
+)
+def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment pairs: C = |A∩B| / min(|A|, |B|) ≥
+    {_CONTAIN_MIN} — catches a document EMBEDDED in another (quoting,
+    boilerplate wrapping, truncated re-crawls), the asymmetric family
+    `text_near_dedup_ngram_jaccard`'s symmetric score dilutes (a 50-
+    shingle doc inside a 500-shingle doc has Jaccard ≤ 0.1 but
+    containment 1.0). Jaccard rides along so consumers can split
+    "near-identical" from "contained". Same scale shape as the Jaccard
+    sibling: candidates ONLY from the shared-shingle equi-join,
+    integer intersection / min arithmetic, one join shuffle — and the
+    same quadratic-in-dup-cluster contract with the collapse-first
+    mitigation documented there.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    sh = _shingles(docs).localCheckpoint(eager=True)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sided = sh.join(F.broadcast(sz), "doc_id")
+    a = sided.select(F.col("doc_id").alias("doc_a"), "g", F.col("n").alias("n_a"))
+    b = sided.select(F.col("doc_id").alias("doc_b"), "g", F.col("n").alias("n_b"))
+    inter = (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    cont = F.col("ni").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
+    jac = F.col("ni").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("ni"))
+    return inter.where(cont >= _CONTAIN_MIN).select(
+        "doc_a",
+        "doc_b",
+        F.round(cont, 4).alias("containment"),
+        F.round(jac, 4).alias("jaccard"),
+    )

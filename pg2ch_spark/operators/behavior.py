@@ -569,3 +569,79 @@ def events_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-time quantiles per cohort week — time-to-convert is the
+# metric funnels and retention curves both feed.
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t_s
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), conv AS (
+        SELECT s.user_id, s.t_s,
+               min(CAST(floor(epoch(p.ts)) AS BIGINT)) - s.t_s AS delta_s
+        FROM s LEFT JOIN events p
+          ON p.user_id = s.user_id AND p.event_type = 'purchase'
+         AND CAST(floor(epoch(p.ts)) AS BIGINT) > s.t_s
+        GROUP BY s.user_id, s.t_s
+    )
+    SELECT t_s // 604800 AS week,
+           count(*) AS n_signup,
+           count(delta_s) AS n_converted,
+           round(count(delta_s) / CAST(count(*) AS DOUBLE), 4) AS cvr,
+           round(quantile_cont(delta_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(delta_s, 0.9), 4) AS p90_s
+    FROM conv GROUP BY week ORDER BY week
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion per signup-cohort week: conversion
+    rate plus p50/p90 of seconds-to-first-purchase — the funnel's
+    "how fast", next to `events_window_funnel`'s "how many".
+
+    First-signup extraction and the earliest-later-purchase reduction
+    are both min-aggregations over ONE user-key join (the `join_asof`
+    shape — an inequality conjunct riding the equi-join, collapsed by
+    min; no window, no per-user array). Non-converters survive through
+    the left join as NULL deltas so the cohort denominator is true
+    signups, and count(delta) / count(*) is the conversion rate. The
+    cohort rollup aggregates user-level rows (already 3+ orders
+    smaller than events); exact interpolated quantiles on integer
+    seconds — midpoints are dyadic-exact, so 4dp rounding is stable
+    (the `agg_percentiles` contract; at 100 TB swap in the mergeable
+    approx_percentile sketch).
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    sec = catalog.ts_epoch_s(ev)
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id", sec.alias("t"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_s"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), sec.alias("t_p")
+    )
+    conv = (
+        s.join(p, (s.user_id == p.p_user) & (F.col("t_p") > F.col("t_s")), "left")
+        .groupBy("user_id", "t_s")
+        .agg((F.min("t_p") - F.first("t_s")).alias("delta_s"))
+    )
+    return (
+        conv.groupBy((F.col("t_s") / F.lit(604800)).cast("long").alias("week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signup"),
+            F.count("delta_s").alias("n_converted"),
+            F.round(
+                F.count("delta_s") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("cvr"),
+            F.round(F.expr("percentile(delta_s, 0.5D)"), 4).alias("p50_s"),
+            F.round(F.expr("percentile(delta_s, 0.9D)"), 4).alias("p90_s"),
+        )
+        .orderBy("week")
+    )

@@ -183,6 +183,8 @@ _ROUND5_PRIORITY: tuple[str, ...] = (
     "pipeline_e2e_prep",
     "events_segment_overlap",
     "agg_kmv_intersect",
+    "text_containment_pairs",
+    "events_time_to_convert",
 )
 
 
