@@ -812,3 +812,84 @@ def pipeline_e2e_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus health report — the dataset-card numbers, one scan.
+
+
+@register(
+    "pipeline_corpus_report",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               len(string_split(text, ' ')) AS toks,
+               md5(text) AS th
+        FROM documents
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           count(DISTINCT source) AS n_sources,
+           count(DISTINCT lang) AS n_langs,
+           round(1.0 - count(DISTINCT th) / CAST(count(*) AS DOUBLE), 4)
+               AS exact_dup_rate,
+           round(avg(CAST(toks AS DOUBLE)), 4) AS mean_doc_tokens,
+           round(count(*) FILTER (WHERE lang = 'en')
+                 / CAST(count(*) AS DOUBLE), 4) AS pct_en,
+           round(count(*) FILTER (WHERE n_chars >= {_ABL_MIN_CHARS}
+                                    AND toks >= {_ABL_MIN_TOKS}
+                                    AND lang = 'en')
+                 / CAST(count(*) AS DOUBLE), 4) AS quality_pass_rate
+    FROM base
+    """,
+)
+def pipeline_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary every corpus release ships: doc and
+    token totals, source/language diversity, exact-duplicate rate, and
+    the pass rate of the `pipeline_quality_ablation` gate intersection
+    — one row, ONE corpus scan.
+
+    Everything reduces through a single aggregate: the duplicate rate
+    is 1 − distinct(md5)/count (16-byte hashes into the distinct, not
+    text), the distinct counts are two-phase (Expand is bounded by the
+    4 distinct aggregates over one pass — acceptable here because the
+    input is the corpus scan, not an exploded stream), and every ratio
+    divides two counts from the SAME aggregate row, so both engines
+    compute identical doubles. The report a 100 TB corpus pays one
+    scan for, not a dashboard of six queries.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    base = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        toks.alias("toks"),
+        F.md5(F.col("text").cast("binary")).alias("th"),
+    )
+    n = F.count(F.lit(1))
+    return base.agg(
+        n.alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.lit(1.0) - F.countDistinct("th") / n.cast("double"), 4).alias(
+            "exact_dup_rate"
+        ),
+        F.round(F.avg(F.col("toks").cast("double")), 4).alias("mean_doc_tokens"),
+        F.round(
+            F.count(F.when(F.col("lang") == "en", 1)) / n.cast("double"), 4
+        ).alias("pct_en"),
+        F.round(
+            F.count(
+                F.when(
+                    (F.col("n_chars") >= _ABL_MIN_CHARS)
+                    & (F.col("toks") >= _ABL_MIN_TOKS)
+                    & (F.col("lang") == "en"),
+                    1,
+                )
+            )
+            / n.cast("double"),
+            4,
+        ).alias("quality_pass_rate"),
+    )

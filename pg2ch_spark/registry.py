@@ -185,6 +185,7 @@ _ROUND5_PRIORITY: tuple[str, ...] = (
     "agg_kmv_intersect",
     "text_containment_pairs",
     "events_time_to_convert",
+    "pipeline_corpus_report",
 )
 
 
