@@ -307,7 +307,16 @@ def cdc_aggregating_final(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("val_sum"),
             F.min("value").alias("val_min"),
             F.max("value").alias("val_max"),
-            F.max_by("value", "ver").alias("val_last"),
+            # "latest NON-NULL payload by version" — pinned explicitly
+            # because the engines disagree on bare argMax over NULLs:
+            # DuckDB's arg_max skips a NULL payload at the max version
+            # (ClickHouse-like — aggregate combinators skip NULLs),
+            # Spark's max_by returns it. The CASE guard nulls the
+            # ordering key instead, which BOTH argMax variants ignore
+            # (caught by the 10%-NULL randomized corpus, round 4).
+            F.expr("max_by(value, CASE WHEN value IS NOT NULL THEN ver END)").alias(
+                "val_last"
+            ),
             F.max("ver").alias("last_ver"),
         )
     )

@@ -36,7 +36,7 @@ from pg2ch_spark.registry import register
                row_number() OVER (
                    PARTITION BY event_type
                    ORDER BY value ASC, event_id ASC) AS rmin
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     hi AS (SELECT event_type, user_id AS top_user, round(value, 2) AS max_value
            FROM ranked WHERE rmax = 1),
@@ -55,8 +55,14 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number formulation would sort whole partitions.
 
     Ties broken deterministically by (value, event_id) lexicographic
-    struct ordering — both engines state the same tie rule."""
-    ev = catalog.load(spark, sf_dir, "events")
+    struct ordering — both engines state the same tie rule. NULL
+    values are excluded BEFORE grouping on both sides: Spark's struct
+    comparator sorts a NULL field smallest (min_by would elect a
+    NULL-value row) while DuckDB's window default is NULLS LAST in
+    both directions — divergent bare semantics, so the operator pins
+    "extrema over valued events" (caught by the 10%-NULL randomized
+    corpus, round 4)."""
+    ev = catalog.load(spark, sf_dir, "events").where(F.col("value").isNotNull())
     return ev.groupBy("event_type").agg(
         F.max_by("user_id", F.struct("value", "event_id")).alias("top_user"),
         F.round(F.max("value"), 2).alias("max_value"),

@@ -241,7 +241,12 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id,
            max(v.event_id)                 AS prior_view_id,
-           round(arg_max(v.value, v.event_id), 2) AS prior_view_value
+           -- struct-wrap pins ROW-exact semantics: bare arg_max skips
+           -- a NULL payload at the max id (returning an older view's
+           -- value) where Spark's max_by returns the max-id row's NULL;
+           -- a struct containing a NULL field is itself non-NULL, so
+           -- neither engine skips and both read the same row
+           round(arg_max({'v': v.value}, v.event_id).v, 2) AS prior_view_value
     FROM events p
     LEFT JOIN events v
       ON v.user_id = p.user_id AND v.event_type = 'view' AND v.event_id < p.event_id

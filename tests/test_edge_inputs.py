@@ -343,13 +343,19 @@ def random_events_dir(tmp_path_factory):
         ["signup", "view", "purchase", "click", "error"], n, p=[0.15, 0.3, 0.2, 0.2, 0.15]
     )
     t0 = pd.Timestamp("2024-06-01")
+    # ~10% NULL values: the shipped fixtures have none, so the NULL
+    # paths of every value-summing/averaging/percentile operator (sum
+    # ignores, count(col) skips, avg denominators shrink) only get
+    # differential coverage here
+    values = pd.Series(rng.uniform(0, 100, n).round(3))
+    values[rng.random(n) < 0.1] = None
     df = pd.DataFrame(
         {
             "event_id": range(1, n + 1),
             "ts": [t0 + pd.Timedelta(seconds=int(o)) for o in offs],
             "user_id": users.astype("int64"),
             "event_type": types,
-            "value": rng.uniform(0, 100, n).round(3),
+            "value": values,
             "props": ['{"k": 1}'] * n,
         }
     )
@@ -388,6 +394,12 @@ def random_events_duck(random_events_dir):
         "cdc_pipeline_replicating",
         # round 4 behavior-analytics batch
         "cdc_aggregating_final",
+        # argMax-family NULL-semantics pins (round 4): these three ride
+        # extremum aggregates whose bare NULL behavior diverges across
+        # engines — kept here so the 10%-NULL corpus guards the pins
+        "agg_argmax",
+        "join_asof",
+        "join_asof_nearest",
         "agg_kmv_intersect",
         "events_segment_overlap",
         "events_day_streaks",
