@@ -182,9 +182,13 @@ def pipeline_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, lang, doc_id AS rejected_id, n_chars AS rejected_chars
         FROM ranked WHERE rk_worst = 1 AND grp_n >= 2
     )
-    SELECT source, lang, chosen_id, rejected_id,
+    SELECT b.source, b.lang, chosen_id, rejected_id,
            chosen_chars - rejected_chars AS margin_chars
-    FROM best JOIN worst USING (source, lang)
+    FROM best b JOIN worst w
+      -- NULL-safe on lang: GROUP BY (Spark and ClickHouse alike) keeps
+      -- a NULL-lang group, so the re-join of the two extreme tables
+      -- must not drop it through NULL != NULL equi-join semantics
+      ON b.source = w.source AND b.lang IS NOT DISTINCT FROM w.lang
     """,
 )
 def pipeline_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

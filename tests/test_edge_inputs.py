@@ -343,11 +343,13 @@ def random_events_dir(tmp_path_factory):
         ["signup", "view", "purchase", "click", "error"], n, p=[0.15, 0.3, 0.2, 0.2, 0.15]
     )
     t0 = pd.Timestamp("2024-06-01")
-    # ~10% NULL values: the shipped fixtures have none, so the NULL
-    # paths of every value-summing/averaging/percentile operator (sum
-    # ignores, count(col) skips, avg denominators shrink) only get
-    # differential coverage here
-    values = pd.Series(rng.uniform(0, 100, n).round(3))
+    # ~10% NULL values AND a negative range: the shipped fixtures have
+    # neither, so the NULL paths of every value-summing/averaging/
+    # percentile operator (sum ignores, count(col) skips, avg
+    # denominators shrink) and the negative-halfway rounding direction
+    # (Spark HALF_UP = away-from-zero for negatives too — must match
+    # DuckDB's half-away) only get differential coverage here
+    values = pd.Series(rng.uniform(-50, 100, n).round(3))
     values[rng.random(n) < 0.1] = None
     df = pd.DataFrame(
         {
@@ -541,7 +543,13 @@ def random_docs_dir(tmp_path_factory):
         {
             "doc_id": range(1, n + 1),
             "text": texts,
-            "lang": [["en", "de", "fr", "es", "zh"][i % 5] for i in range(n)],
+            # every 11th doc has NULL lang: lang = 'en' comparisons must
+            # be NULL-false on both engines (filters, ablation gates,
+            # corpus-report ratios)
+            "lang": [
+                None if i % 11 == 0 else ["en", "de", "fr", "es", "zh"][i % 5]
+                for i in range(n)
+            ],
             "source": [f"src{i % 4}" for i in range(n)],
             "n_chars": [len(t) for t in texts],
         }
