@@ -305,3 +305,120 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.where(F.col("jaccard") >= 0.9)
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram PMI — collocation mining: which token pairs co-occur more
+# than chance within a ±2 window.
+
+_PMI_WINDOW = 2
+_PMI_MIN_N = 5
+_PMI_TOPK = 30
+
+
+def _pmi_pairs_sql() -> str:
+    unions = "\n        UNION ALL\n".join(
+        f"""        SELECT toks[i] AS w_a, toks[i + {d}] AS w_b
+        FROM t, unnest(range(1, len(toks) + 1 - {d})) AS r{d}(i)"""
+        for d in range(1, _PMI_WINDOW + 1)
+    )
+    return unions
+
+
+@register(
+    "text_skipgram_pmi",
+    oracle=f"""
+    WITH t AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+        WHERE length(text) > 0
+    ), pairs AS (
+{_pmi_pairs_sql()}
+    ), pc AS (
+        SELECT w_a, w_b, count(*) AS n_ab FROM pairs GROUP BY w_a, w_b
+    ), uni AS (
+        SELECT unnest(toks) AS w FROM t
+    ), uc AS (
+        SELECT w, count(*) AS n FROM uni GROUP BY w
+    ), tots AS (
+        SELECT (SELECT CAST(sum(n_ab) AS DOUBLE) FROM pc) AS p_tot,
+               (SELECT CAST(sum(n) AS DOUBLE) FROM uc) AS t_tot
+    )
+    SELECT w_a, w_b, n_ab,
+           round(ln(n_ab / tt.p_tot / (ua.n / tt.t_tot) / (ub.n / tt.t_tot)), 4)
+               AS pmi
+    FROM pc
+    JOIN uc ua ON ua.w = w_a
+    JOIN uc ub ON ub.w = w_b
+    CROSS JOIN tots tt
+    WHERE n_ab >= {_PMI_MIN_N}
+    QUALIFY row_number() OVER (
+        ORDER BY round(ln(n_ab / tt.p_tot / (ua.n / tt.t_tot) / (ub.n / tt.t_tot)), 4)
+                 DESC, w_a, w_b) <= {_PMI_TOPK}
+    """,
+)
+def text_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PMI_TOPK} collocations by pointwise mutual information over
+    ±{_PMI_WINDOW}-token skip-grams (count ≥ {_PMI_MIN_N}): PMI =
+    ln(P(a,b) / (P(a)P(b))) — the corpus statistic behind phrase
+    induction and collocation-aware tokenizers, sitting beside
+    `text_bpe_merge_candidates`' raw adjacency counts.
+
+    Pairs for each offset d come from `zip_with` over shifted slices
+    (codegen, the BPE-bigram idiom) and partial-aggregate map-side, so
+    the shuffle carries co-occurring TYPE pairs, not token instances;
+    the unigram table is vocab-scale and broadcasts onto the pair
+    table. The PMI expression is written with the identical
+    left-associative division chain on both engines, and `ln` over
+    bit-identical doubles agrees (the `corpus_mixture_entropy`
+    precedent); ordering uses the ROUNDED pmi with a full tie-break,
+    so the top-k is engine-stable. TakeOrderedAndProject — no global
+    sort.
+    """
+    docs = catalog.load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    toks = F.split("text", " ")
+    sides = []
+    for d in range(1, _PMI_WINDOW + 1):
+        sides.append(
+            docs.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(toks, 1, F.greatest(F.size(toks) - d, F.lit(0))),
+                        F.slice(toks, 1 + d, F.greatest(F.size(toks) - d, F.lit(0))),
+                        lambda a, b: F.struct(a.alias("w_a"), b.alias("w_b")),
+                    )
+                ).alias("p")
+            ).select("p.w_a", "p.w_b")
+        )
+    pairs = sides[0]
+    for s in sides[1:]:
+        pairs = pairs.unionByName(s)
+    pc = pairs.groupBy("w_a", "w_b").agg(F.count(F.lit(1)).alias("n_ab")).where(
+        F.col("n_ab") >= _PMI_MIN_N
+    )
+    uni = docs.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # totals BEFORE the support filter (the oracle's sum over pc is the
+    # unfiltered pair total — recompute the same way here)
+    p_tot = pairs.agg(F.count(F.lit(1)).cast("double").alias("p_tot"))
+    t_tot = uni.agg(F.sum("n").cast("double").alias("t_tot"))
+    ua = uni.select(F.col("w").alias("w_a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("w").alias("w_b"), F.col("n").alias("n_b"))
+    pmi = F.round(
+        F.log(
+            F.col("n_ab")
+            / F.col("p_tot")
+            / (F.col("n_a") / F.col("t_tot"))
+            / (F.col("n_b") / F.col("t_tot"))
+        ),
+        4,
+    )
+    return (
+        pc.join(F.broadcast(ua), "w_a")
+        .join(F.broadcast(ub), "w_b")
+        .crossJoin(F.broadcast(p_tot))
+        .crossJoin(F.broadcast(t_tot))
+        .select("w_a", "w_b", "n_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w_a", "w_b")
+        .limit(_PMI_TOPK)
+    )

@@ -1,0 +1,96 @@
+"""Market-basket analysis over the relational side (orders × parts) —
+co-occurrence lift between part brands inside an order, the classic
+association-rule support/lift readout.
+
+Scale note: pair enumeration is IN-ROW from per-order brand sets (the
+joinless `events_segment_overlap` shape) — baskets are small (an order
+has ≤ 7 lineitems), so the ≤ C(7,2) pair explode is a constant factor,
+never a basket self-join of the fact table.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pg2ch_spark import catalog
+from pg2ch_spark.registry import register
+
+_MB_MIN_SUPPORT = 5  # pair must appear in >= 5 orders
+_MB_TOPK = 30
+
+
+@register(
+    "orders_market_basket",
+    oracle=f"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), tot AS (
+        SELECT count(DISTINCT okey) AS n_orders FROM ob
+    ), singles AS (
+        SELECT brand, count(*) AS n FROM ob GROUP BY brand
+    ), pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+        FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) * t.n_orders / sa.n / sb.n, 4) AS lift
+    FROM pairs
+    JOIN singles sa ON sa.brand = brand_a
+    JOIN singles sb ON sb.brand = brand_b
+    CROSS JOIN tot t
+    WHERE n_ab >= {_MB_MIN_SUPPORT}
+    QUALIFY row_number() OVER (
+        ORDER BY round(CAST(n_ab AS DOUBLE) * t.n_orders / sa.n / sb.n, 4) DESC,
+                 brand_a, brand_b) <= {_MB_TOPK}
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_MB_TOPK} co-purchased brand pairs by lift (support ≥
+    {_MB_MIN_SUPPORT} orders): lift = P(a,b) / (P(a)·P(b)) over order
+    baskets — the association-rule readout, run on the TPC-H side
+    (lineitem ⋈ part) rather than the event stream.
+
+    Joinless pair generation: one groupBy(orderkey) collects each
+    order's distinct brand set (baskets are ≤ 7 lineitems, so the
+    in-row pair explode is ≤ C(7,2) — the `events_segment_overlap`
+    shape), pair counts partial-aggregate map-side, and the two
+    single-brand marginals broadcast back onto the ≤ \\|brands\\|² pair
+    table. The lift division chain is written left-associative
+    identically on both engines; the global top-k is
+    TakeOrderedAndProject on the rounded lift with a full tie-break.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = catalog.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    baskets = ob.groupBy("okey").agg(F.array_sort(F.collect_set("brand")).alias("bs"))
+    pairs = (
+        baskets.select(F.explode("bs").alias("brand_a"), "bs")
+        .select("brand_a", F.explode("bs").alias("brand_b"))
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _MB_MIN_SUPPORT)
+    )
+    singles = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    tot = ob.agg(F.countDistinct("okey").alias("n_orders"))
+    sa = singles.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
+    lift = F.round(
+        F.col("n_ab").cast("double") * F.col("n_orders") / F.col("n_a") / F.col("n_b"),
+        4,
+    )
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select("brand_a", "brand_b", "n_ab", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(_MB_TOPK)
+    )

@@ -645,3 +645,80 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — the recency/frequency/monetary quartile grid.
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS recency_day,
+               count(*) AS frequency,
+               coalesce(CAST(round(sum(CAST(value AS DECIMAL(18,6)))
+                                   FILTER (WHERE event_type = 'purchase'), 2)
+                             AS DOUBLE), 0.0) AS monetary
+        FROM events GROUP BY user_id
+    ), tiered AS (
+        SELECT user_id, monetary,
+               ntile(4) OVER (ORDER BY recency_day DESC, user_id) AS r_tier,
+               ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_tier,
+               ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_tier
+        FROM per_user
+    )
+    SELECT r_tier, f_tier, m_tier, count(*) AS n_users,
+           round(avg(monetary), 4) AS avg_monetary
+    FROM tiered GROUP BY r_tier, f_tier, m_tier
+    ORDER BY r_tier, f_tier, m_tier
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: users quartiled independently on Recency
+    (latest active day), Frequency (event count), and Monetary
+    (decimal-mediated purchase sum, 0 for never-purchased), then
+    counted per (r, f, m) cell — the 4×4×4 grid behind lifecycle
+    marketing. Ties inside each ntile break on user_id, so the tier
+    assignment is total-ordered and engine-independent; the monetary
+    sum is NULL-safe on both engines (coalesce after the FILTER sum).
+
+    One events shuffle builds the per-user table; at 10^12 events that
+    table is users-sized (orders of magnitude smaller), so plain
+    ntile windows over it are fine at this stage — when even the USER
+    table outgrows a window task, each ntile swaps in the distributed
+    closed-form rank of `pipeline_length_buckets` unchanged.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    day = (catalog.ts_epoch_s(ev) / F.lit(86400)).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(day).alias("recency_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.coalesce(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ),
+                2,
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("monetary"),
+    )
+    tiered = per_user.select(
+        "monetary",
+        F.ntile(4).over(Window.orderBy(F.col("recency_day").desc(), "user_id")).alias("r_tier"),
+        F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "user_id")).alias("f_tier"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "user_id")).alias("m_tier"),
+    )
+    return (
+        tiered.groupBy("r_tier", "f_tier", "m_tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+        )
+        .orderBy("r_tier", "f_tier", "m_tier")
+    )

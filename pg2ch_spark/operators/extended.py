@@ -383,9 +383,11 @@ _KM_K = 8
 _KM_ITERS = 2
 
 
-def _oracle_kmeans() -> str:
+def _oracle_kmeans(tail: str | None = None) -> str:
     """Lloyd's algorithm unrolled — each iteration is one assign CTE +
-    one recompute CTE, so the oracle is plain SQL."""
+    one recompute CTE, so the oracle is plain SQL. ``tail`` overrides
+    the final SELECT (reused by sim_cluster_purity over the same
+    unrolled chain)."""
     sql = f"""
     WITH ex AS (
         SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val
@@ -414,11 +416,13 @@ def _oracle_kmeans() -> str:
         GROUP BY 1, 2
     )"""
         prev = f"c{it}"
-    sql += f"""
+    if tail is None:
+        tail = f"""
     SELECT cl AS cluster, count(*) AS n_members,
            round(sum(dist2), 2) AS inertia
     FROM a{_KM_ITERS} GROUP BY cl
     """
+    sql += tail
     return sql
 
 
@@ -439,6 +443,18 @@ def sim_ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid table (k×d rounded doubles) is what `sim_ann_ivf` would
     consume in place of its per-label stand-in.
     """
+    return _kmeans_assignment(spark, sf_dir).groupBy(
+        F.col("cl").alias("cluster")
+    ).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("dist2"), 2).alias("inertia"),
+    )
+
+
+def _kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared Lloyd loop: final (vec_id, cl, dist2) assignment
+    after {_KM_ITERS} iterations — consumed by sim_ann_kmeans_train
+    (sizes + inertia) and sim_cluster_purity (label agreement)."""
     e = catalog.load(spark, sf_dir, "embeddings")
     ex = e.select("vec_id", F.posexplode("embedding").alias("p0", "val_f")).select(
         "vec_id", (F.col("p0") + 1).alias("pos"), F.col("val_f").cast("double").alias("val")
@@ -477,9 +493,75 @@ def sim_ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent = ex.join(assign.select("vec_id", "cl"), "vec_id").groupBy("cl", "pos").agg(
             F.round(F.avg("val"), 6).alias("cval")
         )
-    return assign.groupBy(F.col("cl").alias("cluster")).agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.round(F.sum("dist2"), 2).alias("inertia"),
+    return assign
+
+
+@register(
+    "sim_cluster_purity",
+    oracle=_oracle_kmeans(
+        tail=f"""
+    , lab AS (
+        SELECT a.cl, e.label, count(*) AS n
+        FROM a{_KM_ITERS} a JOIN embeddings e USING (vec_id)
+        GROUP BY 1, 2
+    ), best AS (
+        SELECT cl, label AS majority_label, n AS n_majority FROM lab
+        QUALIFY row_number() OVER (PARTITION BY cl ORDER BY n DESC, label) = 1
+    ), size_ AS (
+        SELECT cl, CAST(sum(n) AS BIGINT) AS n_members FROM lab GROUP BY cl
+    )
+    SELECT s.cl AS cluster, s.n_members, b.majority_label,
+           round(b.n_majority / CAST(s.n_members AS DOUBLE), 4) AS purity
+    FROM size_ s JOIN best b USING (cl)
+    ORDER BY cluster
+    """
+    ),
+)
+def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality certification for the trained quantizer: per
+    kmeans cluster, its size, majority ground-truth label, and purity
+    (majority share) — the label-agreement eval that tells an IVF
+    owner whether the coarse quantizer respects the corpus's semantic
+    partitions (the external-validity sibling of
+    `sim_ann_kmeans_train`'s internal inertia and `sim_ivf_recall`'s
+    retrieval recall; together: train → certify-internal →
+    certify-external).
+
+    Reuses the exact shared Lloyd assignment (6dp-rounded centroids
+    and distances — bit-identical across engines, see the train op);
+    the eval itself is one label join + two constant-size aggregates
+    (≤ k×|labels| rows). Ties on majority label break to the smaller
+    label id on both engines.
+    """
+    e = catalog.load(spark, sf_dir, "embeddings")
+    assign = _kmeans_assignment(spark, sf_dir)
+    lab = (
+        assign.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("cl", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    best = (
+        lab.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("cl").orderBy(F.col("n").desc(), "label")
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select("cl", F.col("label").alias("majority_label"), F.col("n").alias("n_majority"))
+    )
+    size = lab.groupBy("cl").agg(F.sum("n").cast("bigint").alias("n_members"))
+    return (
+        size.join(best, "cl")
+        .select(
+            F.col("cl").alias("cluster"),
+            "n_members",
+            "majority_label",
+            F.round(F.col("n_majority") / F.col("n_members").cast("double"), 4).alias(
+                "purity"
+            ),
+        )
+        .orderBy("cluster")
     )
 
 

@@ -51,11 +51,12 @@ def test_driver_window_prioritizes_unchecked_backlog():
     assert list(oracles)[: len(prio_with_oracle)] == prio_with_oracle
 
 
-def test_round5_priority_covers_all_unchecked_keys():
-    """Round-5 window audit: prepending _ROUND5_PRIORITY to
-    _DRIVER_PRIORITY must put EVERY key that will still lack a driver
+def test_round5_and_6_priorities_cover_all_unchecked_keys():
+    """Driver-window plan audit: EVERY key that will still lack a
     CORRECTNESS row after round 4 (not in r1/r3 artifacts, not in the
-    round-4 50-key window) inside the round-5 50-key window. Round 3's
+    round-4 50-key window) must fall inside the PLANNED round-5 window
+    (prepend _ROUND5_PRIORITY) or, for post-plan additions, the round-6
+    window (prepend _ROUND6_PRIORITY + _ROUND5_PRIORITY). Round 3's
     verdict was precisely about this invariant silently breaking."""
     import json
     import os
@@ -67,14 +68,23 @@ def test_round5_priority_covers_all_unchecked_keys():
             checked |= set(json.load(f))
     all_keys = list(registry.queries())
     checked |= set(all_keys[:50])  # the round-4 driver window
-    sim = []
-    for k in (
-        list(registry._ROUND5_PRIORITY)
+
+    def window(priorities):
+        sim = []
+        for k in priorities + all_keys:
+            if k not in sim:
+                sim.append(k)
+        return set(sim[:50])
+
+    r5 = window(list(registry._ROUND5_PRIORITY) + list(registry._DRIVER_PRIORITY))
+    r6 = window(
+        list(registry._ROUND6_PRIORITY)
+        + list(registry._ROUND5_PRIORITY)
         + list(registry._DRIVER_PRIORITY)
-        + all_keys
-    ):
-        if k not in sim:
-            sim.append(k)
-    r5_window = set(sim[:50])
-    missed = [k for k in all_keys if k not in checked and k not in r5_window]
-    assert missed == [], f"never-checked keys outside the round-5 window: {missed}"
+    )
+    missed = [k for k in all_keys if k not in checked and k not in (r5 | r6)]
+    assert missed == [], f"never-checked keys outside both planned windows: {missed}"
+    # the round-5 window itself must stay fully packed with unchecked
+    # keys (a re-check in round 5 while unchecked keys wait would be
+    # the round-3 failure shape again)
+    assert len(registry._ROUND5_PRIORITY) == 50
