@@ -425,6 +425,7 @@ def random_events_duck(random_events_dir):
         "agg_kmv_intersect",
         "events_segment_overlap",
         "events_day_streaks",
+        "events_rfm_segmentation",
         "events_cohort_matrix",
         "events_active_rollup",
         "events_concurrency_sweep",
@@ -609,6 +610,7 @@ def random_docs_duck(random_docs_dir):
         "dedup_incremental_snapshot",
         "corpus_mixture_entropy",
         # round 4 summaries batch
+        "text_skipgram_pmi",
         "agg_countmin_heavy",
         "sample_weighted_bottomk",
         "pipeline_quality_ablation",
@@ -680,6 +682,9 @@ def random_emb_duck(random_emb_dir):
         # round 4
         "embedding_standardize",
         "sim_pca_power_component",
+        "sim_ann_kmeans_train",
+        "sim_cluster_purity",
+        "sim_matryoshka_recall",
     ],
 )
 def test_random_embeddings_match_oracle(spark, random_emb_dir, random_emb_duck, key):
