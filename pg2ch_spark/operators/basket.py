@@ -94,3 +94,84 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
         .limit(_MB_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC classification — cumulative revenue share tiers.
+
+_ABC_A = 0.70
+_ABC_B = 0.90
+
+
+@register(
+    "orders_pareto_abc",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey AS pk,
+               sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS r
+        FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+        SELECT sum(r) AS t FROM rev
+    ), ranked AS (
+        SELECT pk, r,
+               sum(r) OVER (ORDER BY r DESC, pk
+                            ROWS UNBOUNDED PRECEDING) AS cum_r
+        FROM rev
+    ), classed AS (
+        SELECT pk, r,
+               CASE WHEN CAST(cum_r AS DOUBLE) / CAST(t.t AS DOUBLE) <= {_ABC_A}
+                        THEN 'A'
+                    WHEN CAST(cum_r AS DOUBLE) / CAST(t.t AS DOUBLE) <= {_ABC_B}
+                        THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM ranked CROSS JOIN tot t
+    )
+    SELECT abc, count(*) AS n_parts,
+           CAST(round(sum(r), 2) AS DOUBLE) AS revenue,
+           round(CAST(sum(r) AS DOUBLE) /
+                 (SELECT CAST(t AS DOUBLE) FROM tot), 4) AS share
+    FROM classed GROUP BY abc ORDER BY abc
+    """,
+)
+def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts tiered by cumulative
+    revenue share (A ≤ {_ABC_A:.0%}, B ≤ {_ABC_B:.0%}, C the tail) —
+    the 80/20 readout behind assortment and caching decisions.
+
+    Exactness discipline for a CUMULATIVE float statistic: per-part
+    revenue sums and the running cumulative are EXACT DECIMAL (window
+    sum of decimals — no float association order anywhere), and the
+    share each classification compares is ONE IEEE division of two
+    exact decimals cast to double — identical in both engines, so even
+    parts sitting exactly on a tier boundary classify identically. The
+    window runs over the PART-level aggregate (orders of magnitude
+    below lineitem); at catalog scale the distributed prefix-sum of
+    `pipeline_pack_sequences` slots in for the single window.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    w = Window.orderBy(F.col("r").desc(), "pk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.withColumn("cum_r", F.sum("r").over(w))
+    share = F.col("cum_r").cast("double") / F.col("t").cast("double")
+    classed = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "abc",
+        F.when(share <= _ABC_A, "A").when(share <= _ABC_B, "B").otherwise("C"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("r"), 2).cast("double").alias("revenue"),
+            F.round(
+                F.sum("r").cast("double") / F.first(F.col("t").cast("double")), 4
+            ).alias("share"),
+        )
+        .orderBy("abc")
+    )

@@ -722,3 +722,97 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_tier", "f_tier", "m_tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative drift detection — Page's CUSUM statistic (unclamped) over
+# the daily value series per event type.
+
+
+@register(
+    "events_cusum_drift",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               sum(CAST(value AS DECIMAL(18,6))) AS v
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, sum(v) AS total, count(*) AS n_days
+        FROM daily GROUP BY event_type
+    ), cum AS (
+        SELECT d.event_type, d.day,
+               row_number() OVER w AS t,
+               sum(d.v) OVER (PARTITION BY d.event_type ORDER BY d.day
+                              ROWS UNBOUNDED PRECEDING) AS cum_v,
+               tt.total, tt.n_days
+        FROM daily d JOIN tot tt USING (event_type)
+        WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)
+    ), drift AS (
+        SELECT event_type, day,
+               abs(CAST(cum_v AS DOUBLE)
+                   - CAST(t * total AS DOUBLE) / n_days) AS dr
+        FROM cum
+    )
+    SELECT event_type,
+           CAST(max(n2.n_days) AS BIGINT) AS n_days,
+           round(max(dr), 4) AS max_drift,
+           min(day) FILTER (WHERE round(dr, 4) =
+               (SELECT round(max(d2.dr), 4) FROM drift d2
+                WHERE d2.event_type = drift.event_type)) AS drift_day
+    FROM drift JOIN tot n2 USING (event_type)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative drift detection per event type: Page's CUSUM
+    statistic (unclamped) over the daily value series — max over t of
+    |Σ₁..t(xᵢ) − t·μ|, with the day it peaks. A level shift in the
+    series shows up as a drift mountain whose summit IS the
+    change-point estimate; the monitoring sibling of
+    `events_anomaly_zscore` (point outliers) for SUSTAINED shifts.
+
+    Exactness for a cumulative float statistic (the
+    `orders_pareto_abc` discipline): daily sums and the running
+    cumulative are exact DECIMAL, t·total is an exact decimal×int, and
+    each drift value is ONE float subtraction of two IEEE-exact terms
+    (cum − t·total/n) — no float accumulation order anywhere, so the
+    argmax day is engine-stable (ties resolve to the earliest day).
+    Windows run over the per-(type, day) aggregate (bounded by the
+    calendar, not event volume).
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    day = (catalog.ts_epoch_s(ev) / F.lit(86400)).cast("long")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    cum = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn("t", F.row_number().over(w_ord))
+        .withColumn(
+            "cum_v",
+            F.sum("v").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    dr = F.abs(
+        F.col("cum_v").cast("double")
+        - (F.col("t") * F.col("total")).cast("double") / F.col("n_days")
+    )
+    drift = cum.select("event_type", "day", "n_days", dr.alias("dr"))
+    w_max = Window.partitionBy("event_type")
+    return (
+        drift.withColumn("mx", F.max(F.round(F.col("dr"), 4)).over(w_max))
+        .groupBy("event_type")
+        .agg(
+            F.max("n_days").cast("bigint").alias("n_days"),
+            F.round(F.max("dr"), 4).alias("max_drift"),
+            F.min(
+                F.when(F.round(F.col("dr"), 4) == F.col("mx"), F.col("day"))
+            ).alias("drift_day"),
+        )
+        .orderBy("event_type")
+    )

@@ -198,6 +198,8 @@ _ROUND6_PRIORITY: tuple[str, ...] = (
     "events_rfm_segmentation",
     "orders_market_basket",
     "text_skipgram_pmi",
+    "orders_pareto_abc",
+    "events_cusum_drift",
 )
 
 
