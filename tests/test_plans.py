@@ -618,3 +618,40 @@ def test_segment_overlap_is_joinless(spark):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                  "BroadcastNestedLoopJoin"):
         assert node not in plan, f"unexpected {node}"
+
+
+def test_rfm_segmentation_is_joinless(spark):
+    """RFM: one events aggregate + ntile windows + cell rollup — no
+    join nodes at all (the per-user table is self-contained)."""
+    plan = _plan(spark, "events_rfm_segmentation")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"unexpected {node}"
+
+
+def test_market_basket_pairs_are_in_row_and_topk_is_heap(spark):
+    """Basket pairs must come from the in-row explode of per-order
+    brand sets (no basket self-join → no SortMergeJoin); marginals
+    broadcast; global top-k is TakeOrderedAndProject."""
+    plan = _plan(spark, "orders_market_basket")
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_skipgram_pmi_broadcasts_vocab_and_heaps_topk(spark):
+    """The unigram table must broadcast onto the pair table (vocab is
+    tiny); no row-scale shuffle join; top-k by heap."""
+    plan = _plan(spark, "text_skipgram_pmi")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pareto_and_cusum_have_no_row_scale_join(spark):
+    """Both cumulative statistics run over bounded aggregates (parts /
+    calendar days); their only joins are 1-row or per-type totals
+    broadcast back — never a shuffle join of the fact table."""
+    for key in ("orders_pareto_abc", "events_cusum_drift"):
+        plan = _plan(spark, key)
+        assert "SortMergeJoin" not in plan, key
+        assert "ShuffledHashJoin" not in plan, key
