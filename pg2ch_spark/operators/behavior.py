@@ -816,3 +816,60 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar seasonality matrix — the day-of-week × hour-of-day heatmap.
+
+
+@register(
+    "events_seasonality_matrix",
+    oracle="""
+    WITH base AS (
+        SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+               (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS hod,
+               value
+        FROM events
+    )
+    SELECT dow, hod, count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS value_total
+    FROM base GROUP BY dow, hod ORDER BY dow, hod
+    """,
+)
+def events_seasonality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity seasonality: the day-of-week × hour-of-day heatmap
+    (0=Sunday, UTC hours) with event counts and decimal-safe value
+    mass per cell — the calendar fingerprint behind load forecasting
+    and anomaly baselines (`events_cusum_drift` flags WHEN something
+    shifted; this shows the shape it shifted from).
+
+    Both axes are PURE INTEGER arithmetic on epoch seconds — dow =
+    (epoch_day + 4) mod 7 anchors on 1970-01-01 being a Thursday —
+    instead of each engine's dayofweek()/strftime conventions
+    (1-vs-0-based, locale week starts), which is exactly the kind of
+    silent cross-engine skew the integer-time discipline (D3) exists
+    to avoid. One map-side-combined shuffle onto ≤ 168 cells.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    sec = catalog.ts_epoch_s(ev)
+    return (
+        ev.select(
+            ((sec / F.lit(86400)).cast("long") + 4) .alias("d4"),
+            sec.alias("s"),
+            "value",
+        )
+        .select(
+            F.pmod("d4", F.lit(7)).alias("dow"),
+            ((F.col("s") % 86400) / F.lit(3600)).cast("long").alias("hod"),
+            "value",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("value_total"),
+        )
+        .orderBy("dow", "hod")
+    )

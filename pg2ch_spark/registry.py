@@ -200,6 +200,7 @@ _ROUND6_PRIORITY: tuple[str, ...] = (
     "text_skipgram_pmi",
     "orders_pareto_abc",
     "events_cusum_drift",
+    "events_seasonality_matrix",
 )
 
 
