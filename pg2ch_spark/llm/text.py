@@ -422,3 +422,79 @@ def text_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w_a", "w_b")
         .limit(_PMI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-exponent fit — the corpus-health statistic for token frequency
+# distributions (natural corpora fit slope ≈ −1; synthetic/templated
+# text shows up as a flat or broken rank curve).
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH uc AS (
+        SELECT w, count(*) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            WHERE length(text) > 0
+        ) GROUP BY w
+    ), ranked AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, w) AS DOUBLE)) AS lx,
+               ln(CAST(n AS DOUBLE)) AS ly
+        FROM uc
+    ), stats AS (
+        SELECT count(*) AS k, sum(lx) AS sx, sum(ly) AS sy,
+               sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+        FROM ranked
+    )
+    SELECT CAST(k AS BIGINT) AS vocab_size,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope,
+           round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 4)
+               AS intercept
+    FROM stats
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency curve: least-squares
+    slope of ln(freq) against ln(rank) plus the intercept — the
+    dataset-card distribution check (natural language ≈ −1; templated
+    or synthetic text bends the curve; this fixture's ~30-word
+    near-uniform vocabulary reads shallow by construction).
+
+    One token shuffle builds the vocab table; the rank window runs
+    over VOCAB-scale rows (tied counts break on the token so the rank
+    — and therefore the fit — is engine-stable), and the closed-form
+    least-squares needs only five scalar sums. Float discipline: lx/ly
+    are ln of identical integers (the `corpus_mixture_entropy`
+    precedent), the sums run over vocab-scale values rounded nowhere,
+    and the slope/intercept expressions are written with identical
+    association on both engines, rounded 4dp.
+    """
+    docs = catalog.load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    uc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = Window.orderBy(F.col("n").desc(), "w")
+    ranked = uc.select(
+        F.log(F.row_number().over(w_rank).cast("double")).alias("lx"),
+        F.log(F.col("n").cast("double")).alias("ly"),
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return stats.select(
+        F.col("k").cast("bigint").alias("vocab_size"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 4).alias(
+            "intercept"
+        ),
+    )

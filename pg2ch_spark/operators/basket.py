@@ -175,3 +175,66 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shipping SLA — fill-rate and lateness quantiles per order priority.
+
+_SLA_DAYS = 90
+
+
+@register(
+    "orders_fill_rate_sla",
+    oracle=f"""
+    WITH lines AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+                   AS days_to_ship
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT priority,
+           count(*) AS n_lines,
+           round(count(*) FILTER (WHERE days_to_ship <= {_SLA_DAYS})
+                 / CAST(count(*) AS DOUBLE), 4) AS sla_hit_rate,
+           round(quantile_cont(days_to_ship, 0.5), 4) AS p50_days,
+           round(quantile_cont(days_to_ship, 0.9), 4) AS p90_days
+    FROM lines GROUP BY priority ORDER BY priority
+    """,
+)
+def orders_fill_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping SLA per order priority: the share of lineitems shipped
+    within {_SLA_DAYS} days of their order date plus p50/p90
+    days-to-ship — the fulfillment dashboard on the relational side
+    (the `events_time_to_convert` shape for orders).
+
+    days-to-ship is an INTEGER date difference (no timestamp
+    arithmetic crosses the engine boundary), so the SLA predicate and
+    both quantiles run on exact values; interpolated quantiles of
+    integers are dyadic-exact at 4dp (the `agg_percentiles` contract).
+    One fact join (orders side broadcast-eligible per priority slice
+    would skew — the plain equi-join on orderkey is the right plan)
+    and one agg shuffle onto 5 priority groups via salted-safe
+    map-side partials.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("days_to_ship"),
+    )
+    return (
+        lines.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.count(F.when(F.col("days_to_ship") <= _SLA_DAYS, 1))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("sla_hit_rate"),
+            F.round(F.expr("percentile(days_to_ship, 0.5D)"), 4).alias("p50_days"),
+            F.round(F.expr("percentile(days_to_ship, 0.9D)"), 4).alias("p90_days"),
+        )
+        .orderBy("priority")
+    )

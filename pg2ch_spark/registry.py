@@ -201,6 +201,8 @@ _ROUND6_PRIORITY: tuple[str, ...] = (
     "orders_pareto_abc",
     "events_cusum_drift",
     "events_seasonality_matrix",
+    "orders_fill_rate_sla",
+    "text_zipf_fit",
 )
 
 
