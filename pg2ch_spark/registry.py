@@ -203,6 +203,7 @@ _ROUND6_PRIORITY: tuple[str, ...] = (
     "events_seasonality_matrix",
     "orders_fill_rate_sla",
     "text_zipf_fit",
+    "udf_map_in_arrow",
 )
 
 

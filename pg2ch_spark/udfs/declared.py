@@ -127,3 +127,49 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     slug = F.udf(lambda s: s.lower().replace(" ", "-"), "string")
     p = catalog.load(spark, sf_dir, "part")
     return p.select("p_partkey", slug("p_name").alias("slug"))
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           upper(substr(text, 1, 8)) AS head
+    FROM documents
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth Arrow entry point, `mapInArrow`: batches arrive as
+    raw `pyarrow.RecordBatch` and every transformation below runs in
+    Arrow COMPUTE KERNELS (C++), never materializing pandas objects —
+    the zero-copy fast path `text_vocab_heavy_hitters` uses internally
+    for its 36.8M tokens/s Misra-Gries loop, here under the declared
+    oracle gate as an API-surface contract. byte length, token count
+    (split + list_value_length), and an uppercased prefix all come
+    from `pyarrow.compute`; ASCII fixture text makes byte and char
+    semantics coincide (strlen ≙ utf8 length here by construction —
+    the multimodal ops' documented payload contract)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernels(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            text = b.column(b.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(
+                        pc.list_value_length(pc.split_pattern(text, " ")),
+                        pa.int64(),
+                    ),
+                    pc.utf8_upper(pc.utf8_slice_codeunits(text, 0, 8)),
+                ],
+                names=["doc_id", "n_bytes", "n_tokens", "head"],
+            )
+
+    docs = catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        kernels, "doc_id long, n_bytes long, n_tokens long, head string"
+    )
