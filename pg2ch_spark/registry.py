@@ -204,6 +204,7 @@ _ROUND6_PRIORITY: tuple[str, ...] = (
     "orders_fill_rate_sla",
     "text_zipf_fit",
     "udf_map_in_arrow",
+    "stream_windowed_distinct",
 )
 
 

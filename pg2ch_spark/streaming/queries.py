@@ -555,3 +555,35 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .orderBy("win_start_s", "rk")
     )
+
+
+@register(
+    "stream_windowed_distinct",
+    oracle="""
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start_s,
+           count(DISTINCT user_id) AS dau
+    FROM events GROUP BY 1
+    """,
+)
+def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly distinct users (streaming DAU): COUNT(DISTINCT)
+    is unsupported inside a streaming aggregate, so the scale-correct
+    decomposition is stateful DEDUPLICATION first (dropDuplicates on
+    (user_id, hour-slot) — per-key boolean state, watermark-evictable)
+    followed by a plain windowed count of the survivors — the
+    dedupe-then-count pattern every streaming-uniques pipeline uses.
+    The slot is derived in-row (date_trunc) so the dedup key exists
+    BEFORE any aggregation; dedup→agg is one of the few stateful-
+    stateful chains Structured Streaming permits.
+    """
+    res = run_complete_to_df(
+        spark,
+        catalog.table_path(sf_dir, "events"),
+        _events_schema(spark, sf_dir),
+        lambda df: _with_event_time(df)
+        .withColumn("slot", F.date_trunc("hour", F.col("ets")))
+        .dropDuplicates(["user_id", "slot"])
+        .groupBy(F.window("slot", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("dau")),
+    )
+    return res.select(_win_start_s(), "dau")
