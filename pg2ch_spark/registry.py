@@ -95,20 +95,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # joins/windows tail (2) — window-50 ends here
     "join_asof_tolerance",
     "win_nth_ignore_nulls",
-    # ROUND-5 REORDER PLAN (do this at the START of round 5, not
-    # before round 4's driver run): after CORRECTNESS_r04 lands, the
-    # never-driver-checked set becomes the 12 analytics-tail keys
-    # below PLUS the 17 round-4 additions (text_bpe_merge_candidates,
-    # pipeline_mix_weighted, pipeline_pref_pairs,
-    # pipeline_length_buckets, dedup_incremental_snapshot,
-    # embedding_standardize, sim_pca_power_component,
-    # corpus_mixture_entropy, events_transition_matrix,
-    # events_top_paths, join_asof_nearest, cdc_bucketed_compaction,
-    # query_tpch_q2/q11/q16/q20, multimodal_audio_windows) — move all
-    # 29 to the FRONT of this
-    # tuple so round 5's 50-key window covers them; all 29 already
-    # pass the local vanilla-session differential (round-4 session).
-    # round-5 window: the 12 analytics-tail keys, next in line
+    # analytics tail (12) — superseded by the round-5 swap below,
+    # which prepends _ROUND5_PRIORITY (these 12 lead that list too)
     "text_decontaminate",
     "agg_hll_sketch_merge",
     "join_salted_skew",
@@ -124,16 +112,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 
-# Prepared for round 5 — swap in AFTER CORRECTNESS_r04 lands with:
-#     _DRIVER_PRIORITY = _ROUND5_PRIORITY + _DRIVER_PRIORITY
-# (_prioritized dedups via dict insertion, first occurrence wins, so
-# prepending is safe). 40 keys: the 12 analytics-tail (above) + all 28
-# round-4 additions (audited programmatically: with this list, the
-# round-5 50-key window covers EVERY key that has no CORRECTNESS row
-# after the round-4 driver run — regression-tested in
-# test_correctness.test_round5_priority_covers_all_unchecked_keys);
-# the window's remaining 10 slots re-verify the round-4 head, which is
-# exactly what a re-check should hit.
+# The round-5 driver window, ACTIVE as of round 5 (prepended to
+# _DRIVER_PRIORITY below; _prioritized dedups via dict insertion,
+# first occurrence wins, so prepending is safe). Exactly 50 keys —
+# the 12 analytics-tail keys plus the 38 round-4 additions — covering
+# EVERY key that had no CORRECTNESS row after the round-4 driver run
+# except the 11 in _ROUND6_PRIORITY, which are queued for round 6's
+# window (regression-tested in
+# test_correctness.test_round5_and_6_priorities_cover_all_unchecked_keys).
 _ROUND5_PRIORITY: tuple[str, ...] = (
     "text_decontaminate",
     "agg_hll_sketch_merge",
@@ -206,6 +192,13 @@ _ROUND6_PRIORITY: tuple[str, ...] = (
     "udf_map_in_arrow",
     "stream_windowed_distinct",
 )
+
+# ROUND-5 SWAP (VERDICT r4 item 1, executed at the start of round 5):
+# the round-5 driver window is exactly _ROUND5_PRIORITY — the 50-key
+# never-driver-checked backlog. At the start of round 6, change this to
+#     _DRIVER_PRIORITY = _ROUND6_PRIORITY + _ROUND5_PRIORITY + _DRIVER_PRIORITY
+# so the final 11 untested keys lead round 6's window.
+_DRIVER_PRIORITY = _ROUND5_PRIORITY + _DRIVER_PRIORITY
 
 
 def _prioritized(d: dict) -> dict:

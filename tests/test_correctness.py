@@ -30,44 +30,44 @@ def test_query_vs_oracle(key, spark, duck):
 
 
 def test_driver_window_prioritizes_unchecked_backlog():
-    """The first 50 keys queries() yields must be the never-driver-checked
-    backlog (CDC, streaming, llm core, udfs, fn/join/window tails), and
-    the 12 analytics-tail keys must follow for round 5's window. Newly
-    registered operators append after the priority list and must never
-    displace it."""
+    """The first 50 keys queries() yields must be exactly the round-5
+    backlog window (_ROUND5_PRIORITY): the keys with no CORRECTNESS row
+    after rounds 1/3/4. Newly registered operators append after the
+    priority list and must never displace it."""
     keys = list(registry.queries())
-    prio = list(registry._DRIVER_PRIORITY)
+    prio = list(dict.fromkeys(registry._DRIVER_PRIORITY))
     assert keys[: len(prio)] == prio
     window = keys[:50]
-    assert window[0].startswith("cdc_")
-    assert sum(k.startswith("cdc_") for k in window) == 7
-    assert sum(k.startswith("stream_") for k in window) == 11
-    assert "join_asof_tolerance" in window and "win_nth_ignore_nulls" in window
-    # every window key carries an exact oracle
+    assert window == list(registry._ROUND5_PRIORITY)
+    # every window key carries an exact oracle except the declared
+    # rows-only sketch (HLL binary registers differ across engines)
     oracles = registry.oracle_sql()
-    assert all(k in oracles for k in window)
+    assert [k for k in window if k not in oracles] == ["agg_hll_sketch_merge"]
     # oracle_sql() iterates in the same order as queries()
     prio_with_oracle = [k for k in prio if k in oracles]
     assert list(oracles)[: len(prio_with_oracle)] == prio_with_oracle
 
 
 def test_round5_and_6_priorities_cover_all_unchecked_keys():
-    """Driver-window plan audit: EVERY key that will still lack a
-    CORRECTNESS row after round 4 (not in r1/r3 artifacts, not in the
-    round-4 50-key window) must fall inside the PLANNED round-5 window
-    (prepend _ROUND5_PRIORITY) or, for post-plan additions, the round-6
-    window (prepend _ROUND6_PRIORITY + _ROUND5_PRIORITY). Round 3's
-    verdict was precisely about this invariant silently breaking."""
+    """Driver-window plan audit: EVERY key lacking a CORRECTNESS row
+    after rounds 1/3/4 must fall inside the ACTIVE round-5 window (the
+    first 50 keys of queries()) or the PLANNED round-6 window (prepend
+    _ROUND6_PRIORITY). Round 3's verdict was precisely about this
+    invariant silently breaking."""
     import json
     import os
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked = set()
-    for art in ("CORRECTNESS_r01.json", "CORRECTNESS_r03.json"):
+    for art in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
+    ):
         with open(os.path.join(here, art)) as f:
             checked |= set(json.load(f))
     all_keys = list(registry.queries())
-    checked |= set(all_keys[:50])  # the round-4 driver window
+    r5 = set(all_keys[:50])
 
     def window(priorities):
         sim = []
@@ -76,15 +76,11 @@ def test_round5_and_6_priorities_cover_all_unchecked_keys():
                 sim.append(k)
         return set(sim[:50])
 
-    r5 = window(list(registry._ROUND5_PRIORITY) + list(registry._DRIVER_PRIORITY))
-    r6 = window(
-        list(registry._ROUND6_PRIORITY)
-        + list(registry._ROUND5_PRIORITY)
-        + list(registry._DRIVER_PRIORITY)
-    )
+    r6 = window(list(registry._ROUND6_PRIORITY) + list(registry._DRIVER_PRIORITY))
     missed = [k for k in all_keys if k not in checked and k not in (r5 | r6)]
     assert missed == [], f"never-checked keys outside both planned windows: {missed}"
     # the round-5 window itself must stay fully packed with unchecked
     # keys (a re-check in round 5 while unchecked keys wait would be
     # the round-3 failure shape again)
     assert len(registry._ROUND5_PRIORITY) == 50
+    assert not (r5 & checked), f"already-checked keys occupy the round-5 window: {sorted(r5 & checked)}"
