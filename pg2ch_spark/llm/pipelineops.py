@@ -143,7 +143,7 @@ def pipeline_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         8,
     )
-    band = (F.substring("source", 4, 5).cast("int") / 5).cast("int")
+    band = (F.expr("substring(source, 4)").cast("int") / 5).cast("int")
     keep = F.when(band == 0, F.lit(True))
     for b, thr in _MIX_THRESHOLDS.items():
         if thr is not None:
@@ -769,7 +769,7 @@ def pipeline_e2e_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("doc_id", "source", "toks")
     )
-    band = (F.substring("source", 4, 10).cast("int") / F.lit(5)).cast("int")
+    band = (F.expr("substring(source, 4)").cast("int") / F.lit(5)).cast("int")
     h = F.substring(
         F.md5(
             F.concat(

@@ -71,7 +71,8 @@ def events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes at most one row per cell the cell count is a plain
     count(*). One wide shuffle on user_id + one cheap agg shuffle on
     the ~|window|²/2 cell keys. The day-set is bounded by the
-    retention window (30 d here), never by event volume — at 10^12
+    observation span's distinct active days (as in
+    `events_day_streaks`), never by raw event volume — at 10^12
     events the first shuffle carries users × active-days, the same
     presence relation the join plan would shuffle twice.
     """

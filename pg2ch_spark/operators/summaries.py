@@ -152,7 +152,7 @@ def sample_weighted_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = catalog.load(spark, sf_dir, "documents")
     weight = (
-        F.lit(1) + F.substring("source", 4, 10).cast("int") % _WB_WMAX
+        F.lit(1) + F.expr("substring(source, 4)").cast("int") % _WB_WMAX
     ).alias("weight")
     draws = F.array(
         *[

@@ -99,40 +99,69 @@ def test_vectorized_mg_beats_token_loop_5x():
     """~10M-token synthetic partition: the Arrow value_counts merge must
     decisively beat the per-token dict loop (VERDICT r3 'weak' gate).
 
-    Idle measurement is 5.4x (36.8M tokens/s, recorded in SURVEY §7.3);
-    the in-suite gate is 3.5x because this test shares the host with a
-    concurrent Spark session during full-suite runs and a 5.0x gate on
-    a 5.4x nominal flaked under that contention (round-4 session).
-    Best-of-3 timing for the same reason."""
-    import pyarrow as pa
+    The 5.0x gate (idle measurement: 5.4x, 36.8M tokens/s, SURVEY
+    §7.3) is measured in a FRESH subprocess so the shared in-suite
+    Spark JVM and pytest allocator state can't contend with the timing
+    — the round-4 session relaxed the in-process gate to 3.5x for that
+    reason; isolation restores the original margin instead
+    (ADVICE r4). Best-of-3 inside the subprocess for scheduler noise."""
+    import json
+    import os
+    import subprocess
+    import sys
 
-    batches = _zipf_batches(100, 2000, vocab=20000, seed=7, n_batches=8)
-    big = [
-        pa.Table.from_batches([b] * 50).combine_chunks().to_batches()[0]
-        for b in batches
-    ]  # ~10M tokens total
-    n_tokens = sum(len(b.column(0).values) for b in big)
-    assert n_tokens >= 9_000_000
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = """
+import json, sys, time
+sys.path.insert(0, sys.argv[1])
+import pyarrow as pa
+from pg2ch_spark.llm.heavyhitters import _MG_SIZE, _mg_summaries
+from tests.test_heavyhitters import _batch_token_lists, _loop_mg, _zipf_batches
 
-    def best_of_three(fn):
-        ts = []
-        for _ in range(3):
-            t0 = time.time()
-            fn()
-            ts.append(time.time() - t0)
-        return min(ts)
+batches = _zipf_batches(100, 2000, vocab=20000, seed=7, n_batches=8)
+big = [
+    pa.Table.from_batches([b] * 50).combine_chunks().to_batches()[0]
+    for b in batches
+]  # ~10M tokens total
+n_tokens = sum(len(b.column(0).values) for b in big)
 
-    summary = None
+def best_of_three(fn):
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return min(ts)
 
-    def run_vec():
-        nonlocal summary
-        (summary,) = _mg_summaries(iter(big))
+summary = None
+def run_vec():
+    global summary
+    (summary,) = _mg_summaries(iter(big))
 
-    vec_t = best_of_three(run_vec)
-
-    # loop reference on a 1/50 slice, extrapolated (full run takes minutes)
-    slice_lists = _batch_token_lists(batches)
-    loop_t = best_of_three(lambda: _loop_mg(slice_lists)) * 50
-
-    assert len(summary) <= _MG_SIZE
-    assert loop_t / vec_t >= 3.5, f"vectorized {vec_t:.2f}s vs loop {loop_t:.2f}s"
+vec_t = best_of_three(run_vec)
+# loop reference on a 1/50 slice, extrapolated (full run takes minutes)
+slice_lists = _batch_token_lists(batches)
+loop_t = best_of_three(lambda: _loop_mg(slice_lists)) * 50
+print(json.dumps({
+    "n_tokens": n_tokens,
+    "summary_len": len(summary),
+    "mg_size": _MG_SIZE,
+    "vec_t": vec_t,
+    "loop_t": loop_t,
+}))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code, here],
+        capture_output=True,
+        text=True,
+        cwd=here,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    r = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert r["n_tokens"] >= 9_000_000
+    assert r["summary_len"] <= r["mg_size"]
+    ratio = r["loop_t"] / r["vec_t"]
+    assert ratio >= 5.0, (
+        f"vectorized {r['vec_t']:.2f}s vs loop {r['loop_t']:.2f}s ({ratio:.1f}x)"
+    )
