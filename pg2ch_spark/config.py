@@ -1,0 +1,135 @@
+"""YAML config layer — the file a user actually runs the replicator
+from (SURVEY §2.1 R14 config/catalog).
+
+pg2ch is operated through one YAML file (`cmd/pg2ch/main.go` reads it
+into `pkg/config/config.go`): connection blocks, daemon knobs, and a
+`tables:` mapping of per-table replication specs. This module is that
+file re-expressed for the Spark pipeline:
+
+```yaml
+spark:                       # session knobs (optional block)
+  master: local[*]
+  app_name: pg2ch-spark
+  shuffle_partitions: 32
+source:
+  sf_dir: /data/sf0.001      # dir holding events.parquet (the change log)
+  max_files_per_trigger: 1   # optional: micro-batch granularity
+state_root: /var/lib/pg2ch   # per-table sink state + checkpoints
+poll_interval_s: 5.0         # pause between catch-up passes
+                             # (pg2ch inactivity_merge_timeout analog)
+tables:                      # name -> TableSpec block (R14)
+  t_replacing:
+    engine: ReplacingMergeTree
+    key_col: key
+    ver_col: ver
+    merge_threshold: 2
+  t_append:
+    engine: MergeTree
+```
+
+`main_table` defaults to the mapping key, exactly how pg2ch keys its
+`tables:` section by the replicated table's name. Unknown keys are
+rejected at every level — the same posture as `spec_from_mapping`
+(a typo'd knob silently defaulting is how replication configs rot).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import yaml
+
+from pg2ch_spark.pipeline import TableSpec, spec_from_mapping
+
+
+@dataclass
+class SparkConfig:
+    master: str = "local[*]"
+    app_name: str = "pg2ch-spark"
+    shuffle_partitions: int = 32
+
+
+@dataclass
+class DaemonConfig:
+    source_dir: str
+    state_root: str
+    tables: list[TableSpec]
+    max_files_per_trigger: int | None = None
+    poll_interval_s: float = 5.0
+    spark: SparkConfig = field(default_factory=SparkConfig)
+
+
+_TOP_KEYS = {"spark", "source", "state_root", "poll_interval_s", "tables"}
+_SPARK_KEYS = {"master", "app_name", "shuffle_partitions"}
+_SOURCE_KEYS = {"sf_dir", "max_files_per_trigger"}
+
+
+def _reject_unknown(block: dict, allowed: set[str], where: str) -> None:
+    unknown = set(block) - allowed
+    if unknown:
+        raise ValueError(f"unknown {where} keys: {sorted(unknown)}")
+
+
+def config_from_mapping(m: dict) -> DaemonConfig:
+    """Validate and build a DaemonConfig from the parsed YAML mapping."""
+    if not isinstance(m, dict):
+        raise ValueError(f"config root must be a mapping, got {type(m).__name__}")
+    _reject_unknown(m, _TOP_KEYS, "config")
+    for req in ("source", "state_root", "tables"):
+        if req not in m:
+            raise ValueError(f"config is missing required key {req!r}")
+
+    source = m["source"]
+    if not isinstance(source, dict):
+        raise ValueError("source: must be a mapping")
+    _reject_unknown(source, _SOURCE_KEYS, "source")
+    if "sf_dir" not in source:
+        raise ValueError("source: is missing required key 'sf_dir'")
+
+    spark_block = m.get("spark") or {}
+    if not isinstance(spark_block, dict):
+        raise ValueError("spark: must be a mapping")
+    _reject_unknown(spark_block, _SPARK_KEYS, "spark")
+
+    tables = m["tables"]
+    if not isinstance(tables, dict) or not tables:
+        raise ValueError("tables: must be a non-empty mapping of name -> spec")
+    specs = []
+    for name, block in tables.items():
+        block = dict(block or {})
+        block.setdefault("main_table", name)
+        if block["main_table"] != name:
+            raise ValueError(
+                f"tables.{name}: main_table {block['main_table']!r} conflicts "
+                "with the mapping key (omit it or make them equal)"
+            )
+        try:
+            specs.append(spec_from_mapping(block))
+        except (TypeError, ValueError) as e:
+            raise ValueError(f"tables.{name}: {e}") from e
+
+    mft = source.get("max_files_per_trigger")
+    if mft is not None and (not isinstance(mft, int) or mft < 1):
+        raise ValueError("source.max_files_per_trigger must be a positive int")
+    poll = m.get("poll_interval_s", 5.0)
+    if not isinstance(poll, (int, float)) or poll < 0:
+        raise ValueError("poll_interval_s must be a non-negative number")
+
+    return DaemonConfig(
+        source_dir=str(source["sf_dir"]),
+        state_root=str(m["state_root"]),
+        tables=specs,
+        max_files_per_trigger=mft,
+        poll_interval_s=float(poll),
+        spark=SparkConfig(**spark_block),
+    )
+
+
+def load_config(path: str) -> DaemonConfig:
+    """Load the daemon config from a YAML file (pg2ch `--config` analog)."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    with open(path) as f:
+        parsed = yaml.safe_load(f)
+    return config_from_mapping(parsed)
