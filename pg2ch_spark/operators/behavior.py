@@ -13,7 +13,7 @@ Scale notes (10^12-row event streams):
   (cohort_day, distinct-day set) per user, and because each user owns
   exactly one exploded row per active day, the per-cell count is a
   plain count(*), never COUNT(DISTINCT). The per-user day set is
-  bounded by the retention window (30/90 days), not by event volume.
+  bounded by the observation span's distinct days, not by event volume.
 - point-in-interval: no equi-key exists, so the join is blocked on a
   coarse time grain — intervals explode to the hour-grains they span
   (bounded by span/grain ≤ 24), points carry their single grain, and
@@ -33,6 +33,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pg2ch_spark import catalog
+from pg2ch_spark.operators.intervals import (
+    interval_overlap_pairs,
+    point_in_interval,
+)
 from pg2ch_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -138,38 +142,26 @@ def join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale contract: this is the PAIR-IDENTITY shape — its intermediate
     is the (point, span) match set, so cost scales with |pairs| (10×
     users × 10× purchases probe: 100× pairs, 53.6× time — per-pair
-    cost actually halves; BASELINE.md). When only the COUNT is needed,
-    `events_concurrency_sweep` computes the identical output with no
-    pair materialization at all (probe 2.7×) — keep this form for
-    queries that go on to USE the pairs (e.g. joining span attributes
-    onto each match).
+    cost actually halves; BASELINE.md). It is therefore the OPT-IN
+    path of `intervals.point_in_interval(pairs=True)`: the library
+    default answers the same question via the sweep with no pair set
+    at all (`events_concurrency_sweep` is that default, probe 2.7×).
+    Reach for this form only for queries that go on to USE the pairs
+    (e.g. joining span attributes onto each match).
     """
     ev = catalog.load(spark, sf_dir, "events")
     sec = catalog.ts_epoch_s(ev)
     base = ev.select("event_id", "user_id", "event_type", sec.alias("s"))
-    spans = (
-        base.groupBy("user_id", (F.col("s") / F.lit(86400)).cast("long").alias("day"))
-        .agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
-        .select(
-            "lo",
-            "hi",
-            F.explode(
-                F.sequence(
-                    (F.col("lo") / F.lit(_GRAIN_S)).cast("long"),
-                    (F.col("hi") / F.lit(_GRAIN_S)).cast("long"),
-                )
-            ).alias("grain"),
-        )
-    )
+    spans = base.groupBy(
+        "user_id", (F.col("s") / F.lit(86400)).cast("long").alias("day")
+    ).agg(F.min("s").alias("lo"), F.max("s").alias("hi")).select("lo", "hi")
     points = base.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.col("s").alias("t"),
-        (F.col("s") / F.lit(_GRAIN_S)).cast("long").alias("grain"),
     )
     return (
-        points.join(spans, "grain")
-        .where((F.col("t") >= F.col("lo")) & (F.col("t") <= F.col("hi")))
+        point_in_interval(points, spans, pairs=True, grain_s=_GRAIN_S)
         .groupBy("purchase_id", "user_id")
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("purchase_id")
@@ -222,58 +214,24 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows 100× while the sweep's input grows 10× (probe: 53.6× vs
     ~2×, BASELINE.md). Query rows tie-sort after all equal-time
     markers and carry delta 0, so the cumsum they read is
-    order-independent — deterministic under any shuffle."""
+    order-independent — deterministic under any shuffle.
+
+    This IS `intervals.point_in_interval`'s default path — the library
+    contract a user gets unless they opt into pairs=True."""
     ev = catalog.load(spark, sf_dir, "events")
     sec = catalog.ts_epoch_s(ev)
     base = ev.select("event_id", "user_id", "event_type", sec.alias("s"))
     spans = base.groupBy(
         "user_id", (F.col("s") / F.lit(86400)).cast("long").alias("day")
-    ).agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
-    opens = spans.select(
-        F.col("lo").alias("time"),
-        F.lit(1).alias("delta"),
-        F.lit(0).alias("kind"),
-        F.lit(None).cast("long").alias("purchase_id"),
-        F.lit(None).cast("long").alias("p_user"),
-    )
-    closes = spans.select(
-        (F.col("hi") + 1).alias("time"),
-        F.lit(-1).alias("delta"),
-        F.lit(0).alias("kind"),
-        F.lit(None).cast("long").alias("purchase_id"),
-        F.lit(None).cast("long").alias("p_user"),
-    )
-    queries = base.where(F.col("event_type") == "purchase").select(
-        F.col("s").alias("time"),
-        F.lit(0).alias("delta"),
-        F.lit(1).alias("kind"),
+    ).agg(F.min("s").alias("lo"), F.max("s").alias("hi")).select("lo", "hi")
+    points = base.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-    )
-    marks = (
-        opens.unionByName(closes)
-        .unionByName(queries)
-        .withColumn("shard", (F.col("time") / F.lit(_SWEEP_SHARD_S)).cast("long"))
-    )
-    w_local = Window.partitionBy("shard").orderBy("time", "kind")
-    local = marks.withColumn("local_cum", F.sum("delta").over(w_local))
-    w_shard = Window.orderBy("shard").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    offsets = (
-        marks.groupBy("shard")
-        .agg(F.sum("delta").alias("stot"))
-        .withColumn("offset", F.sum("stot").over(w_shard) - F.col("stot"))
-        .select("shard", "offset")
+        "user_id",
+        F.col("s").alias("t"),
     )
     return (
-        local.where(F.col("kind") == 1)
-        .join(F.broadcast(offsets), "shard")
-        .select(
-            "purchase_id",
-            F.col("p_user").alias("user_id"),
-            (F.col("offset") + F.col("local_cum")).cast("bigint").alias("n_active"),
-        )
+        point_in_interval(points, spans, shard_s=_SWEEP_SHARD_S)
+        .select("purchase_id", "user_id", "n_active")
         .orderBy("purchase_id")
     )
 
@@ -317,15 +275,21 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Harder than `join_point_in_interval`'s point case: two intervals
     can share MANY hour grains, so naive grain blocking double-counts
-    every pair. The fix is the first-common-grain rule, applied as a
-    join-time predicate — a surviving pair is kept only in the grain
-    containing max(lo_v, lo_o). If the intervals overlap at all, that
-    instant lies inside both, so exactly one grain accepts the pair:
-    exact dedup with NO distinct pass and no pair key re-shuffle. Both
-    sides explode to covered grains (≤ 24, bounded by span/grain), the
-    match is a shuffled equi-join on the grain (plan-tested: no BNLJ),
-    and the monitor-set filter bounds output to |monitors| ×
-    |concurrent spans| — the irreducible answer size.
+    every pair. The fix is the first-common-block rule, applied as a
+    join-time predicate — a surviving pair is kept only in the block
+    containing max(lo_v, lo_o): exact dedup with NO distinct pass and
+    no pair key re-shuffle (see `intervals.interval_overlap_pairs`,
+    which this routes through). Hour blocks whose span count exceeds
+    the hot threshold escalate to minute blocks on BOTH sides — the
+    skewed-hour guardrail: one peak hour can no longer turn its bucket
+    quadratic in the hour's population. The match stays a shuffled
+    equi-join (plan-tested: no BNLJ), and the monitor-set filter
+    bounds output to |monitors| × |concurrent spans| — the irreducible
+    answer size of the pair contract. When only count/total-seconds
+    are needed, `intervals.interval_overlap_aggregates` answers with
+    NO pair set at all (endpoint prefix sums) — that is the library
+    default for overlap-shaped asks; this registered key is the
+    declared pair-identity opt-in.
     """
     ev = catalog.load(spark, sf_dir, "events")
     sec = catalog.ts_epoch_s(ev)
@@ -334,36 +298,25 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", (F.col("s") / F.lit(86400)).cast("long").alias("day"))
         .agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
     )
-    grains = F.explode(
-        F.sequence(
-            (F.col("lo") / F.lit(_GRAIN_S)).cast("long"),
-            (F.col("hi") / F.lit(_GRAIN_S)).cast("long"),
-        )
-    ).alias("grain")
     v = spans.where(F.col("user_id") % _MONITOR_MOD == 0).select(
         F.col("user_id").alias("monitor_user"),
         "day",
         F.col("lo").alias("v_lo"),
         F.col("hi").alias("v_hi"),
-        grains,
     )
     o = spans.select(
         F.col("user_id").alias("o_user"),
         F.col("lo").alias("o_lo"),
         F.col("hi").alias("o_hi"),
-        grains,
     )
-    first_grain = (
-        F.greatest(F.col("v_lo"), F.col("o_lo")) / F.lit(_GRAIN_S)
-    ).cast("long")
     return (
-        v.join(o, "grain")
-        .where(
-            (F.col("o_user") != F.col("monitor_user"))
-            & (F.col("v_lo") <= F.col("o_hi"))
-            & (F.col("o_lo") <= F.col("v_hi"))
-            & (first_grain == F.col("grain"))
+        interval_overlap_pairs(
+            v, o,
+            probe_lo="v_lo", probe_hi="v_hi",
+            build_lo="o_lo", build_hi="o_hi",
+            grain_s=_GRAIN_S,
         )
+        .where(F.col("o_user") != F.col("monitor_user"))
         .groupBy("monitor_user", "day")
         .agg(
             F.count(F.lit(1)).alias("n_overlaps"),
