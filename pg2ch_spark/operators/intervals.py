@@ -31,9 +31,15 @@ from pyspark.sql import DataFrame, Window
 HOUR_S = 3600
 MINUTE_S = 60
 DEFAULT_SHARD_S = 3600
-# Hour blocks with more build-side intervals than this escalate to
-# minute blocks: caps any one bucket's candidate-pair product at
-# roughly (count/60)^2 per minute instead of count^2 per hour.
+# Hour blocks with more than this many SHORT build-side intervals
+# (shorter than the hour grain) escalate to minute blocks: caps the
+# bucket's candidate-pair product at per-minute sizes instead of
+# count^2 per hour. Only short spans count toward hotness because only
+# they gain from denser blocking — a span covering the whole hour
+# still lands in every minute block, so escalating an hour dominated
+# by long spans adds ~60x block rows and removes no candidates
+# (measured: the daily-span events workload regressed 31x -> 42x at
+# the 10x probe when hotness counted all spans).
 DEFAULT_HOT_THRESHOLD = 1024
 
 
@@ -187,11 +193,15 @@ def interval_overlap_pairs(
     per overlapping (probe, build) pair, both sides' columns carried.
 
     Blocked equi-join on a TWO-LEVEL key: build-side hour blocks whose
-    interval count exceeds ``hot_threshold`` escalate to minute blocks
-    (both sides explode identically off the same broadcast hot set), so
-    a skewed hour — everyone active at the daily peak — caps its bucket
-    at minute-sized candidate products instead of going quadratic in
-    the hour's population. Exactly-once semantics come from the
+    SHORT-interval count (length < grain) exceeds ``hot_threshold``
+    escalate to minute blocks (both sides explode identically off the
+    same broadcast hot set), so a skewed hour — millions of brief
+    sessions at the daily peak — caps its bucket at minute-sized
+    candidate products instead of going quadratic in the hour's
+    population. Hours dominated by long spans stay on hour blocks:
+    a span covering the whole hour lands in every minute block anyway,
+    so escalating those hours adds block rows without removing
+    candidates. Exactly-once semantics come from the
     first-common-block rule applied join-time: a pair is accepted only
     in the block containing max(probe_lo, build_lo). That instant lies
     inside both intervals, so both sides emitted its block, and the
@@ -201,7 +211,8 @@ def interval_overlap_pairs(
     """
     _check_disjoint(probe, build)
     hot = (
-        build.select(
+        build.where(F.col(build_hi) - F.col(build_lo) < grain_s)
+        .select(
             F.explode(
                 F.sequence(_grain(build_lo, grain_s), _grain(build_hi, grain_s))
             ).alias("_hot_grain")
