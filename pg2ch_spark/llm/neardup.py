@@ -248,14 +248,44 @@ def text_near_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     return ngram_jaccard_pairs(catalog.load(spark, sf_dir, "documents"))
 
 
-def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
-    """The pair generator itself, over any (doc_id, text) frame — also
-    reused by dedup_cluster_components on exact-dup REPRESENTATIVES
-    (pair enumeration is quadratic in duplicate-cluster size, so the
-    caller collapses identical texts first)."""
+def _collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Exact-dup collapse for pair generators: one representative per
+    distinct text plus the sorted member list. The shingle self-join
+    then runs over DISTINCT texts, so a duplicate cluster of size k
+    contributes ONE row per side instead of k (the candidate stream at
+    a boilerplate-heavy corpus shrinks by the square of dup
+    multiplicity — the 100× replication probe filled the disk with
+    spill before this, because every bucket went quadratic in k).
+    Cluster products are re-expanded exactly afterwards, so the output
+    contract is unchanged — cost becomes candidates-over-distinct-texts
+    plus TRUE output size."""
+    h = docs.select(
+        "doc_id", "text", F.md5(F.col("text").cast("binary")).alias("_h")
+    )
+    clusters = h.groupBy("_h").agg(
+        F.min("doc_id").alias("rep"),
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+        F.first("text").alias("text"),  # any member: texts are identical
+    )
+    reps = clusters.select(F.col("rep").alias("doc_id"), "text")
+    return reps, clusters.select("rep", "members")
+
+
+def _shingle_pair_scores(docs: DataFrame, keep) -> DataFrame:
+    """(doc_a, doc_b, containment, jaccard) for shared-shingle pairs
+    passing ``keep`` (a (containment, jaccard) -> Column predicate),
+    exact-dup-collapsed: scores are computed once per distinct text
+    pair, FILTERED at rep level (so the expansion touches only true
+    output), then expanded to member products. Scores are pure
+    functions of the two texts, so expansion preserves them exactly;
+    within-cluster pairs (identical texts with ≥1 shingle) score
+    1.0/1.0 by definition and pass the same predicate. Docs with no
+    shingles (<3 words) never pair — the expansion keeps that by
+    requiring the rep in the size table."""
+    reps, clusters = _collapse_exact(docs)
     # sh feeds three plan branches (sizes + both join sides); without a
     # barrier each recomputes the split+shingle pipeline from the scan.
-    sh = _shingles(docs).localCheckpoint(eager=True)
+    sh = _shingles(reps).localCheckpoint(eager=True)
     # Per-doc set sizes ride along as broadcast-joined constants BEFORE
     # the shingle self-join and become extra grouping keys — the first
     # implementation joined the sizes table onto the ~1.1M-row
@@ -270,10 +300,62 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("ni"))
     )
+    cont = F.col("ni").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
     jac = F.col("ni").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("ni"))
-    return (
-        inter.where(jac >= _JACCARD_MIN)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    rep_pairs = (
+        inter.where(keep(cont, jac))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 4).alias("containment"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+    # within-cluster pairs: identical texts, but only if they shingle
+    within = (
+        clusters.join(sz.select(F.col("doc_id").alias("rep")), "rep")
+        .where(F.size("members") >= 2)
+        .where(keep(F.lit(1.0), F.lit(1.0)))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members)), "
+                    "y -> named_struct('doc_a', x, 'doc_b', y))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.lit(1.0).alias("containment"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # cross-cluster expansion: every member product of a scoring rep pair
+    ca = clusters.select(F.col("rep").alias("doc_a"), F.col("members").alias("_ma"))
+    cb = clusters.select(F.col("rep").alias("doc_b"), F.col("members").alias("_mb"))
+    cross = (
+        rep_pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("containment", "jaccard", F.explode("_ma").alias("_x"), "_mb")
+        .select("containment", "jaccard", "_x", F.explode("_mb").alias("_y"))
+        .select(
+            F.least("_x", "_y").alias("doc_a"),
+            F.greatest("_x", "_y").alias("doc_b"),
+            "containment",
+            "jaccard",
+        )
+    )
+    return cross.unionByName(within)
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """The pair generator itself, over any (doc_id, text) frame — also
+    reused by dedup_cluster_components (which pre-collapses; the
+    collapse here is then a no-op over singleton clusters)."""
+    return _shingle_pair_scores(docs, lambda cont, jac: jac >= _JACCARD_MIN).select(
+        "doc_a", "doc_b", "jaccard"
     )
 
 
@@ -652,28 +734,12 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle doc inside a 500-shingle doc has Jaccard ≤ 0.1 but
     containment 1.0). Jaccard rides along so consumers can split
     "near-identical" from "contained". Same scale shape as the Jaccard
-    sibling: candidates ONLY from the shared-shingle equi-join,
-    integer intersection / min arithmetic, one join shuffle — and the
-    same quadratic-in-dup-cluster contract with the collapse-first
-    mitigation documented there.
+    sibling: candidates ONLY from the shared-shingle equi-join over
+    exact-dup-collapsed representatives (the shared
+    `_shingle_pair_scores` generator), so duplicate clusters cost
+    their true output, never a quadratic candidate stream.
     """
     docs = catalog.load(spark, sf_dir, "documents")
-    sh = _shingles(docs).localCheckpoint(eager=True)
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sided = sh.join(F.broadcast(sz), "doc_id")
-    a = sided.select(F.col("doc_id").alias("doc_a"), "g", F.col("n").alias("n_a"))
-    b = sided.select(F.col("doc_id").alias("doc_b"), "g", F.col("n").alias("n_b"))
-    inter = (
-        a.join(b, "g")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
-    )
-    cont = F.col("ni").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
-    jac = F.col("ni").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("ni"))
-    return inter.where(cont >= _CONTAIN_MIN).select(
-        "doc_a",
-        "doc_b",
-        F.round(cont, 4).alias("containment"),
-        F.round(jac, 4).alias("jaccard"),
+    return _shingle_pair_scores(docs, lambda cont, jac: cont >= _CONTAIN_MIN).select(
+        "doc_a", "doc_b", "containment", "jaccard"
     )
