@@ -271,18 +271,14 @@ def _collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return reps, clusters.select("rep", "members")
 
 
-def _shingle_pair_scores(docs: DataFrame, keep) -> DataFrame:
-    """(doc_a, doc_b, containment, jaccard) for shared-shingle pairs
-    passing ``keep`` (a (containment, jaccard) -> Column predicate),
-    exact-dup-collapsed: scores are computed once per distinct text
-    pair, FILTERED at rep level (so the expansion touches only true
-    output), then expanded to member products. Scores are pure
-    functions of the two texts, so expansion preserves them exactly;
-    within-cluster pairs (identical texts with ≥1 shingle) score
-    1.0/1.0 by definition and pass the same predicate. Docs with no
-    shingles (<3 words) never pair — the expansion keeps that by
-    requiring the rep in the size table."""
-    reps, clusters = _collapse_exact(docs)
+def _rep_pair_scores(reps: DataFrame, keep) -> tuple[DataFrame, DataFrame]:
+    """(rep_pairs, sz) — scored shared-shingle pairs over an already
+    exact-dup-collapsed (doc_id, text) frame, plus the per-doc shingle
+    size table (the expansion step needs it to know which reps shingle
+    at all). This is the pre-expansion core of ``_shingle_pair_scores``;
+    ``dedup_cluster_components`` consumes it directly so connected
+    components never materialize the k(k-1)/2 within-cluster member
+    pairs of the expanded contract (k-1 identity edges suffice)."""
     # sh feeds three plan branches (sizes + both join sides); without a
     # barrier each recomputes the split+shingle pipeline from the scan.
     sh = _shingles(reps).localCheckpoint(eager=True)
@@ -311,6 +307,22 @@ def _shingle_pair_scores(docs: DataFrame, keep) -> DataFrame:
             F.round(jac, 4).alias("jaccard"),
         )
     )
+    return rep_pairs, sz
+
+
+def _shingle_pair_scores(docs: DataFrame, keep) -> DataFrame:
+    """(doc_a, doc_b, containment, jaccard) for shared-shingle pairs
+    passing ``keep`` (a (containment, jaccard) -> Column predicate),
+    exact-dup-collapsed: scores are computed once per distinct text
+    pair, FILTERED at rep level (so the expansion touches only true
+    output), then expanded to member products. Scores are pure
+    functions of the two texts, so expansion preserves them exactly;
+    within-cluster pairs (identical texts with ≥1 shingle) score
+    1.0/1.0 by definition and pass the same predicate. Docs with no
+    shingles (<3 words) never pair — the expansion keeps that by
+    requiring the rep in the size table."""
+    reps, clusters = _collapse_exact(docs)
+    rep_pairs, sz = _rep_pair_scores(reps, keep)
     # within-cluster pairs: identical texts, but only if they shingle
     within = (
         clusters.join(sz.select(F.col("doc_id").alias("rep")), "rep")

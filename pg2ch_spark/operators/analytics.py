@@ -500,7 +500,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle states the SAME fixpoint as a recursive transitive
     closure (min over reachable set), which is exact on the fixture
     scale."""
-    from pg2ch_spark.llm.neardup import ngram_jaccard_pairs
+    from pg2ch_spark.llm.neardup import _JACCARD_MIN, _rep_pair_scores
 
     docs = catalog.load(spark, sf_dir, "documents")
     # Exact duplicates collapse to a representative BEFORE pair
@@ -510,17 +510,25 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on real corpora, where popular documents repeat thousands of
     # times (10x scale probe: 13x cost before this, ~linear after).
     # Identity edges (doc ↔ its representative) preserve membership.
-    wt = Window.partitionBy("th").orderBy("doc_id")
-    tagged = (
-        docs.select("doc_id", "text", F.md5(F.col("text").cast("binary")).alias("th"))
-        .withColumn("rep", F.min("doc_id").over(wt))
-        .localCheckpoint(eager=True)
+    # Only (doc_id, rep) id pairs are shuffled and checkpointed — the
+    # text column never leaves the scan except into the shingle split
+    # (at 100 TB, checkpointing or window-shuffling the text corpus is
+    # the difference between an id-sized and a corpus-sized state).
+    h = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("th"))
+    rep_map = h.groupBy("th").agg(F.min("doc_id").alias("rep"))
+    mem = h.join(rep_map, "th").select("doc_id", "rep").localCheckpoint(eager=True)
+    reps = docs.join(
+        mem.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
     )
-    reps = tagged.where(F.col("doc_id") == F.col("rep")).select("doc_id", "text")
-    ident = tagged.where(F.col("doc_id") != F.col("rep")).select(
+    ident = mem.where(F.col("doc_id") != F.col("rep")).select(
         F.col("doc_id").alias("doc_a"), F.col("rep").alias("doc_b")
     )
-    pairs = ngram_jaccard_pairs(reps).select("doc_a", "doc_b").unionByName(ident)
+    # rep-level scored pairs directly (skips the no-op re-collapse and
+    # the member-product expansion of the pair-contract entry points)
+    rep_pairs, _ = _rep_pair_scores(reps, lambda cont, jac: jac >= _JACCARD_MIN)
+    pairs = rep_pairs.select("doc_a", "doc_b").unionByName(ident)
     edges = (
         pairs.unionByName(
             pairs.select(
