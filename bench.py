@@ -113,12 +113,16 @@ def _concurrent_pass(spark, queries, selected, sf_dir: str, repeat: int) -> floa
     interleaves independent jobs across the 32 local cores; the serial
     pass above has already warmed every plan. Median of `repeat` passes.
 
-    Thread count: 16 measured best on this host (8→18.1s, 16→9.6s for
-    115 queries at sf0.1); override via SPARK_GRAFT_BENCH_THREADS.
+    Thread count: 16 measured best at 115 queries (8→18.1s, 16→9.6s);
+    re-measured at 211 queries (round 5, idle host, fresh process per
+    run): 16→{23.3s, 58.1s-outlier}, 32→{22.7s, 26.3s}, and an
+    in-process sweep 16/24/32→30.6/30.0/24.3s. 32 keeps the scheduler
+    fed past multi-second stragglers, so it is the default now;
+    override via SPARK_GRAFT_BENCH_THREADS.
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    nthreads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "16"))
+    nthreads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "32"))
 
     def run_one(key: str) -> None:
         _materialize(queries[key](spark, sf_dir))
@@ -196,7 +200,7 @@ def main() -> None:
         "value": wall if wall is not None else serial_sum,
         "unit": "sec",
         "serial_sum_sec": serial_sum,
-        "schedule": "serial" if wall is None else f"concurrent-{os.environ.get('SPARK_GRAFT_BENCH_THREADS', '16')}",
+        "schedule": "serial" if wall is None else f"concurrent-{os.environ.get('SPARK_GRAFT_BENCH_THREADS', '32')}",
         "queries": times,
         "sf": _sf_from_dir(args.sf_dir),
     }
