@@ -133,9 +133,19 @@ def text_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical); signature bit i = sign of Σ(±1) over the doc's shingles.
     Candidate semantics are band-LSH (pairs must agree on ≥1 full band)
     in BOTH engines, so the oracle is exact.
+
+    Exact-dup collapsed like the jaccard/containment siblings: the
+    signature is a pure function of the text, so banding runs over one
+    representative per distinct text and member products are expanded
+    afterwards — identical texts band-agree everywhere with hamming 0,
+    cross-cluster pairs inherit their reps' hamming. Duplicate-dense
+    corpora otherwise go quadratic inside every band bucket (the 100×
+    replication probe read 13.9× at 100× pre-collapse); post-collapse
+    the quadratic part is true output only.
     """
     docs = catalog.load(spark, sf_dir, "documents")
-    sh = _shingles(docs).withColumn("hx", F.substring(F.md5(F.col("g").cast("binary")), 1, 16))
+    reps, clusters = _collapse_exact(docs)
+    sh = _shingles(reps).withColumn("hx", F.substring(F.md5(F.col("g").cast("binary")), 1, 16))
 
     # Zero-explode signature build: exploding 64 bit-rows per shingle
     # multiplies 1.1M shingles into 72M rows (measured 3.7s at sf0.1).
@@ -203,15 +213,56 @@ def text_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a_sig = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in band_cols])
     b_sig = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(c).alias(f"b_{c}") for c in band_cols])
-    hamming = sum(
-        F.bit_count(F.expr(f"a_b{b} ^ b_b{b}")) for b in range(_N_BANDS)
-    ).alias("hamming")
-    return (
+    hamming = (
+        sum(F.bit_count(F.expr(f"a_b{b} ^ b_b{b}")) for b in range(_N_BANDS))
+        .cast("int")
+        .alias("hamming")
+    )
+    rep_pairs = (
         pairs.join(a_sig, "doc_a")
         .join(b_sig, "doc_b")
         .select("doc_a", "doc_b", hamming)
         .where(F.col("hamming") <= _HAMMING_MAX)
     )
+
+    # Expansion back to the declared per-doc contract. Within-cluster
+    # pairs exist only when the cluster shingles at all (<3-word texts
+    # have no signature and never pair), which the semi join on sig
+    # enforces.
+    within = (
+        clusters.join(
+            sig.select(F.col("doc_id").alias("rep")), "rep", "left_semi"
+        )
+        .where(F.size("members") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members)), "
+                    "y -> named_struct('doc_a', x, 'doc_b', y))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    ca = clusters.select(F.col("rep").alias("doc_a"), F.col("members").alias("_ma"))
+    cb = clusters.select(F.col("rep").alias("doc_b"), F.col("members").alias("_mb"))
+    cross = (
+        rep_pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("hamming", F.explode("_ma").alias("_x"), "_mb")
+        .select("hamming", "_x", F.explode("_mb").alias("_y"))
+        .select(
+            F.least("_x", "_y").alias("doc_a"),
+            F.greatest("_x", "_y").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------
