@@ -240,16 +240,25 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on band keys; step 5 touches only candidates. This is the
     canonical 100 TB near-dedup plan (cf. MinHashLSH in Spark ML —
     reimplemented here to stay in pure SQL expressions).
+
+    Exact-dup collapsed (round 5) like the simhash/jaccard siblings:
+    signatures and Jaccard are pure functions of the text, so banding
+    and verification run over one representative per distinct text and
+    member products expand exactly afterwards (identical texts band-
+    agree with jaccard 1.0). Duplicate-dense corpora otherwise go
+    quadratic inside every band bucket — the 100× replication probe
+    ran >10 min pre-collapse.
     """
-    from pg2ch_spark.llm.neardup import _shingles
+    from pg2ch_spark.llm.neardup import _collapse_exact, _shingles
 
     docs = catalog.load(spark, sf_dir, "documents")
+    reps, clusters = _collapse_exact(docs)
     # toks feeds FOUR branches (signatures, both verify sides, sizes).
     # r1 measured recompute as cheaper, but that was with the old
     # shuffle-based _shingles; with in-row distinct shingles the
     # materialized table wins: checkpointed 1.5s stable vs 1.5-4.1s
     # GC-bimodal recomputing the explode 4x (sf0.1).
-    toks = _shingles(docs).withColumnRenamed("g", "token").localCheckpoint(eager=True)
+    toks = _shingles(reps).withColumnRenamed("g", "token").localCheckpoint(eager=True)
 
     hashed = toks.select(
         "doc_id",
@@ -304,7 +313,45 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return jac.where(F.col("jaccard") >= 0.9)
+    rep_pairs = jac.where(F.col("jaccard") >= 0.9)
+
+    # Expansion back to the per-doc contract: identical texts share all
+    # bands and have jaccard exactly 1.0, but only when they shingle at
+    # all (<3-word texts produce no signature and never pair).
+    within = (
+        clusters.join(
+            toks.select(F.col("doc_id").alias("rep")).distinct(), "rep", "left_semi"
+        )
+        .where(F.size("members") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members)), "
+                    "y -> named_struct('doc_a', x, 'doc_b', y))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    ca = clusters.select(F.col("rep").alias("doc_a"), F.col("members").alias("_ma"))
+    cb = clusters.select(F.col("rep").alias("doc_b"), F.col("members").alias("_mb"))
+    cross = (
+        rep_pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("jaccard", F.explode("_ma").alias("_x"), "_mb")
+        .select("jaccard", "_x", F.explode("_mb").alias("_y"))
+        .select(
+            F.least("_x", "_y").alias("doc_a"),
+            F.greatest("_x", "_y").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------

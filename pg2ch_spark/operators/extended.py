@@ -103,8 +103,32 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signatures are in-row zip_with folds against CONSTANT ±1
     hyperplanes — same left-to-right order as the oracle's list_sum,
     so every sign (and thus every bucket) is bit-identical.
+
+    Exact-dup collapsed (round 5) like the text near-dup family:
+    signatures and cosine are pure functions of the vector bytes, so
+    bucketing + the in-bucket tile kernel run over one representative
+    per DISTINCT vector and member products expand exactly afterwards
+    (identical vectors share every band and score cos 1.0). Without
+    this a duplicate-dense corpus goes quadratic inside every bucket —
+    the 100× replication probe (100 copies of each vector) put ~12k
+    rows in each of the 64 (band, value) buckets and the dense
+    per-bucket cos matrix GC-thrashed; post-collapse the kernel cost
+    is base-scale and the expansion is true-output-sized.
     """
     e = catalog.load(spark, sf_dir, "embeddings")
+    # md5 of the JSON bytes, not groupBy(embedding): the shuffle then
+    # carries 16-byte keys and one vector per distinct value survives
+    # the partial agg — the payload never fans out.
+    eclusters = (
+        e.groupBy(F.md5(F.to_json("embedding").cast("binary")).alias("_h"))
+        .agg(
+            F.min("vec_id").alias("rep"),
+            F.sort_array(F.collect_list("vec_id")).alias("members"),
+            F.first("embedding").alias("embedding"),
+        )
+        .drop("_h")
+    )
+    e = eclusters.select(F.col("rep").alias("vec_id"), "embedding")
     bits_per_band = _N_PLANES // _N_BANDS
     band_exprs = []
     for band in range(_N_BANDS):
@@ -176,11 +200,48 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = bands_long.groupBy("band", "bval").applyInPandas(
         bucket_pairs, "vec_a long, vec_b long, c_raw double"
     )
-    return (
+    rep_pairs = (
         scored.select("vec_a", "vec_b", F.round("c_raw", 4).alias("cos_sim"))
         .where(F.col("cos_sim") >= _LSH_COS_MIN)
         .distinct()
     )
+
+    # Expansion back to the per-vector contract. Within-cluster pairs
+    # are identical vectors: every band agrees and cos is exactly 1.0 —
+    # unless the vector is all-zero (cos 0/0 = NaN fails the oracle's
+    # >= too), hence the norm guard.
+    within = (
+        eclusters.where(F.size("members") >= 2)
+        .where(F.expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x) > 0"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members)), "
+                    "y -> named_struct('vec_a', x, 'vec_b', y))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.vec_a").alias("vec_a"),
+            F.col("p.vec_b").alias("vec_b"),
+            F.lit(1.0).alias("cos_sim"),
+        )
+    )
+    ca = eclusters.select(F.col("rep").alias("vec_a"), F.col("members").alias("_ma"))
+    cb = eclusters.select(F.col("rep").alias("vec_b"), F.col("members").alias("_mb"))
+    cross = (
+        rep_pairs.join(ca, "vec_a")
+        .join(cb, "vec_b")
+        .select("cos_sim", F.explode("_ma").alias("_x"), "_mb")
+        .select("cos_sim", "_x", F.explode("_mb").alias("_y"))
+        .select(
+            F.least("_x", "_y").alias("vec_a"),
+            F.greatest("_x", "_y").alias("vec_b"),
+            "cos_sim",
+        )
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------

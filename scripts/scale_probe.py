@@ -115,6 +115,11 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--keys", default=None)
     ap.add_argument("--scratch", default="/dev/shm/pg2ch_scale_probe")
+    ap.add_argument(
+        "--reuse",
+        action="store_true",
+        help="reuse (and keep) an existing replicated scratch dir",
+    )
     args = ap.parse_args()
 
     from pg2ch_spark import registry
@@ -126,9 +131,12 @@ def main() -> None:
     keys = args.keys.split(",") if args.keys else DEFAULT_KEYS
 
     big = os.path.join(args.scratch, f"x{args.mult}")
-    t0 = time.perf_counter()
-    replicate(spark, SF_DIR, big, args.mult)
-    print(f"replicated {args.mult}x into {big} in {time.perf_counter() - t0:.1f}s")
+    if args.reuse and os.path.exists(os.path.join(big, "lineitem.parquet")):
+        print(f"reusing {big}")
+    else:
+        t0 = time.perf_counter()
+        replicate(spark, SF_DIR, big, args.mult)
+        print(f"replicated {args.mult}x into {big} in {time.perf_counter() - t0:.1f}s")
 
     def timed(key: str, sf_dir: str) -> float:
         t = time.perf_counter()
@@ -150,7 +158,8 @@ def main() -> None:
         print(key, json.dumps(out[key]), flush=True)
 
     print(json.dumps({"mult": args.mult, "results": out}))
-    shutil.rmtree(args.scratch, ignore_errors=True)
+    if not args.reuse:
+        shutil.rmtree(args.scratch, ignore_errors=True)
     spark.stop()
 
 
