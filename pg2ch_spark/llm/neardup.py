@@ -229,40 +229,16 @@ def text_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs exist only when the cluster shingles at all (<3-word texts
     # have no signature and never pair), which the semi join on sig
     # enforces.
-    within = (
-        clusters.join(
+    return _expand_member_products(
+        rep_pairs,
+        clusters,
+        "doc_a",
+        "doc_b",
+        {"hamming": F.lit(0).cast("int")},
+        eligible=clusters.join(
             sig.select(F.col("doc_id").alias("rep")), "rep", "left_semi"
-        )
-        .where(F.size("members") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (x, i) -> "
-                    "transform(slice(members, i + 2, size(members)), "
-                    "y -> named_struct('doc_a', x, 'doc_b', y))))"
-                )
-            ).alias("p")
-        )
-        .select(
-            F.col("p.doc_a").alias("doc_a"),
-            F.col("p.doc_b").alias("doc_b"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
+        ),
     )
-    ca = clusters.select(F.col("rep").alias("doc_a"), F.col("members").alias("_ma"))
-    cb = clusters.select(F.col("rep").alias("doc_b"), F.col("members").alias("_mb"))
-    cross = (
-        rep_pairs.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .select("hamming", F.explode("_ma").alias("_x"), "_mb")
-        .select("hamming", "_x", F.explode("_mb").alias("_y"))
-        .select(
-            F.least("_x", "_y").alias("doc_a"),
-            F.greatest("_x", "_y").alias("doc_b"),
-            "hamming",
-        )
-    )
-    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------
@@ -318,8 +294,62 @@ def _collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.sort_array(F.collect_list("doc_id")).alias("members"),
         F.first("text").alias("text"),  # any member: texts are identical
     )
+    # Every consumer fans clusters into 3-4 plan branches (reps +
+    # within + both cross sides) and Spark has no cross-branch subtree
+    # reuse — without a barrier the md5 groupBy recomputes per branch
+    # (measured ~1s/branch at sf0.1, and it's the standard
+    # persist-the-dedup-table step at cluster scale).
+    clusters = clusters.localCheckpoint(eager=True)
     reps = clusters.select(F.col("rep").alias("doc_id"), "text")
     return reps, clusters.select("rep", "members")
+
+
+def _expand_member_products(
+    rep_pairs: DataFrame,
+    clusters: DataFrame,
+    a: str,
+    b: str,
+    payload: dict,
+    eligible: DataFrame,
+) -> DataFrame:
+    """Expand rep-level scored pairs back to the full per-doc contract
+    after an exact-dup collapse. ``rep_pairs`` carries (a, b, *payload
+    names) over representatives; ``clusters`` is the (rep, members)
+    table; ``payload`` maps each score column to the literal it takes
+    on identical-payload pairs (jaccard/containment 1.0, hamming 0,
+    cos 1.0); ``eligible`` is the subset of clusters whose members
+    pair with EACH OTHER (caller-supplied: reps that shingle at all,
+    vectors with positive norm, ...). Scores are pure functions of the
+    two payloads, so member products inherit their reps' scores
+    exactly and within-cluster pairs take the identity literals."""
+    names = list(payload)
+    within = (
+        eligible.where(F.size("members") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members)), "
+                    f"y -> named_struct('{a}', x, '{b}', y))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col(f"p.{a}").alias(a),
+            F.col(f"p.{b}").alias(b),
+            *[lit.alias(k) for k, lit in payload.items()],
+        )
+    )
+    ca = clusters.select(F.col("rep").alias(a), F.col("members").alias("_ma"))
+    cb = clusters.select(F.col("rep").alias(b), F.col("members").alias("_mb"))
+    cross = (
+        rep_pairs.join(ca, a)
+        .join(cb, b)
+        .select(*names, F.explode("_ma").alias("_x"), "_mb")
+        .select(*names, "_x", F.explode("_mb").alias("_y"))
+        .select(F.least("_x", "_y").alias(a), F.greatest("_x", "_y").alias(b), *names)
+    )
+    return cross.unionByName(within)
 
 
 def _rep_pair_scores(reps: DataFrame, keep) -> tuple[DataFrame, DataFrame]:
@@ -375,42 +405,18 @@ def _shingle_pair_scores(docs: DataFrame, keep) -> DataFrame:
     reps, clusters = _collapse_exact(docs)
     rep_pairs, sz = _rep_pair_scores(reps, keep)
     # within-cluster pairs: identical texts, but only if they shingle
-    within = (
-        clusters.join(sz.select(F.col("doc_id").alias("rep")), "rep")
-        .where(F.size("members") >= 2)
-        .where(keep(F.lit(1.0), F.lit(1.0)))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (x, i) -> "
-                    "transform(slice(members, i + 2, size(members)), "
-                    "y -> named_struct('doc_a', x, 'doc_b', y))))"
-                )
-            ).alias("p")
-        )
-        .select(
-            F.col("p.doc_a").alias("doc_a"),
-            F.col("p.doc_b").alias("doc_b"),
-            F.lit(1.0).alias("containment"),
-            F.lit(1.0).alias("jaccard"),
-        )
+    # (the sz join) AND identity scores pass the caller's predicate
+    # (constant-folded by Catalyst).
+    return _expand_member_products(
+        rep_pairs,
+        clusters,
+        "doc_a",
+        "doc_b",
+        {"containment": F.lit(1.0), "jaccard": F.lit(1.0)},
+        eligible=clusters.join(
+            sz.select(F.col("doc_id").alias("rep")), "rep"
+        ).where(keep(F.lit(1.0), F.lit(1.0))),
     )
-    # cross-cluster expansion: every member product of a scoring rep pair
-    ca = clusters.select(F.col("rep").alias("doc_a"), F.col("members").alias("_ma"))
-    cb = clusters.select(F.col("rep").alias("doc_b"), F.col("members").alias("_mb"))
-    cross = (
-        rep_pairs.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .select("containment", "jaccard", F.explode("_ma").alias("_x"), "_mb")
-        .select("containment", "jaccard", "_x", F.explode("_mb").alias("_y"))
-        .select(
-            F.least("_x", "_y").alias("doc_a"),
-            F.greatest("_x", "_y").alias("doc_b"),
-            "containment",
-            "jaccard",
-        )
-    )
-    return cross.unionByName(within)
 
 
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:

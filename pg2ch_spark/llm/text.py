@@ -249,7 +249,11 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic inside every band bucket — the 100× replication probe
     ran >10 min pre-collapse.
     """
-    from pg2ch_spark.llm.neardup import _collapse_exact, _shingles
+    from pg2ch_spark.llm.neardup import (
+        _collapse_exact,
+        _expand_member_products,
+        _shingles,
+    )
 
     docs = catalog.load(spark, sf_dir, "documents")
     reps, clusters = _collapse_exact(docs)
@@ -318,40 +322,16 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Expansion back to the per-doc contract: identical texts share all
     # bands and have jaccard exactly 1.0, but only when they shingle at
     # all (<3-word texts produce no signature and never pair).
-    within = (
-        clusters.join(
+    return _expand_member_products(
+        rep_pairs,
+        clusters,
+        "doc_a",
+        "doc_b",
+        {"jaccard": F.lit(1.0)},
+        eligible=clusters.join(
             toks.select(F.col("doc_id").alias("rep")).distinct(), "rep", "left_semi"
-        )
-        .where(F.size("members") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (x, i) -> "
-                    "transform(slice(members, i + 2, size(members)), "
-                    "y -> named_struct('doc_a', x, 'doc_b', y))))"
-                )
-            ).alias("p")
-        )
-        .select(
-            F.col("p.doc_a").alias("doc_a"),
-            F.col("p.doc_b").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
+        ),
     )
-    ca = clusters.select(F.col("rep").alias("doc_a"), F.col("members").alias("_ma"))
-    cb = clusters.select(F.col("rep").alias("doc_b"), F.col("members").alias("_mb"))
-    cross = (
-        rep_pairs.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .select("jaccard", F.explode("_ma").alias("_x"), "_mb")
-        .select("jaccard", "_x", F.explode("_mb").alias("_y"))
-        .select(
-            F.least("_x", "_y").alias("doc_a"),
-            F.greatest("_x", "_y").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------

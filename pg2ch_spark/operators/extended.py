@@ -127,6 +127,10 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("embedding").alias("embedding"),
         )
         .drop("_h")
+        # feeds 4 plan branches (signatures + within + both cross
+        # sides); the barrier keeps the md5 groupBy from recomputing
+        # per branch — see _collapse_exact in llm/neardup.py
+        .localCheckpoint(eager=True)
     )
     e = eclusters.select(F.col("rep").alias("vec_id"), "embedding")
     bits_per_band = _N_PLANES // _N_BANDS
@@ -210,38 +214,18 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are identical vectors: every band agrees and cos is exactly 1.0 —
     # unless the vector is all-zero (cos 0/0 = NaN fails the oracle's
     # >= too), hence the norm guard.
-    within = (
-        eclusters.where(F.size("members") >= 2)
-        .where(F.expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x) > 0"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (x, i) -> "
-                    "transform(slice(members, i + 2, size(members)), "
-                    "y -> named_struct('vec_a', x, 'vec_b', y))))"
-                )
-            ).alias("p")
-        )
-        .select(
-            F.col("p.vec_a").alias("vec_a"),
-            F.col("p.vec_b").alias("vec_b"),
-            F.lit(1.0).alias("cos_sim"),
-        )
+    from pg2ch_spark.llm.neardup import _expand_member_products
+
+    return _expand_member_products(
+        rep_pairs,
+        eclusters.select("rep", "members"),
+        "vec_a",
+        "vec_b",
+        {"cos_sim": F.lit(1.0)},
+        eligible=eclusters.where(
+            F.expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x) > 0")
+        ),
     )
-    ca = eclusters.select(F.col("rep").alias("vec_a"), F.col("members").alias("_ma"))
-    cb = eclusters.select(F.col("rep").alias("vec_b"), F.col("members").alias("_mb"))
-    cross = (
-        rep_pairs.join(ca, "vec_a")
-        .join(cb, "vec_b")
-        .select("cos_sim", F.explode("_ma").alias("_x"), "_mb")
-        .select("cos_sim", "_x", F.explode("_mb").alias("_y"))
-        .select(
-            F.least("_x", "_y").alias("vec_a"),
-            F.greatest("_x", "_y").alias("vec_b"),
-            "cos_sim",
-        )
-    )
-    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------

@@ -131,3 +131,59 @@ def test_candidate_join_runs_over_representatives(dup_corpus):
         F.min(F.expr("members[0] = rep")).alias("rep_is_min"),
     ).collect()[0]
     assert total.n == len(pdf) and total.rep_is_min
+
+
+# ---------------------------------------------------------------------------
+# The banded keys (minhash / simhash / hyperplane LSH) against their
+# REGISTERED DuckDB oracles on a duplicate-dense fixture: sf0.001
+# replicated 4x with offset ids and identical payloads. The sf0.01
+# driver fixture has no exact duplicates, so this is the only
+# differential that executes their within/cross expansion arms.
+
+
+@pytest.fixture(scope="module")
+def dup_sf_dir(tmp_path_factory):
+    # single-FILE parquet (pyarrow), not a Spark directory write — both
+    # engines read the fixture through the same `<dir>/<table>.parquet`
+    # path shape the driver uses.
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("dup_sf"))
+    for table, id_col in [("documents", "doc_id"), ("embeddings", "vec_id")]:
+        t = pq.read_table(f"{src}/{table}.parquet")
+        ids = t.column(id_col)
+        copies = [t]
+        for i in range(1, 4):
+            shifted = pa.compute.add(ids, 1_000_000 * i)
+            copies.append(t.set_column(t.schema.get_field_index(id_col), id_col, shifted))
+        pq.write_table(pa.concat_tables(copies), f"{dst}/{table}.parquet")
+    from pg2ch_spark.catalog import TABLES
+
+    for t in TABLES:
+        p = f"{dst}/{t}.parquet"
+        if not os.path.exists(p):
+            os.symlink(f"{src}/{t}.parquet", p)
+    return dst
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["text_near_dedup_minhash", "text_near_dedup_simhash", "sim_lsh_hyperplane"],
+)
+def test_banded_keys_exact_under_heavy_duplication(dup_sf_dir, spark, key):
+    from pg2ch_spark import registry
+    from tests.oracle import duck_con, run_compare
+
+    registry.load_all()
+    df = registry.QUERIES[key](spark, dup_sf_dir)
+    con = duck_con(dup_sf_dir)
+    res = run_compare(key, df, registry.ORACLES[key], con)
+    assert res.ok, str(res)
+    # 4x duplication means every base pair expands 4x4 and every
+    # duplicated payload contributes its C(4,2) identity pairs — if the
+    # expansion arms were dead the count could not exceed the base run.
+    assert res.spark_rows >= 6, f"{key}: fixture exercised no clusters"
