@@ -32,13 +32,28 @@ from pg2ch_spark.registry import register
     """,
 )
 def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment, two-level: c_mktsegment has 5
+    values, so a single PARTITION BY c_mktsegment window is 5 reducer
+    tasks each sorting 1/5 of the fact table — measured SUPER-linear
+    (122× at the 1000× probe, one thread per segment). Level 1 salts
+    the window with pmod(o_orderkey, 256) and keeps top-3 per (segment,
+    salt) — 1280 parallel bounded sorts; the global top-3 of a segment
+    is by construction inside its salt bucket's top-3. Level 2 re-ranks
+    the ≤ 3·256 survivors per segment — constant-size, any schedule.
+    Exact under ties because the order (o_totalprice DESC, o_orderkey)
+    is total."""
     o = catalog.load(spark, sf_dir, "orders")
     c = catalog.load(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
+    order = (F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    salted = Window.partitionBy(
+        "c_mktsegment", F.pmod("o_orderkey", F.lit(256))
+    ).orderBy(*order)
+    w = Window.partitionBy("c_mktsegment").orderBy(*order)
     return (
         o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("_srn", F.row_number().over(salted))
+        .where(F.col("_srn") <= 3)
         .select(
             "c_mktsegment",
             "o_orderkey",

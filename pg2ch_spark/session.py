@@ -30,7 +30,11 @@ def default_parallelism() -> int:
 def get_spark(app_name: str = "pg2ch-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
     cpus = default_parallelism()
     if shuffle_partitions is None:
-        shuffle_partitions = cpus
+        # AQE coalesces DOWN from this, never up — so for scale probes
+        # (1000× replication = 150M-row shuffles) it must be raised to
+        # keep sort partitions inside executor memory, same as a real
+        # cluster sizes the initial count to data volume, not cores.
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

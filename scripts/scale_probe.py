@@ -98,15 +98,15 @@ def replicate(spark, src: str, dst: str, mult: int) -> None:
         if not offs:  # tiny dims: one copy, same content
             out = df
         else:
-            copies = []
-            for i in range(mult):
-                c = df
-                for col, step in offs.items():
-                    c = c.withColumn(col, F.col(col) + F.lit(i * step))
-                copies.append(c)
-            out = copies[0]
-            for c in copies[1:]:
-                out = out.unionByName(c)
+            # one scan × broadcast copy-index, not a mult-way union —
+            # a 1000-branch union plan chokes on planning alone
+            idx = F.explode(F.expr(f"sequence(0, {mult - 1})")).alias("_i")
+            # spread the few input splits BEFORE the mult-x explode so
+            # no single write task owns mult/n_splits of the output
+            out = df.repartition(128).select("*", idx)
+            for col, step in offs.items():
+                out = out.withColumn(col, F.col(col) + F.col("_i").cast("long") * step)
+            out = out.drop("_i")
         out.write.mode("overwrite").parquet(os.path.join(dst, f"{table}.parquet"))
 
 
