@@ -23,7 +23,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pg2ch_spark import catalog
 from pg2ch_spark.registry import register
@@ -258,30 +258,45 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: per purchase, the most recent prior view of the user.
 
     The ordering axis is event_id (monotone, unique — determinism rule
-    D1; also dodges the ns-vs-µs timestamp hazard D3). Implemented as an
-    inequality join on the user key reduced by max/max_by — a single
-    shuffle by user_id on each side, no per-pair materialization beyond
-    the join.
+    D1; also dodges the ns-vs-µs timestamp hazard D3). Implemented as
+    ONE ordered window over the unioned event stream, not an inequality
+    join: the per-user purchase×view pair stream an inequality join
+    feeds its aggregate is quadratic in per-user activity — fine when
+    activity is uniform (the 1000× probe read 94.5× on the join form),
+    but a single power user with 1M events is a 10¹²-pair straggler.
+    Sorting each user's stream once and carrying the last-seen view
+    forward costs one sort-shuffle total and is linear in EVERY
+    distribution. The struct-wrap keeps a NULL-valued view from being
+    skipped by ignorenulls — the struct is non-null whenever the row is
+    a view, so the window reads the same row max_by/arg_max would (see
+    the oracle's comment).
     """
     ev = catalog.load(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "user_id"
+    tagged = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_type") == "view",
+            F.struct(F.col("event_id").alias("vid"), F.col("value").alias("val")),
+        ).alias("_v"),
     )
-    v = ev.where(F.col("event_type") == "view").select(
-        F.col("event_id").alias("view_id"),
-        F.col("user_id").alias("v_user_id"),
-        F.col("value").alias("view_value"),
+    prior = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
     )
     return (
-        p.join(
-            v,
-            (p.user_id == v.v_user_id) & (v.view_id < p.purchase_id),
-            "left",
+        tagged.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.last("_v", ignorenulls=True).over(prior).alias("_pv"),
         )
-        .groupBy("purchase_id", "user_id")
-        .agg(
-            F.max("view_id").alias("prior_view_id"),
-            F.round(F.max_by("view_value", "view_id"), 2).alias("prior_view_value"),
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("_pv.vid").alias("prior_view_id"),
+            F.round("_pv.val", 2).alias("prior_view_value"),
         )
     )
 
@@ -372,27 +387,57 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     view. Purchases whose user has no views are out of scope by the
     inner-join contract (the backward variant covers the LEFT form).
 
-    Same single-shuffle shape as the other as-of variants: the user
-    equi-join carries the pair stream into ONE min-of-struct aggregate
-    — min(struct(dist, view_id)) encodes the (d, vid) order, so no
-    window, no row_number, no per-pair materialization beyond the
-    partial aggregation."""
+    The nearest view in event_id space is by definition either the
+    LAST view before the purchase or the FIRST view after it in the
+    per-user id-ordered stream, so one sort-shuffle with a backward
+    and a forward ignorenulls window replaces the user equi-join —
+    the join's per-user purchase×view pair stream is quadratic in
+    per-user activity (9.1 s at sf0.1 on the join form; a power user
+    is a straggler), the windowed form is linear in every
+    distribution. Equidistant ties resolve to the earlier (backward)
+    view via <=."""
     ev = catalog.load(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "user_id"
+    tagged = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("_vid"),
     )
-    v = ev.where(F.col("event_type") == "view").select(
-        F.col("event_id").alias("vid"), F.col("user_id").alias("v_user")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev_v = F.last("_vid", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    d = F.abs(F.col("vid") - F.col("purchase_id"))
-    return (
-        p.join(v, F.col("user_id") == F.col("v_user"))
-        .groupBy("purchase_id", "user_id")
-        .agg(F.min(F.struct(d.alias("d"), F.col("vid").alias("vid"))).alias("m"))
-        .select(
-            "purchase_id",
+    next_v = F.first("_vid", ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    picked = (
+        tagged.select(
+            "event_id",
             "user_id",
-            F.col("m.vid").alias("nearest_view_id"),
-            F.col("m.d").cast("bigint").alias("dist"),
+            "event_type",
+            prev_v.alias("_pv"),
+            next_v.alias("_nv"),
         )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(F.col("_nv").isNull(), F.col("_pv"))
+            .when(F.col("_pv").isNull(), F.col("_nv"))
+            .when(
+                F.col("event_id") - F.col("_pv") <= F.col("_nv") - F.col("event_id"),
+                F.col("_pv"),
+            )
+            .otherwise(F.col("_nv"))
+            .alias("nearest_view_id"),
+        )
+        .where(F.col("nearest_view_id").isNotNull())  # inner-join contract
+    )
+    return picked.select(
+        "purchase_id",
+        "user_id",
+        "nearest_view_id",
+        F.abs(F.col("nearest_view_id") - F.col("purchase_id"))
+        .cast("bigint")
+        .alias("dist"),
     )
