@@ -11,7 +11,7 @@ never a basket self-join of the fact table.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pg2ch_spark import catalog
 from pg2ch_spark.registry import register
@@ -149,8 +149,6 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     `pipeline_pack_sequences` slots in for the single window.
     """
     li = catalog.load(spark, sf_dir, "lineitem")
-    from pyspark.sql import Window
-
     rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("r")
     )
@@ -207,14 +205,18 @@ def orders_fill_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     days-to-ship — the fulfillment dashboard on the relational side
     (the `events_time_to_convert` shape for orders).
 
-    days-to-ship is an INTEGER date difference (no timestamp
-    arithmetic crosses the engine boundary), so the SLA predicate and
-    both quantiles run on exact values; interpolated quantiles of
-    integers are dyadic-exact at 4dp (the `agg_percentiles` contract).
-    One fact join (orders side broadcast-eligible per priority slice
-    would skew — the plain equi-join on orderkey is the right plan)
-    and one agg shuffle onto 5 priority groups via salted-safe
-    map-side partials.
+    days-to-ship is an INTEGER date difference with a bounded range
+    (≤ ~4 months of distinct values), so the exact interpolated
+    quantiles come off a VALUE-EXACT histogram instead of Spark's
+    `percentile` buffering every row per group — at 1000× that buffer
+    is ~1 GB of longs per priority reducer, while the histogram is 5 ×
+    ~130 counted rows and the quantile lookup reads cumulative counts.
+    The interpolation is the same lower + frac·(upper−lower) both
+    engines compute from pos = p·(n−1), on the same IEEE doubles, so
+    the 4dp contract is unchanged. One fact join (orders side
+    broadcast-eligible per priority slice would skew — the plain
+    equi-join on orderkey is the right plan), one map-side-partial
+    histogram agg, then constant-size work.
     """
     li = catalog.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = catalog.load(spark, sf_dir, "orders").select(
@@ -224,17 +226,49 @@ def orders_fill_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("days_to_ship"),
     )
-    return (
-        lines.groupBy("priority")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.round(
-                F.count(F.when(F.col("days_to_ship") <= _SLA_DAYS, 1))
-                / F.count(F.lit(1)).cast("double"),
-                4,
-            ).alias("sla_hit_rate"),
-            F.round(F.expr("percentile(days_to_ship, 0.5D)"), 4).alias("p50_days"),
-            F.round(F.expr("percentile(days_to_ship, 0.9D)"), 4).alias("p90_days"),
-        )
-        .orderBy("priority")
+    hist = lines.groupBy("priority", "days_to_ship").agg(F.count(F.lit(1)).alias("c"))
+    tot = hist.groupBy("priority").agg(
+        F.sum("c").alias("n_lines"),
+        F.coalesce(
+            F.sum(F.when(F.col("days_to_ship") <= _SLA_DAYS, F.col("c"))), F.lit(0)
+        ).alias("hit"),
     )
+    wcum = Window.partitionBy("priority").orderBy("days_to_ship")
+    h = hist.withColumn("cum", F.sum("c").over(wcum)).join(F.broadcast(tot), "priority")
+
+    # The value covering 0-indexed sorted position k is the histogram
+    # row whose cumulative range [cum - c, cum) contains k.
+    def value_at(k):
+        return F.max(
+            F.when(
+                (F.col("cum") - F.col("c") <= k) & (k < F.col("cum")),
+                F.col("days_to_ship"),
+            )
+        )
+
+    pos = {p: F.lit(p) * (F.col("n_lines").cast("double") - 1) for p in (0.5, 0.9)}
+    per = h.groupBy("priority").agg(
+        F.first("n_lines").alias("n_lines"),
+        F.first("hit").alias("hit"),
+        *[
+            v.alias(nm)
+            for p, tag in ((0.5, "p50"), (0.9, "p90"))
+            for nm, v in (
+                (f"{tag}_lo", value_at(F.floor(pos[p]))),
+                (f"{tag}_hi", value_at(F.floor(pos[p]) + 1)),
+            )
+        ],
+    )
+    qcols = []
+    for p, tag in ((0.5, "p50"), (0.9, "p90")):
+        pp = F.lit(p) * (F.col("n_lines").cast("double") - 1)
+        frac = pp - F.floor(pp)
+        lo = F.col(f"{tag}_lo").cast("double")
+        hi_ = F.coalesce(F.col(f"{tag}_hi"), F.col(f"{tag}_lo")).cast("double")
+        qcols.append(F.round(lo + frac * (hi_ - lo), 4).alias(f"{tag}_days"))
+    return per.select(
+        "priority",
+        "n_lines",
+        F.round(F.col("hit") / F.col("n_lines").cast("double"), 4).alias("sla_hit_rate"),
+        *qcols,
+    ).orderBy("priority")
