@@ -199,22 +199,39 @@ def text_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR-ing additional blocking keys (suffix, sorted-token prefix),
     each another linear equi-join. Levenshtein is codegen'd JVM in
     Spark and native in DuckDB — identical integer outputs."""
+    from pg2ch_spark.llm.neardup import _expand_member_products
+
     keys = (
         catalog.load(spark, sf_dir, "documents")
         .where(F.length("text") >= _FUZZY_BLOCK)
-        .select(
-            "doc_id",
-            F.substring("text", 1, 40).alias("s"),
-            F.substring("text", 1, _FUZZY_BLOCK).alias("blk"),
+        .select("doc_id", F.substring("text", 1, 40).alias("s"))
+    )
+    # Exact-dup collapse on the 40-char prefix (round 5): the distance
+    # is a pure function of the two prefixes, so the in-block
+    # Levenshtein runs once per DISTINCT prefix pair and member
+    # products expand exactly afterwards (identical prefixes pair at
+    # dist 0). Duplicate-dense corpora otherwise go quadratic inside
+    # every block — the 1000× replication probe ground past 10 min
+    # pre-collapse (10⁶× in-block pairs, each an O(40²) distance).
+    clusters = (
+        keys.groupBy("s")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
         )
+        .localCheckpoint(eager=True)  # feeds 4 plan branches
     )
-    a = keys.select(
-        F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), "blk"
+    a = clusters.select(
+        F.col("rep").alias("doc_a"),
+        F.col("s").alias("sa"),
+        F.substring("s", 1, _FUZZY_BLOCK).alias("blk"),
     )
-    b = keys.select(
-        F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), "blk"
+    b = clusters.select(
+        F.col("rep").alias("doc_b"),
+        F.col("s").alias("sb"),
+        F.substring("s", 1, _FUZZY_BLOCK).alias("blk"),
     )
-    return (
+    rep_pairs = (
         a.join(b, "blk")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select(
@@ -223,7 +240,17 @@ def text_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("sa", "sb").cast("int").alias("dist"),
         )
         .where(F.col("dist") <= _FUZZY_MAXDIST)
-        .orderBy("doc_a", "doc_b")
+    )
+    # No trailing orderBy: the driver compare is order-insensitive and
+    # a global range sort of the pair output is output-sized waste
+    # (2.5B rows at the 1000× duplication probe).
+    return _expand_member_products(
+        rep_pairs,
+        clusters.select("rep", "members"),
+        "doc_a",
+        "doc_b",
+        {"dist": F.lit(0).cast("int")},
+        eligible=clusters,  # every ≥block-length doc has a prefix
     )
 
 
