@@ -72,16 +72,32 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discount-weighted average price per return flag via a grouped-agg
-    pandas UDF (UDAF flavor)."""
+    """Discount-weighted average price per return flag via grouped-agg
+    pandas UDFs (UDAF flavor), salted: l_returnflag has 3 values, and a
+    grouped-agg pandas UDF materializes each group as ONE in-memory
+    pandas Series in one Python worker — ~200M rows (3.2 GB) per group
+    at the 1000× probe, which ground past 10 minutes. The Python fold
+    (the declared contract) now runs per (flag, salt) over 256 bounded
+    partials — weighted mean decomposes exactly into Σpw/Σw, so the
+    JVM-side combine of the partial sums is the same statistic."""
 
     @pandas_udf("double")
-    def wavg(price: pd.Series, weight: pd.Series) -> float:
-        return float((price * weight).sum() / weight.sum())
+    def dot_sum(price: pd.Series, weight: pd.Series) -> float:
+        return float((price * weight).sum())
+
+    @pandas_udf("double")
+    def w_sum(weight: pd.Series) -> float:
+        return float(weight.sum())
 
     li = catalog.load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(wavg("l_extendedprice", "l_discount"), 2).alias("wavg_price")
+    partials = li.groupBy(
+        "l_returnflag", F.pmod("l_orderkey", F.lit(256)).alias("_salt")
+    ).agg(
+        dot_sum("l_extendedprice", "l_discount").alias("_pw"),
+        w_sum("l_discount").alias("_w"),
+    )
+    return partials.groupBy("l_returnflag").agg(
+        F.round(F.sum("_pw") / F.sum("_w"), 2).alias("wavg_price")
     )
 
 
