@@ -91,6 +91,14 @@ def config_from_mapping(m: dict) -> DaemonConfig:
     if not isinstance(spark_block, dict):
         raise ValueError("spark: must be a mapping")
     _reject_unknown(spark_block, _SPARK_KEYS, "spark")
+    # value types too, not just key names — --validate must catch what
+    # would otherwise only crash once the daemon builds the session
+    for k in ("master", "app_name"):
+        if k in spark_block and not isinstance(spark_block[k], str):
+            raise ValueError(f"spark.{k} must be a string")
+    sp = spark_block.get("shuffle_partitions")
+    if sp is not None and (isinstance(sp, bool) or not isinstance(sp, int) or sp < 1):
+        raise ValueError("spark.shuffle_partitions must be a positive int")
 
     tables = m["tables"]
     if not isinstance(tables, dict) or not tables:

@@ -24,6 +24,7 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -168,7 +169,13 @@ def multimodal_extract(spark, sf_dir: str) -> DataFrame:
 
     def fake_decode(payload: bytes) -> tuple[int, int, int]:
         n = len(payload)
-        return (n % 640 + 16, (n * 7) % 480 + 16, sum(payload[:16]) % 256)
+        # brightness walks the first 16 CHARACTERS like the oracle's
+        # ord(substr(text, i, 1)) — codepoints, not bytes (identical on
+        # ASCII payloads) — with DuckDB's edge semantics on short
+        # strings: ord('') is -1 and integer % keeps the dividend sign
+        chars = payload.decode("utf-8")
+        s = sum(ord(chars[i]) if i < len(chars) else -1 for i in range(16))
+        return (n % 640 + 16, (n * 7) % 480 + 16, int(math.fmod(s, 256)))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -255,14 +262,20 @@ def multimodal_audio_windows(spark, sf_dir: str) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
                 n = len(raw)
+                # window COUNT is byte-derived on both sides; window
+                # CONTENT walks characters like the oracle's substr
+                # (identical on ASCII, aligned on any UTF-8 payload)
+                chars = raw.decode("utf-8")
                 for k in range(max((n - _AUD_WIN) // _AUD_HOP + 1, 0)):
                     ids.append(mid)
                     idxs.append(k)
                     starts.append(k * _AUD_MS_PER_HOP)
                     ends.append(k * _AUD_MS_PER_HOP + _AUD_MS_PER_WIN)
                     hashes.append(
-                        hashlib.md5(raw[k * _AUD_HOP : k * _AUD_HOP + _AUD_WIN])
-                        .hexdigest()
+                        hashlib.md5(
+                            chars[k * _AUD_HOP : k * _AUD_HOP + _AUD_WIN]
+                            .encode("utf-8")
+                        ).hexdigest()
                     )
             yield pd.DataFrame(
                 {
@@ -326,8 +339,10 @@ def multimodal_resize(spark, sf_dir: str) -> DataFrame:
     deterministic strided-byte fake (a real scaler is stubbed per the
     `decode_image` contract — no image libs in this container). The
     target-geometry arithmetic is pure integer in BOTH engines, and
-    the fake resample's byte selection (every stride-th payload byte,
-    stride = max(n // {_RS_MAX_BYTES}, 1)) is hash-checked, so the
+    the fake resample's selection (every stride-th CHARACTER of the
+    UTF-8 payload — character-strided like the oracle's substr, while
+    geometry stays byte-derived; the two only differ on non-ASCII
+    payloads — stride = max(n // {_RS_MAX_BYTES}, 1)) is hash-checked, so the
     mapInPandas plumbing — payload through Arrow, row alignment,
     output schema — is exactly verified, not row-counted.
 
@@ -373,8 +388,15 @@ def multimodal_resize(spark, sf_dir: str) -> DataFrame:
                 out["new_w"].append(nw)
                 out["new_h"].append(nh)
                 out["stride"].append(stride)
+                # character stride, not raw[::stride]: the oracle's
+                # substr(text, 1 + j*stride, 1) walks CHARACTERS, and
+                # byte positions diverge from char positions on any
+                # multi-byte payload (geometry above stays byte-based
+                # on both sides)
                 out["resized_hash"].append(
-                    hashlib.md5(raw[::stride]).hexdigest()
+                    hashlib.md5(
+                        raw.decode("utf-8")[::stride].encode("utf-8")
+                    ).hexdigest()
                 )
             yield pd.DataFrame(out)
 

@@ -540,10 +540,13 @@ def sim_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_pair, "vec_a long, vec_b long, c_raw double"
     )
     # round + threshold JVM-side so the rounding semantics are Spark's
-    # (same as every other declared query), not numpy's
+    # (same as every other declared query), not numpy's. The isnan
+    # guard matches the oracle on zero-norm vectors: 0/0 is NULL in
+    # DuckDB (dropped by >=) but NaN here, and Spark orders NaN above
+    # every number, so a bare >= would KEEP the pair.
     return out.select(
         "vec_a", "vec_b", F.round("c_raw", 4).alias("cos_sim")
-    ).where(F.col("cos_sim") >= _COS_MIN)
+    ).where(~F.isnan("cos_sim") & (F.col("cos_sim") >= _COS_MIN))
 
 
 # ---------------------------------------------------------------------------

@@ -206,14 +206,18 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep_pairs = (
         scored.select("vec_a", "vec_b", F.round("c_raw", 4).alias("cos_sim"))
-        .where(F.col("cos_sim") >= _LSH_COS_MIN)
+        # isnan guard: a zero-norm vector lands in the bval=0 bucket of
+        # every band and scores NaN against its bucket-mates; DuckDB's
+        # 0/0 is NULL (dropped by >=) but Spark orders NaN ABOVE every
+        # number, so a bare >= would keep the pair.
+        .where(~F.isnan("cos_sim") & (F.col("cos_sim") >= _LSH_COS_MIN))
         .distinct()
     )
 
     # Expansion back to the per-vector contract. Within-cluster pairs
     # are identical vectors: every band agrees and cos is exactly 1.0 —
-    # unless the vector is all-zero (cos 0/0 = NaN fails the oracle's
-    # >= too), hence the norm guard.
+    # unless the vector is all-zero (0/0 is NULL in the oracle, so it
+    # must pair with nothing), hence the positive-norm guard.
     from pg2ch_spark.llm.neardup import _expand_member_products
 
     return _expand_member_products(
@@ -381,8 +385,8 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling plumbing: one binary payload row expands to
     every {stride}-th fixed-size frame inside mapInPandas (batch in →
     frame rows out, no per-row Python round trip). The frame *decode*
-    is the documented fake — md5 of the frame bytes stands in for a
-    real codec (absent from this container, multimodal.decode_image) —
+    is the documented fake — md5 of the frame characters stands in for
+    a real codec (absent from this container, multimodal.decode_image) —
     so the expansion path, batch shape, and row alignment are exactly
     oracle-checked rather than row-counted.
 
@@ -408,11 +412,15 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raw = bytes(payload)
                 if not raw:
                     continue
+                # frame COUNT is byte-derived on both sides; frame
+                # CONTENT walks characters like the oracle's substr
+                # (identical on ASCII, aligned on any UTF-8 payload)
+                chars = raw.decode("utf-8")
                 for k in range((len(raw) - 1) // step + 1):
-                    frame = raw[k * step : k * step + _FRAME_BYTES]
+                    frame = chars[k * step : k * step + _FRAME_BYTES]
                     ids.append(mid)
                     idxs.append(k)
-                    hashes.append(hashlib.md5(frame).hexdigest())
+                    hashes.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_hash": hashes})
 
     return media.repartition(32).mapInPandas(

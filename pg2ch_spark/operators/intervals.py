@@ -382,4 +382,8 @@ def interval_overlap_aggregates(
         n.cast("bigint").alias(count_col),
         overlap.cast("bigint").alias(sum_col),
     )
-    return out.where(F.col(count_col) > 0)
+    # Zero-overlap probes are dropped only under inner-join (self)
+    # semantics; the plain form reports one row per probe interval.
+    if subtract_self:
+        out = out.where(F.col(count_col) > 0)
+    return out

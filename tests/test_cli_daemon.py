@@ -131,6 +131,12 @@ def test_config_loader_rejections(daemon_dirs):
         config_from_mapping(
             {**base, "source": {"sf_dir": d, "max_files_per_trigger": 0}}
         )
+    # spark block VALUE types: a config that only crashes at
+    # SparkSession.builder must fail --validate preflight instead
+    with pytest.raises(ValueError, match="shuffle_partitions"):
+        config_from_mapping({**base, "spark": {"shuffle_partitions": "many"}})
+    with pytest.raises(ValueError, match="spark.master"):
+        config_from_mapping({**base, "spark": {"master": ["local"]}})
 
 
 def test_daemon_sigterm_then_resume(daemon_dirs):

@@ -167,6 +167,36 @@ def test_overlap_aggregates_sweep_matches_pair_oracle(overlap_frames):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_overlap_aggregates_keeps_zero_rows_without_self_subtract(
+    overlap_frames, spark
+):
+    """Plain (subtract_self=False) contract: ONE row per probe interval,
+    zero-overlap probes reported with (0, 0) — only the self-subtract
+    form matches inner-join pair semantics and drops them."""
+    spans, _, _ = overlap_frames
+    probe_pd = pd.DataFrame(
+        {
+            "pspan": [9000, 9001],
+            # 9000 sits 10 days past every span; 9001 covers day 1 noon
+            "plo": [T0 + 10 * 86400, T0 + 12 * 3600],
+            "phi": [T0 + 10 * 86400 + 60, T0 + 13 * 3600],
+        }
+    )
+    got = (
+        interval_overlap_aggregates(
+            spark.createDataFrame(probe_pd), spans,
+            probe_lo="plo", probe_hi="phi",
+            build_lo="lo", build_hi="hi",
+        )
+        .toPandas()
+        .sort_values("pspan")
+        .reset_index(drop=True)
+    )
+    assert list(got.pspan) == [9000, 9001]
+    assert got.loc[0, "n_overlaps"] == 0 and got.loc[0, "overlap_s"] == 0
+    assert got.loc[1, "n_overlaps"] > 0
+
+
 def test_overlap_aggregates_plan_has_no_pair_join(overlap_frames):
     """Scale guarantee of the default path: the only join is the
     |shards|-row offsets broadcast — no shuffled row-scale join, no

@@ -52,3 +52,59 @@ def test_metadata_projection_prunes_payload(spark):
     plan = meta._jdf.queryExecution().executedPlan().toString()
     scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "payload" not in scan_line
+
+
+# ---------------------------------------------------------------------------
+# Non-ASCII payload differentials: every fake decode walks CHARACTERS
+# exactly like its oracle's substr/ord (the shipped fixtures are pure
+# ASCII, where characters and bytes coincide — these corpora are where
+# a byte-strided implementation would diverge from the oracle).
+
+
+@pytest.fixture(scope="module")
+def unicode_sf_dir(tmp_path_factory):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("unicode_sf"))
+    df = pq.read_table(f"{src}/documents.parquet").to_pandas()
+    # multi-byte characters sprinkled through long texts (all three
+    # doc_id % 3 media kinds), plus a SHORT (<16-char) non-ASCII text
+    # to hit the oracle's ord('') = -1 branch in multimodal_extract
+    for i in range(0, 12):
+        df.loc[i, "text"] = ("héllo wörld — データ 🎬 " * (5 + i))[: 300 + 17 * i]
+    df.loc[12, "text"] = "café ñ"
+    df.loc[13, "text"] = ""
+    df["n_chars"] = df["text"].str.len()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{dst}/documents.parquet")
+    from pg2ch_spark.catalog import TABLES
+
+    for t in TABLES:
+        p = f"{dst}/{t}.parquet"
+        if not os.path.exists(p):
+            os.symlink(f"{src}/{t}.parquet", p)
+    return dst
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "multimodal_extract",
+        "multimodal_resize",
+        "multimodal_audio_windows",
+        "multimodal_framesample",
+    ],
+)
+def test_multimodal_keys_exact_on_non_ascii_payloads(unicode_sf_dir, spark, key):
+    from pg2ch_spark import registry
+    from tests.oracle import duck_con, run_compare
+
+    registry.load_all()
+    df = registry.QUERIES[key](spark, unicode_sf_dir)
+    con = duck_con(unicode_sf_dir)
+    res = run_compare(key, df, registry.ORACLES[key], con)
+    assert res.ok, str(res)

@@ -170,6 +170,59 @@ def dup_sf_dir(tmp_path_factory):
     return dst
 
 
+@pytest.fixture(scope="module")
+def zero_norm_sf_dir(tmp_path_factory):
+    """sf0.001 with three all-zero embedding vectors (two of them exact
+    duplicates of each other). Cosine against a zero vector is 0/0 —
+    NULL in DuckDB (dropped by >=) but NaN in numpy/Spark, where NaN
+    orders ABOVE every number — so these rows prove the isnan guards
+    and the positive-norm eligibility filter, which no shipped fixture
+    exercises."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("zero_norm_sf"))
+    df = pq.read_table(f"{src}/embeddings.parquet").to_pandas()
+    dim = len(df.loc[0, "embedding"])
+    zero = np.zeros(dim, dtype=np.float32)
+    for i in range(3):  # rows 0/1 form an exact-dup cluster, row 2 is lone
+        df.at[i, "embedding"] = zero
+    zero_vids = frozenset(int(v) for v in df.loc[:2, "vec_id"])
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{dst}/embeddings.parquet")
+    from pg2ch_spark.catalog import TABLES
+
+    for t in TABLES:
+        p = f"{dst}/{t}.parquet"
+        if not os.path.exists(p):
+            os.symlink(f"{src}/{t}.parquet", p)
+    return dst, zero_vids
+
+
+@pytest.mark.parametrize("key", ["sim_lsh_hyperplane", "sim_near_dup_embedding"])
+def test_embedding_keys_exact_with_zero_norm_vectors(zero_norm_sf_dir, spark, key):
+    from pg2ch_spark import registry
+    from tests.oracle import duck_con, run_compare
+
+    sf_dir, zero_vids = zero_norm_sf_dir
+    registry.load_all()
+    df = registry.QUERIES[key](spark, sf_dir)
+    con = duck_con(sf_dir)
+    res = run_compare(key, df, registry.ORACLES[key], con)
+    assert res.ok, str(res)
+    # the zero vectors share every LSH band value (all sign dots are 0)
+    # and meet plenty of bucket-mates, so if the NaN scores leaked
+    # through the >= both keys would emit extra pairs and hash-mismatch
+    got = df.toPandas()
+    seen = set(got.vec_a.astype(int)) | set(got.vec_b.astype(int))
+    leaked = seen & zero_vids
+    assert not leaked, f"{key}: zero-norm vectors paired: {leaked}"
+
+
 @pytest.mark.parametrize(
     "key",
     ["text_near_dedup_minhash", "text_near_dedup_simhash", "sim_lsh_hyperplane"],
