@@ -199,7 +199,7 @@ def text_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR-ing additional blocking keys (suffix, sorted-token prefix),
     each another linear equi-join. Levenshtein is codegen'd JVM in
     Spark and native in DuckDB — identical integer outputs."""
-    from pg2ch_spark.llm.neardup import _expand_member_products
+    from pg2ch_spark.llm.neardup import _collapse_on, _expand_member_products
 
     keys = (
         catalog.load(spark, sf_dir, "documents")
@@ -213,14 +213,7 @@ def text_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dist 0). Duplicate-dense corpora otherwise go quadratic inside
     # every block — the 1000× replication probe ground past 10 min
     # pre-collapse (10⁶× in-block pairs, each an O(40²) distance).
-    clusters = (
-        keys.groupBy("s")
-        .agg(
-            F.min("doc_id").alias("rep"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
-        )
-        .localCheckpoint(eager=True)  # feeds 4 plan branches
-    )
+    clusters = _collapse_on(keys, "doc_id", F.col("s"), ("s",))
     a = clusters.select(
         F.col("rep").alias("doc_a"),
         F.col("s").alias("sa"),

@@ -38,7 +38,7 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from pg2ch_spark import catalog
 from pg2ch_spark.llm.similarity import cosine, _cos_sql
@@ -275,31 +275,52 @@ def text_near_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     return ngram_jaccard_pairs(catalog.load(spark, sf_dir, "documents"))
 
 
+def _collapse_on(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Generalized exact-dup collapse for pair generators: one cluster
+    row per DISTINCT ``key`` value with rep = min(id) — the
+    rep-is-min-of-members invariant `_expand_member_products` relies
+    on lives HERE, not re-established per call site — sorted member
+    ids, and the payload columns taken from any member (identical
+    within a cluster by construction of the key).
+
+    Why collapse: a candidate/bucket self-join over raw rows goes
+    quadratic in duplicate-cluster size k (the 100×-duplication probes
+    filled the disk / GC-thrashed); over representatives, a cluster
+    contributes ONE row per side and member products re-expand exactly
+    afterwards, so cost becomes candidates-over-distinct-payloads plus
+    TRUE output size.
+
+    Eagerly checkpointed: every consumer fans the cluster table into
+    3-4 plan branches (reps + within + both cross sides) and Spark has
+    no cross-branch subtree reuse — without the barrier the groupBy
+    recomputes per branch (measured ~1s/branch at sf0.1)."""
+    clusters = (
+        df.groupBy(key.alias("_k"))
+        .agg(
+            F.min(id_col).alias("rep"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+            *[F.first(c).alias(c) for c in payload_cols],
+        )
+        .drop("_k")
+    )
+    return clusters.localCheckpoint(eager=True)
+
+
 def _collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Exact-dup collapse for pair generators: one representative per
-    distinct text plus the sorted member list. The shingle self-join
-    then runs over DISTINCT texts, so a duplicate cluster of size k
-    contributes ONE row per side instead of k (the candidate stream at
-    a boilerplate-heavy corpus shrinks by the square of dup
-    multiplicity — the 100× replication probe filled the disk with
-    spill before this, because every bucket went quadratic in k).
-    Cluster products are re-expanded exactly afterwards, so the output
-    contract is unchanged — cost becomes candidates-over-distinct-texts
-    plus TRUE output size."""
-    h = docs.select(
-        "doc_id", "text", F.md5(F.col("text").cast("binary")).alias("_h")
+    """Text-keyed collapse (md5 of the text bytes, so the shuffle
+    carries 16-byte keys and one text per distinct value survives the
+    partial agg): (reps, clusters) for the shingle/band generators."""
+    clusters = _collapse_on(
+        docs.select("doc_id", "text"),
+        "doc_id",
+        F.md5(F.col("text").cast("binary")),
+        ("text",),
     )
-    clusters = h.groupBy("_h").agg(
-        F.min("doc_id").alias("rep"),
-        F.sort_array(F.collect_list("doc_id")).alias("members"),
-        F.first("text").alias("text"),  # any member: texts are identical
-    )
-    # Every consumer fans clusters into 3-4 plan branches (reps +
-    # within + both cross sides) and Spark has no cross-branch subtree
-    # reuse — without a barrier the md5 groupBy recomputes per branch
-    # (measured ~1s/branch at sf0.1, and it's the standard
-    # persist-the-dedup-table step at cluster scale).
-    clusters = clusters.localCheckpoint(eager=True)
     reps = clusters.select(F.col("rep").alias("doc_id"), "text")
     return reps, clusters.select("rep", "members")
 

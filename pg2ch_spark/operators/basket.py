@@ -246,7 +246,12 @@ def orders_fill_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    pos = {p: F.lit(p) * (F.col("n_lines").cast("double") - 1) for p in (0.5, 0.9)}
+    # One formula for the 0-indexed interpolation position — used both
+    # for the lookup indices (pre-agg) and the fraction (post-agg), so
+    # the convention cannot silently mix.
+    def qpos(p):
+        return F.lit(p) * (F.col("n_lines").cast("double") - 1)
+
     per = h.groupBy("priority").agg(
         F.first("n_lines").alias("n_lines"),
         F.first("hit").alias("hit"),
@@ -254,14 +259,14 @@ def orders_fill_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             v.alias(nm)
             for p, tag in ((0.5, "p50"), (0.9, "p90"))
             for nm, v in (
-                (f"{tag}_lo", value_at(F.floor(pos[p]))),
-                (f"{tag}_hi", value_at(F.floor(pos[p]) + 1)),
+                (f"{tag}_lo", value_at(F.floor(qpos(p)))),
+                (f"{tag}_hi", value_at(F.floor(qpos(p)) + 1)),
             )
         ],
     )
     qcols = []
     for p, tag in ((0.5, "p50"), (0.9, "p90")):
-        pp = F.lit(p) * (F.col("n_lines").cast("double") - 1)
+        pp = qpos(p)
         frac = pp - F.floor(pp)
         lo = F.col(f"{tag}_lo").cast("double")
         hi_ = F.coalesce(F.col(f"{tag}_hi"), F.col(f"{tag}_lo")).cast("double")

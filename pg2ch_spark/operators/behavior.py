@@ -101,10 +101,11 @@ def events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GRAIN_S = 3600  # blocking grain: 1 hour of epoch seconds
 
-
-@register(
-    "join_point_in_interval",
-    oracle="""
+# join_point_in_interval and events_concurrency_sweep are DECLARED to
+# share one semantic (the tests compare them row-for-row), so the span/
+# point derivation and the oracle live once — an edit to the span
+# definition cannot drift the pair apart.
+_CONCURRENCY_ORACLE = """
     WITH spans AS (
         SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
                min(CAST(floor(epoch(ts)) AS BIGINT)) AS lo,
@@ -119,8 +120,27 @@ _GRAIN_S = 3600  # blocking grain: 1 hour of epoch seconds
     FROM p JOIN spans s ON p.t >= s.lo AND p.t <= s.hi
     GROUP BY 1, 2
     ORDER BY 1
-    """,
-)
+    """
+
+
+def _daily_spans_and_purchases(spark: SparkSession, sf_dir: str):
+    """(spans, points) for the concurrency pair: per-user-day activity
+    spans [min(s), max(s)] and purchase instants."""
+    ev = catalog.load(spark, sf_dir, "events")
+    sec = catalog.ts_epoch_s(ev)
+    base = ev.select("event_id", "user_id", "event_type", sec.alias("s"))
+    spans = base.groupBy(
+        "user_id", (F.col("s") / F.lit(86400)).cast("long").alias("day")
+    ).agg(F.min("s").alias("lo"), F.max("s").alias("hi")).select("lo", "hi")
+    points = base.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("s").alias("t"),
+    )
+    return spans, points
+
+
+@register("join_point_in_interval", oracle=_CONCURRENCY_ORACLE)
 def join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concurrency at purchase time: for each purchase, how many daily
     activity spans (any user) contain its instant — a point-in-interval
@@ -149,17 +169,7 @@ def join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reach for this form only for queries that go on to USE the pairs
     (e.g. joining span attributes onto each match).
     """
-    ev = catalog.load(spark, sf_dir, "events")
-    sec = catalog.ts_epoch_s(ev)
-    base = ev.select("event_id", "user_id", "event_type", sec.alias("s"))
-    spans = base.groupBy(
-        "user_id", (F.col("s") / F.lit(86400)).cast("long").alias("day")
-    ).agg(F.min("s").alias("lo"), F.max("s").alias("hi")).select("lo", "hi")
-    points = base.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        "user_id",
-        F.col("s").alias("t"),
-    )
+    spans, points = _daily_spans_and_purchases(spark, sf_dir)
     return (
         point_in_interval(points, spans, pairs=True, grain_s=_GRAIN_S)
         .groupBy("purchase_id", "user_id")
@@ -176,25 +186,7 @@ def join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SWEEP_SHARD_S = 3600  # range-shard width for the distributed prefix sum
 
 
-@register(
-    "events_concurrency_sweep",
-    oracle="""
-    WITH spans AS (
-        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-               min(CAST(floor(epoch(ts)) AS BIGINT)) AS lo,
-               max(CAST(floor(epoch(ts)) AS BIGINT)) AS hi
-        FROM events GROUP BY 1, 2
-    ), p AS (
-        SELECT event_id AS purchase_id, user_id,
-               CAST(floor(epoch(ts)) AS BIGINT) AS t
-        FROM events WHERE event_type = 'purchase'
-    )
-    SELECT p.purchase_id, p.user_id, count(*) AS n_active
-    FROM p JOIN spans s ON p.t >= s.lo AND p.t <= s.hi
-    GROUP BY 1, 2
-    ORDER BY 1
-    """,
-)
+@register("events_concurrency_sweep", oracle=_CONCURRENCY_ORACLE)
 def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concurrency at purchase time, the sweep-line way: identical
     output (and oracle) to `join_point_in_interval`, but the count of
@@ -218,17 +210,7 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This IS `intervals.point_in_interval`'s default path — the library
     contract a user gets unless they opt into pairs=True."""
-    ev = catalog.load(spark, sf_dir, "events")
-    sec = catalog.ts_epoch_s(ev)
-    base = ev.select("event_id", "user_id", "event_type", sec.alias("s"))
-    spans = base.groupBy(
-        "user_id", (F.col("s") / F.lit(86400)).cast("long").alias("day")
-    ).agg(F.min("s").alias("lo"), F.max("s").alias("hi")).select("lo", "hi")
-    points = base.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        "user_id",
-        F.col("s").alias("t"),
-    )
+    spans, points = _daily_spans_and_purchases(spark, sf_dir)
     return (
         point_in_interval(points, spans, shard_s=_SWEEP_SHARD_S)
         .select("purchase_id", "user_id", "n_active")

@@ -115,22 +115,17 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket cos matrix GC-thrashed; post-collapse the kernel cost
     is base-scale and the expansion is true-output-sized.
     """
+    from pg2ch_spark.llm.neardup import _collapse_on
+
     e = catalog.load(spark, sf_dir, "embeddings")
     # md5 of the JSON bytes, not groupBy(embedding): the shuffle then
     # carries 16-byte keys and one vector per distinct value survives
     # the partial agg — the payload never fans out.
-    eclusters = (
-        e.groupBy(F.md5(F.to_json("embedding").cast("binary")).alias("_h"))
-        .agg(
-            F.min("vec_id").alias("rep"),
-            F.sort_array(F.collect_list("vec_id")).alias("members"),
-            F.first("embedding").alias("embedding"),
-        )
-        .drop("_h")
-        # feeds 4 plan branches (signatures + within + both cross
-        # sides); the barrier keeps the md5 groupBy from recomputing
-        # per branch — see _collapse_exact in llm/neardup.py
-        .localCheckpoint(eager=True)
+    eclusters = _collapse_on(
+        e.select("vec_id", "embedding"),
+        "vec_id",
+        F.md5(F.to_json("embedding").cast("binary")),
+        ("embedding",),
     )
     e = eclusters.select(F.col("rep").alias("vec_id"), "embedding")
     bits_per_band = _N_PLANES // _N_BANDS
