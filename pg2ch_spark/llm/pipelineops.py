@@ -449,7 +449,9 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             "dim",
-            F.round((F.col("v") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+            # try_divide: a constant dimension has sigma 0 — ANSI mode
+            # would abort the job; the oracle's /0 is NULL
+            F.round(F.try_divide(F.col("v") - F.col("mu"), F.col("sigma")), 4).alias("z"),
         )
     )
 

@@ -60,8 +60,14 @@ def l2_norm(a: str, dim: int = EMB_DIM) -> Column:
 
 
 def cosine(a: str, b: str, dim: int = EMB_DIM) -> Column:
+    # try_divide, not /: Spark 4 runs ANSI mode, where a zero-norm
+    # vector's 0/0 THROWS DIVIDE_BY_ZERO and kills the whole job;
+    # DuckDB (and the oracles) yield NULL, which every >= / ORDER BY
+    # downstream drops or ranks last. One hostile row must degrade,
+    # not abort a 100 TB scan.
     return F.expr(
-        f"({_dot_expr(a, b, dim)}) / (sqrt({_dot_expr(a, a, dim)}) * sqrt({_dot_expr(b, b, dim)}))"
+        f"try_divide({_dot_expr(a, b, dim)}, "
+        f"sqrt({_dot_expr(a, a, dim)}) * sqrt({_dot_expr(b, b, dim)}))"
     )
 
 
@@ -133,9 +139,13 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
+            # try_divide: ANSI-safe on zero-norm rows (NULL like the
+            # oracle, ranked last by desc's default nulls-last)
             F.round(
-                _hof_dot("embedding", "qe")
-                / (_hof_norm("embedding") * F.col("_nq")),
+                F.try_divide(
+                    _hof_dot("embedding", "qe"),
+                    _hof_norm("embedding") * F.col("_nq"),
+                ),
                 4,
             ).alias("cos_sim"),
         )
@@ -173,8 +183,10 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                _hof_dot("embedding", "qe")
-                / (_hof_norm("embedding") * F.col("_nq")),
+                F.try_divide(
+                    _hof_dot("embedding", "qe"),
+                    _hof_norm("embedding") * F.col("_nq"),
+                ),
                 4,
             ).alias("cos_sim"),
         )
@@ -344,8 +356,10 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                _hof_dot("slice(embedding, 1, k)", "qe")
-                / (_hof_norm("slice(embedding, 1, k)") * _hof_norm("qe")),
+                F.try_divide(
+                    _hof_dot("slice(embedding, 1, k)", "qe"),
+                    _hof_norm("slice(embedding, 1, k)") * _hof_norm("qe"),
+                ),
                 4,
             ).alias("cos_sim"),
         )

@@ -431,7 +431,8 @@ _JOIN_SALT = 16
     )
     SELECT d.category,
            count(*) AS n,
-           round(sum(l.l_extendedprice * d.weight), 2) AS weighted_total
+           round(sum(CAST(l.l_extendedprice * d.weight AS DECIMAL(18,6))), 2)
+               AS weighted_total
     FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
     GROUP BY d.category
     """,
@@ -481,9 +482,15 @@ def _salted_join(spark: SparkSession, li: DataFrame) -> DataFrame:
         .groupBy("category")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("l_extendedprice") * F.col("weight")), 2).alias(
-                "weighted_total"
-            ),
+            # decimal-mediated sum: the per-row double product is
+            # IEEE-identical in both engines, but a double SUM depends
+            # on partition order — across 16 salt tasks it lands on
+            # round-2 boundaries (seen at sf0.001). Summing the exact
+            # decimal image of each product is order-independent.
+            F.round(
+                F.sum((F.col("l_extendedprice") * F.col("weight")).cast("decimal(18,6)")),
+                2,
+            ).cast("double").alias("weighted_total"),
         )
     )
 
@@ -870,7 +877,10 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
     )
-    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    # try_divide: a constant-valued group has sigma 0, which Spark 4's
+    # ANSI mode turns into a job-killing DIVIDE_BY_ZERO; the oracle's
+    # /0 is NULL (no outliers, NULL max_z) — degrade identically
+    z = F.abs(F.try_divide(F.col("value") - F.col("mu"), F.col("sigma")))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .groupBy("event_type")
@@ -1214,9 +1224,14 @@ def events_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.when(is_t, F.col("value") * F.col("value"))).alias("m2_t"),
     )
     lift = F.col("mu_t") - F.col("mu_c")
-    z = lift / F.sqrt(
-        (F.col("m2_c") - F.col("mu_c") * F.col("mu_c")) / F.col("n_c")
-        + (F.col("m2_t") - F.col("mu_t") * F.col("mu_t")) / F.col("n_t")
+    # try_divide: both variants constant -> zero pooled variance ->
+    # ANSI DIVIDE_BY_ZERO would abort the job; the oracle's /0 is NULL
+    z = F.try_divide(
+        lift,
+        F.sqrt(
+            (F.col("m2_c") - F.col("mu_c") * F.col("mu_c")) / F.col("n_c")
+            + (F.col("m2_t") - F.col("mu_t") * F.col("mu_t")) / F.col("n_t")
+        ),
     )
     return m.select(
         "event_type",

@@ -643,6 +643,12 @@ def random_emb_dir(tmp_path_factory):
     base = rng.normal(0, 1, (n, d)).astype("float32")
     base[7] = base[3] + rng.normal(0, 0.01, d).astype("float32")  # near-dup
     base[11] = base[3]  # exact dup vector
+    # zero-norm corpus rows (incl. an exact-dup zero pair): cosine
+    # against these is 0/0 — Spark 4 ANSI division THROWS without the
+    # try_divide guards, and a kept NaN would out-rank every real score
+    base[2] = 0.0
+    base[5] = 0.0
+    base[13] = base[5]
     tbl = pa.table(
         {
             "vec_id": pa.array(range(n), pa.int64()),
@@ -820,6 +826,85 @@ def test_countmin_bound_holds_for_every_token(spark, duck):
     violations, n_tokens = overs
     assert n_tokens > 0
     assert violations == 0, f"{violations}/{n_tokens} tokens under-estimated"
+
+
+@pytest.fixture(scope="module")
+def constant_sigma_dir(tmp_path_factory):
+    """sf0.001 with one event type's values forced constant and
+    embedding dim 1 forced constant — every z-style score divides by a
+    ZERO sigma/variance there. Spark 4's ANSI mode turns a bare / into
+    a job-killing DIVIDE_BY_ZERO; the oracles yield NULL. These rows
+    prove the try_divide guards degrade identically."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("const_sigma"))
+    ev = pq.read_table(f"{src}/events.parquet").to_pandas()
+    const_type = ev["event_type"].unique()[0]
+    ev.loc[ev.event_type == const_type, "value"] = 42.5
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   f"{dst}/events.parquet")
+    emb = pq.read_table(f"{src}/embeddings.parquet").to_pandas()
+
+    def set_dim0(v):
+        v = np.array(v, dtype=np.float32)
+        v[0] = 7.25
+        return v
+
+    emb["embedding"] = emb["embedding"].map(set_dim0)
+    pq.write_table(pa.Table.from_pandas(emb, preserve_index=False),
+                   f"{dst}/embeddings.parquet")
+    from pg2ch_spark.catalog import TABLES
+
+    for t in TABLES:
+        p = f"{dst}/{t}.parquet"
+        if not os.path.exists(p):
+            os.symlink(f"{src}/{t}.parquet", p)
+    return dst
+
+
+@pytest.mark.parametrize(
+    "key", ["events_anomaly_zscore", "events_abtest_lift", "embedding_standardize"]
+)
+def test_zero_sigma_groups_degrade_like_the_oracle(spark, constant_sigma_dir, key):
+    qs, oracles = registry.queries(), registry.oracle_sql()
+    con = duckdb.connect()
+    for t in ("events", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{constant_sigma_dir}/{t}.parquet')"
+        )
+    r = compare_frames(
+        key,
+        qs[key](spark, constant_sigma_dir).toPandas(),
+        con.execute(oracles[key]).df(),
+    )
+    assert r.ok, str(r)
+
+
+def test_salted_skew_sum_is_order_independent_across_sfs(spark):
+    """weighted_total must match the oracle at EVERY shipped sf: a
+    double sum over 16 salt partitions associates in partition order
+    and landed a round-2 boundary off the oracle at sf0.001 before the
+    sum was decimal-mediated (the per-row double product is
+    IEEE-identical in both engines; only the summation order differed)."""
+    from pg2ch_spark import registry
+
+    qs, oracles = registry.queries(), registry.oracle_sql()
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet')"
+        )
+        r = compare_frames(
+            "join_salted_skew",
+            qs["join_salted_skew"](spark, sf_dir).toPandas(),
+            con.execute(oracles["join_salted_skew"]).df(),
+        )
+        assert r.ok, f"{sf_dir}: {r}"
 
 
 def test_hll_dyadic_error_within_band(spark):

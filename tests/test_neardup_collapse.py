@@ -203,6 +203,31 @@ def zero_norm_sf_dir(tmp_path_factory):
     return dst, zero_vids
 
 
+@pytest.mark.parametrize(
+    "key",
+    [
+        "sim_cosine_topk",
+        "sim_knn_join",
+        "sim_ann_ivf",
+        "sim_ivf_recall",
+        "sim_matryoshka_recall",
+    ],
+)
+def test_sim_keys_survive_zero_norm_queries(zero_norm_sf_dir, spark, key):
+    """vec_id 0-2 are zero vectors — including the topk/knn QUERY side,
+    so every cosine against them is 0/0. Without try_divide, Spark 4's
+    ANSI mode aborts the whole job with DIVIDE_BY_ZERO; with it the
+    score is NULL like the oracle's, ranked last by desc."""
+    from pg2ch_spark import registry
+    from tests.oracle import duck_con, run_compare
+
+    sf_dir, _ = zero_norm_sf_dir
+    registry.load_all()
+    df = registry.QUERIES[key](spark, sf_dir)
+    res = run_compare(key, df, registry.ORACLES[key], duck_con(sf_dir))
+    assert res.ok, str(res)
+
+
 @pytest.mark.parametrize("key", ["sim_lsh_hyperplane", "sim_near_dup_embedding"])
 def test_embedding_keys_exact_with_zero_norm_vectors(zero_norm_sf_dir, spark, key):
     from pg2ch_spark import registry
