@@ -283,14 +283,60 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_pct_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist per priority class — the distribution
-    ranks both engines define identically (SQL standard, tie-stable)."""
-    o = catalog.load(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-    return o.select(
+    ranks both engines define identically (SQL standard, tie-stable).
+
+    PARTITION BY a 5-value priority key is 5 single-task sorts of the
+    row set (the `win_topk_per_group` failure shape), so the ranks are
+    computed the sharded two-pass way, extended for TIES because this
+    ORDER BY carries no unique tiebreak:
+
+    1. shard = trunc(o_totalprice/4096) — monotone in the order key, so
+       ties (equal prices) can never straddle a shard boundary and
+       (priority, shard)-local ranks lift to exact global ranks;
+    2. per-(priority, shard) windows: F.rank() gives the tie-shared
+       rank, a RANGE frame count gives rows-with-price ≤ current (the
+       cume_dist numerator, ties included);
+    3. offsets + per-priority totals ride one broadcast frame windowed
+       over |priorities × shards| aggregate rows;
+    4. closed forms: pr = (offset+rank−1)/(n_p−1), cd = (offset+cnt≤)/n_p.
+    """
+    o = (
+        catalog.load(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 50)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .withColumn("_shard", (F.col("o_totalprice") / F.lit(4096.0)).cast("long"))
+    )
+    w_loc = Window.partitionBy("o_orderpriority", "_shard").orderBy("o_totalprice")
+    w_le = w_loc.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    local = o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        "_shard",
+        F.rank().over(w_loc).alias("_lrk"),
+        F.count(F.lit(1)).over(w_le).alias("_lle"),
+    )
+    w_off = Window.partitionBy("o_orderpriority").orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_np = Window.partitionBy("o_orderpriority").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        o.groupBy("o_orderpriority", "_shard")
+        .agg(F.count(F.lit(1)).alias("_srows"))
+        .withColumn("_off", F.sum("_srows").over(w_off) - F.col("_srows"))
+        .withColumn("_np", F.sum("_srows").over(w_np))
+        .select("o_orderpriority", "_shard", "_off", "_np")
+    )
+    joined = local.join(F.broadcast(offsets), ["o_orderpriority", "_shard"])
+    rk = F.col("_off") + F.col("_lrk")
+    n_p = F.col("_np")
+    return joined.select(
+        "o_orderkey",
+        "o_orderpriority",
+        # percent_rank of a 1-row partition is 0 (not 0/0 — ANSI aborts)
+        F.round(F.when(n_p > 1, (rk - 1) / (n_p - 1)).otherwise(F.lit(0.0)), 6).alias("pr"),
+        F.round((F.col("_off") + F.col("_lle")) / n_p, 6).alias("cd"),
     )
 
 

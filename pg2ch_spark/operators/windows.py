@@ -7,9 +7,12 @@ top-k/first/last change the *row set* under ties.
 Scale notes: a window over PARTITION BY k is one shuffle by k; top-k
 per group stays bounded per partition (rank filter pushes the limit
 into the sort). Unpartitioned windows (ntile/percent_rank over the
-whole table) serialize to a single partition — acceptable for the
-15k-row customer dim, never for a fact table; at 100 TB those would be
-re-expressed via approx quantiles or a two-pass rank.
+whole table) serialize to a single partition — this repo bans that
+shape: `win_ntile_dist` computes the global rank the distributed
+two-pass way (range-shard on the leading key → parallel per-shard
+row_number → broadcast shard offsets) and derives ntile /
+percent_rank / cume_dist from the rank in closed form, the same
+pattern as `pipeline_length_buckets`.
 """
 
 from __future__ import annotations
@@ -190,13 +193,58 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = catalog.load(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    """Global distribution ranks (quartile / percent_rank / cume_dist)
+    over the full customer table — computed WITHOUT the single-task
+    unpartitioned window the oracle SQL spells.
+
+    Distributed two-pass rank (the `pipeline_length_buckets` pattern):
+
+    1. shard on the leading order key — trunc(c_acctbal / 256) is
+       monotone in c_acctbal, so (shard, c_acctbal, c_custkey) order IS
+       global (c_acctbal, c_custkey) order, and equal acctbals can
+       never straddle a shard boundary;
+    2. row_number within each shard (parallel windows) + per-shard row
+       counts prefix-summed into broadcast offsets → exact global rank
+       (the only global window runs over |shards| ≈ value-range/256
+       rows);
+    3. closed forms on the rank: the (c_acctbal, c_custkey) order is
+       total (custkey unique), so rank == row_number and
+       percent_rank = (rk−1)/(n−1), cume_dist = rk/n, and ntile(4)
+       follows the first-(n mod 4)-buckets-get-⌈n/4⌉ formula
+       (property-tested in tests/test_edge_inputs.py against SQL
+       ntile semantics).
+    """
+    c = catalog.load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    sharded = c.withColumn("_shard", (F.col("c_acctbal") / F.lit(256.0)).cast("long"))
+    w_local = Window.partitionBy("_shard").orderBy("c_acctbal", "c_custkey")
+    local = sharded.withColumn("_lrk", F.row_number().over(w_local))
+    w_shard = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        sharded.groupBy("_shard")
+        .agg(F.count(F.lit(1)).alias("_srows"))
+        .withColumn("_off", F.sum("_srows").over(w_shard) - F.col("_srows"))
+        .withColumn("_n", F.sum("_srows").over(w_all))
+        .select("_shard", "_off", "_n")
+    )
+    rk = F.col("_off") + F.col("_lrk")
+    n = F.col("_n")
+    base = (n / 4).cast("long")
+    rem = n % 4
+    big = rem * (base + 1)
+    quartile = F.when(rk <= big, F.ceil(rk / (base + 1))).otherwise(
+        rem + F.ceil((rk - big) / base)
+    )
+    return local.join(F.broadcast(offsets), "_shard").select(
         "c_custkey",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        quartile.cast("int").alias("quartile"),
+        # percent_rank of a 1-row frame is 0 (not 0/0 — ANSI would abort)
+        F.round(F.when(n > 1, (rk - 1) / (n - 1)).otherwise(F.lit(0.0)), 6).alias("pr"),
+        F.round(rk / n, 6).alias("cd"),
     )
 
 

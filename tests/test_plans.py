@@ -444,6 +444,21 @@ def test_length_buckets_rank_is_sharded_and_broadcast(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ntile_dist_rank_is_sharded_and_broadcast(spark):
+    """win_ntile_dist must never window the raw customer table in a
+    single task: the global rank comes from _shard-partitioned windows
+    plus broadcast offsets, so the only SinglePartition exchange is the
+    |shards|-row offsets frame."""
+    import re
+
+    plan = _plan(spark, "win_ntile_dist")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"Exchange SinglePartition", plan)) <= 1
+    # the full-table window is partitioned on the shard key
+    assert "_shard" in plan
+
+
 def test_incremental_dedup_shuffles_hashes_not_text(spark):
     """Both dedup steps key on md5(text): no plan node may shuffle or
     sort the raw text column."""
