@@ -39,6 +39,7 @@ import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.storagelevel import StorageLevel
 
 from pg2ch_spark import catalog
 from pg2ch_spark.llm.similarity import cosine, _cos_sql
@@ -185,10 +186,11 @@ def text_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sig feeds 10 plan branches (4 band-joins × 2 sides + 2 hamming
     # joins); without a barrier each branch recomputes the whole
-    # shingle→aggregate pipeline. The signature table is tiny (one row
-    # per doc), so materialize it once. At cluster scale this is the
-    # classic "persist the signatures" step of every LSH pipeline.
-    sig = sig.localCheckpoint(eager=True)
+    # shingle→aggregate pipeline. The signature table is one compact
+    # row per doc, so materialize it once — via the columnar cache
+    # (spills to disk at doc scale), the classic "persist the
+    # signatures" step of every LSH pipeline.
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Candidate generation: ONE equi-self-join on exploded (band, value)
     # rows — band-agreement semantics identical to the oracle's OR-join
@@ -383,7 +385,9 @@ def _rep_pair_scores(reps: DataFrame, keep) -> tuple[DataFrame, DataFrame]:
     pairs of the expanded contract (k-1 identity edges suffice)."""
     # sh feeds three plan branches (sizes + both join sides); without a
     # barrier each recomputes the split+shingle pipeline from the scan.
-    sh = _shingles(reps).localCheckpoint(eager=True)
+    # Columnar persist, not an RDD-block checkpoint: the shingle table
+    # is row-scale once texts are mostly unique and must spill, not OOM.
+    sh = _shingles(reps).persist(StorageLevel.MEMORY_AND_DISK)
     # Per-doc set sizes ride along as broadcast-joined constants BEFORE
     # the shingle self-join and become extra grouping keys — the first
     # implementation joined the sizes table onto the ~1.1M-row
@@ -669,7 +673,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy("dist2", "cl")
     # ranked feeds both the assignment and the probe branches — without
     # a barrier each recomputes the centroid aggregation from the scan.
-    ranked = d.withColumn("_rn", F.row_number().over(w)).localCheckpoint(eager=True)
+    # Columnar persist, not an RDD-block checkpoint: this table is
+    # |vectors| × |centroids| rows — the largest intermediate in the
+    # repo — and must spill to disk at scale, not OOM the heap.
+    ranked = d.withColumn("_rn", F.row_number().over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     assign = ranked.where(F.col("_rn") == 1).select("vec_id", F.col("cl").alias("bucket"))
     probes = (
         ranked.where((F.col("vec_id") < _N_QUERIES) & (F.col("_rn") <= _N_PROBES))

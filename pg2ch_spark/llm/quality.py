@@ -329,32 +329,30 @@ def text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg(ln p) is a sum of ~40 doubles ≈ −200: cross-engine sum-order
     and libm-ulp differences are ~1e-13, invisible at 4dp (D2).
 
-    Dataflow: the token stream is exploded ONCE and immediately
-    collapsed to per-(doc, token) counts, which are localCheckpointed —
-    every downstream branch (corpus frequency, total count, the
-    probability join) reads the small counted form instead of
-    re-exploding the corpus (the first implementation recomputed the
-    explode for each of three plan branches: 4.7s → ~1s at sf0.1).
-    avg over instances becomes the weighted form sum(n·ln p)/sum(n) —
-    identical values, and far fewer rows through the join.
+    Dataflow: TWO streaming explodes, ZERO row-scale materialization.
+    An earlier version localCheckpointed the per-(doc, token) counts so
+    three plan branches could share them — at 1000× (60M docs) that
+    eager checkpoint held ~2.4B Java-serialized rows in RDD blocks and
+    OOMed the heap. Both consumers collapse map-side on their own:
+    the frequency branch partial-aggregates straight down to VOCAB
+    scale, and the scoring branch joins the exploded stream against
+    the broadcast vocab and partial-aggregates by doc_id (documents
+    are row-contiguous, so per-task partials stay doc-sized). Re-reading
+    the corpus once more is scan-bound; holding it is what killed the
+    job.
     """
     docs = catalog.load(spark, sf_dir, "documents")
-    grouped = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    freq = grouped.groupBy("token").agg(F.sum("n").alias("c"))
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = freq.select(F.sum("c").alias("tot"))
     p_tbl = freq.crossJoin(F.broadcast(total)).select(
         "token", (F.col("c").cast("double") / F.col("tot")).alias("p")
     )
     return (
-        grouped.join(F.broadcast(p_tbl), "token")
+        toks.join(F.broadcast(p_tbl), "token")
         .groupBy("doc_id")
         .agg(
-            F.sum("n").cast("bigint").alias("n_tokens"),
-            F.round(F.sum(F.col("n") * F.log("p")) / F.sum("n"), 4).alias("avg_logp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(F.log("p")), 4).alias("avg_logp"),
         )
     )
