@@ -310,7 +310,10 @@ def _collapse_on(
         )
         .drop("_k")
     )
-    return clusters.localCheckpoint(eager=True)
+    # Columnar persist, not an RDD-block checkpoint: the members arrays
+    # total one id per INPUT row (row-scale even though the table has
+    # one row per distinct payload) and must spill at scale, not OOM.
+    return clusters.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -458,6 +461,57 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
 
 _COS_MIN = 0.45  # measured: 14 pairs at sf0.01, 144 at sf0.1
 
+# Chunk size for the shared cosine tile kernel: the materialized slab
+# is CHUNK × |B| doubles, never |A| × |B| (the unchunked kernel tried
+# to allocate a (250k, 250k) = 466 GiB matrix at the 1000× probe).
+_TILE_CHUNK = 1024
+
+
+def chunked_cos_pairs(ids_a, A, ids_b, B, pre, upper_only):
+    """All (a, b) pairs with cosine ≥ ``pre``, computed in CHUNK-row
+    slabs with a dimension-ordered fold.
+
+    Bit-exactness vs the JVM expression and the DuckDB oracle: the
+    fold accumulates dimension k as a separate vectorized `+=` pass,
+    so every pair's dot product is summed in the SAME left-to-right
+    dimension order as ``list_sum(list_transform…)`` — numpy
+    elementwise ops are IEEE-exact and never reassociate across passes
+    (only axis *reductions* would). NaN cosines (zero-norm vectors)
+    compare False against ``pre`` and drop, matching the oracle's NULL
+    division; ``pre`` must sit a rounding margin below the declared
+    threshold because callers compare the JVM-ROUNDED value.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _norms(M):
+        acc = np.zeros(len(M))
+        for k in range(M.shape[1]):
+            acc += M[:, k] * M[:, k]
+        return np.sqrt(acc)
+
+    norm_b = _norms(B)
+    out_a, out_b, out_c = [], [], []
+    for s in range(0, len(A), _TILE_CHUNK):
+        Ac, ia = A[s : s + _TILE_CHUNK], ids_a[s : s + _TILE_CHUNK]
+        dots = np.zeros((len(Ac), len(B)))
+        for k in range(Ac.shape[1]):
+            dots += np.outer(Ac[:, k], B[:, k])
+        cos = dots / np.outer(_norms(Ac), norm_b)
+        mask = cos >= pre  # NaN -> False, like the oracle's NULL
+        if upper_only:
+            mask &= ia[:, None] < ids_b[None, :]
+        ai, bj = np.nonzero(mask)
+        out_a.append(ia[ai])
+        out_b.append(ids_b[bj])
+        out_c.append(cos[ai, bj])
+    va = np.concatenate(out_a) if out_a else np.empty(0, dtype="int64")
+    vb = np.concatenate(out_b) if out_b else np.empty(0, dtype="int64")
+    vc = np.concatenate(out_c) if out_c else np.empty(0, dtype="float64")
+    # pair orientation: the declared contracts require vec_a < vec_b
+    lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+    return pd.DataFrame({"vec_a": lo, "vec_b": hi, "c_raw": vc})
+
 
 @register(
     "sim_near_dup_embedding",
@@ -474,22 +528,41 @@ def sim_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     Block nested-loop via shuffle, NO driver materialization: each
     vector is assigned one of NB blocks and replicated to every block
     *pair* it participates in (an explode, NB rows per input row), then
-    ``applyInPandas`` computes one (|A| × |B|) tile of the similarity
-    matrix per block pair with vectorized numpy. Per-task memory is
-    O(2·N/NB·d) regardless of total N — at billions of vectors raise NB
-    (replication grows linearly, tile memory shrinks linearly); the
-    earlier implementation broadcast the whole table from the driver,
-    which caps out at driver memory.
+    ``applyInPandas`` computes each block pair's similarity tile with
+    vectorized numpy — in CHUNK-row slabs, with a rounding-safe
+    in-kernel pre-filter, so per-task memory is O(2·N/NB·d +
+    CHUNK·N/NB) and only near-threshold pairs ever cross Arrow (the
+    unchunked kernel allocated the whole (N/NB)² tile — 466 GiB at the
+    1000× probe — and shipped every dense pair to the JVM to threshold
+    there). At billions of vectors raise NB (replication grows
+    linearly, slab memory shrinks linearly); the earliest
+    implementation broadcast the whole table from the driver, which
+    caps out at driver memory.
 
     Exact threshold scan is intrinsically all-pairs (O(N²/NB) tiles);
     at real scale run `sim_ann_ivf`-style bucketing or random-
     hyperplane LSH first and apply this kernel only within buckets.
+
+    Collapse-first like every other near-dup key: the tiles run over
+    one representative per DISTINCT vector (cosine is a pure function
+    of the payload pair) and member products expand exactly afterwards
+    — identical-vector pairs are cos 1.0 by identity unless the vector
+    is zero-norm (NULL in the oracle, so it pairs with nothing). On a
+    duplicate-dense corpus the quadratic kernel cost drops to
+    distinct-scale; on a mostly-unique corpus the collapse is a
+    16-byte-key shuffle no-op.
     """
     import numpy as np
     import pandas as pd
 
     nb = int(os.environ.get("SPARK_GRAFT_SIM_BLOCKS", "8"))
-    e = catalog.load(spark, sf_dir, "embeddings")
+    eclusters = _collapse_on(
+        catalog.load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+        F.md5(F.to_json("embedding").cast("binary")),
+        ("embedding",),
+    )
+    e = eclusters.select(F.col("rep").alias("vec_id"), "embedding")
 
     # Replicate each row to all NB unordered block pairs that contain
     # its block: row with block b joins groups (min(b,o), max(b,o)) for
@@ -511,25 +584,11 @@ def sim_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pk"),
     ).select("vec_id", "embedding", "blk", F.col("pk.pi").alias("pi"), F.col("pk.pj").alias("pj"))
 
-    def _norm_fold(M: "np.ndarray") -> "np.ndarray":
-        # dimension-ordered left fold — see bit-exactness note below
-        acc = np.zeros(len(M))
-        for k in range(M.shape[1]):
-            acc += M[:, k] * M[:, k]
-        return np.sqrt(acc)
-
-    def _tile(ids_a, A, ids_b, B):
-        # Bit-exactness vs the JVM expression and the DuckDB oracle:
-        # the fold accumulates dimension k as a separate vectorized
-        # `+=` pass, so every pair's dot product is summed in the SAME
-        # left-to-right dimension order as `list_sum(list_transform…)`
-        # — numpy elementwise ops are IEEE-exact and never reassociate
-        # across passes (only axis *reductions* would). Verified: the
-        # output hash-matches the oracle at sf0.01 and sf0.1.
-        dots = np.zeros((len(A), len(B)))
-        for k in range(A.shape[1]):
-            dots += np.outer(A[:, k], B[:, k])
-        return dots / np.outer(_norm_fold(A), _norm_fold(B))
+    # In-kernel pre-filter margin: the declared threshold compares the
+    # JVM-ROUNDED cosine (round(c, 4) >= 0.45), so the kernel may only
+    # drop pairs that can never round up across it — anything below
+    # _COS_MIN − 1e-4 rounds to at most _COS_MIN − 1e-4 < _COS_MIN.
+    pre = _COS_MIN - 1e-4
 
     _empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                            "vec_b": pd.Series(dtype="int64"),
@@ -543,23 +602,14 @@ def sim_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(ids_a) < 2:
                 return _empty
             A = np.stack(a_side["embedding"].to_numpy()).astype(np.float64)
-            cos = _tile(ids_a, A, ids_a, A)
-            ai, bj = np.nonzero(ids_a[:, None] < ids_a[None, :])
-            return pd.DataFrame(
-                {"vec_a": ids_a[ai], "vec_b": ids_a[bj], "c_raw": cos[ai, bj]}
-            )
+            return chunked_cos_pairs(ids_a, A, ids_a, A, pre, upper_only=True)
         b_side = pdf[pdf["blk"] == pj]
         ids_b = b_side["vec_id"].to_numpy()
         if not len(ids_a) or not len(ids_b):
             return _empty
         A = np.stack(a_side["embedding"].to_numpy()).astype(np.float64)
         B = np.stack(b_side["embedding"].to_numpy()).astype(np.float64)
-        cos = _tile(ids_a, A, ids_b, B)
-        ai, bj = np.nonzero(np.ones((len(ids_a), len(ids_b)), dtype=bool))
-        va, vb = ids_a[ai], ids_b[bj]
-        # cross-block pair orientation: output requires vec_a < vec_b
-        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "c_raw": cos[ai, bj]})
+        return chunked_cos_pairs(ids_a, A, ids_b, B, pre, upper_only=False)
 
     out = tagged.groupBy("pi", "pj").applyInPandas(
         block_pair, "vec_a long, vec_b long, c_raw double"
@@ -569,9 +619,19 @@ def sim_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guard matches the oracle on zero-norm vectors: 0/0 is NULL in
     # DuckDB (dropped by >=) but NaN here, and Spark orders NaN above
     # every number, so a bare >= would KEEP the pair.
-    return out.select(
+    rep_pairs = out.select(
         "vec_a", "vec_b", F.round("c_raw", 4).alias("cos_sim")
     ).where(~F.isnan("cos_sim") & (F.col("cos_sim") >= _COS_MIN))
+    return _expand_member_products(
+        rep_pairs,
+        eclusters.select("rep", "members"),
+        "vec_a",
+        "vec_b",
+        {"cos_sim": F.lit(1.0)},
+        eligible=eclusters.where(
+            F.expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x) > 0")
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -179,22 +179,22 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
 
+    # Shared CHUNKED tile kernel (llm/neardup.py): a skewed (band,
+    # value) bucket must never allocate its dense |bucket|² cosine
+    # matrix — the slab is CHUNK × |bucket| and only pairs that can
+    # round up to the declared threshold cross Arrow. The pre-filter
+    # margin mirrors the JVM-side round(c, 4) >= threshold comparison;
+    # NaN (zero-norm) drops in-kernel exactly like the ~isnan guard.
+    from pg2ch_spark.llm.neardup import chunked_cos_pairs
+
+    pre = _LSH_COS_MIN - 1e-4
+
     def bucket_pairs(key, pdf):
         ids = pdf["vec_id"].to_numpy()
         if len(ids) < 2:
             return _empty
         M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        # dimension-ordered fold — same IEEE order as the oracle's
-        # list_sum (see llm/neardup.py for the bit-exactness argument)
-        dots = np.zeros((len(M), len(M)))
-        nrm = np.zeros(len(M))
-        for k in range(M.shape[1]):
-            dots += np.outer(M[:, k], M[:, k])
-            nrm += M[:, k] * M[:, k]
-        nrm = np.sqrt(nrm)
-        cos = dots / np.outer(nrm, nrm)
-        ai, bj = np.nonzero(ids[:, None] < ids[None, :])
-        return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bj], "c_raw": cos[ai, bj]})
+        return chunked_cos_pairs(ids, M, ids, M, pre, upper_only=True)
 
     scored = bands_long.groupBy("band", "bval").applyInPandas(
         bucket_pairs, "vec_a long, vec_b long, c_raw double"
