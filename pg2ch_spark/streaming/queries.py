@@ -159,6 +159,8 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per key): more stores than the 2-partition default pay off —
         # measured 2→1.25s, 4→1.11s, 8→1.08s, 16→1.27s at sf0.1
         state_partitions=4,
+        rocksdb=True,  # per-session state rows — grow with the corpus
+        parquet_sink=True,  # result is session-scale, not window-scale
     )
     span = (
         F.col("session_window.end").cast("long")
@@ -210,13 +212,28 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT DISTINCT event_id, user_id, event_type FROM events",
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming dropDuplicates on event_id (exactly-once projection of
-    an at-least-once stream — how pg2ch survives WAL replays, R13)."""
+    """Streaming dedup on event_id (exactly-once projection of an
+    at-least-once stream — how pg2ch survives WAL replays, R13).
+
+    ``dropDuplicatesWithinWatermark``, NOT bare ``dropDuplicates``: the
+    bare form keeps one state entry per event id FOREVER — the 1000×
+    probe (150M events) OOMed the state store's heap. A WAL replay
+    re-delivers within a bounded lag, so a 30-day event-time watermark
+    IS the production contract (exactly-once within the replay
+    horizon); state now evicts as the watermark advances instead of
+    growing with stream history. Output is identical whenever replays
+    arrive inside the horizon — as in the fixtures and in any sane
+    replication setup.
+    """
     return replay_available_now(
         spark,
         catalog.table_path(sf_dir, "events"),
         _events_schema(spark, sf_dir),
-        lambda df: df.select("event_id", "user_id", "event_type").dropDuplicates(["event_id"]),
+        lambda df: _with_event_time(df)
+        .withWatermark("ets", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type"),
+        rocksdb=True,  # one state entry per event id inside the horizon
     )
 
 
@@ -231,6 +248,8 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog.table_path(sf_dir, "events"),
         _events_schema(spark, sf_dir),
         lambda df: df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")),
+        rocksdb=True,  # one state entry per user — grows with the corpus
+        parquet_sink=True,  # result is user-scale
     )
 
 
@@ -383,6 +402,8 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parallelize per partition, opposite of the JVM stateful aggs
         # (which want few state stores). 8 saturates this key count.
         state_partitions=8,
+        rocksdb=True,  # one fold state per user — grows with the corpus
+        parquet_sink=True,  # result is user-scale
     )
 
 
@@ -495,7 +516,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir("pg2ch_ssj_out_")
     ckpt = scratch_dir("pg2ch_ssj_ckpt_")
     shutil.rmtree(out, ignore_errors=True)
-    with _few_state_partitions(spark):
+    # rocksdb: both join sides buffer every in-horizon row per user —
+    # the state is corpus-scaled, not window-count-scaled
+    with _few_state_partitions(spark, rocksdb=True):
         q = (
             joined.writeStream.foreachBatch(
                 lambda b, _i: b.write.mode("append").parquet(out)
@@ -580,10 +603,18 @@ def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         catalog.table_path(sf_dir, "events"),
         _events_schema(spark, sf_dir),
+        # watermark on SLOT (the truncated hour, part of the dedup
+        # key): dropDuplicates state evicts only when the event-time
+        # column is among the keys — without this the user×hour
+        # boolean state grows with stream history. 30 days covers any
+        # replay horizon; the trailing count window sees the same
+        # watermark and finalizes with it.
         lambda df: _with_event_time(df)
         .withColumn("slot", F.date_trunc("hour", F.col("ets")))
+        .withWatermark("slot", "30 days")
         .dropDuplicates(["user_id", "slot"])
         .groupBy(F.window("slot", "1 hour"))
         .agg(F.count(F.lit(1)).alias("dau")),
+        rocksdb=True,  # user×hour state entries — grow with the corpus
     )
     return res.select(_win_start_s(), "dau")

@@ -42,6 +42,16 @@ class _few_state_partitions:
       measured). Append-mode production jobs that rely on watermark-
       driven finalization must leave it on — hence scoped here, not in
       catalog.tune().
+    - RocksDB state store (``rocksdb=True``): the default
+      HDFSBackedStateStoreProvider is an IN-HEAP hashmap that cannot
+      spill — a 150M-key dedup state (the 1000× probe) OOMed the JVM
+      from the state-store maintenance thread. RocksDB keeps state
+      off-heap on local disk, the production provider for any state
+      that scales with KEY CARDINALITY (dedup ids, per-user folds,
+      stream-stream join buffers). Window-bounded aggregate states
+      (|windows × types| entries) stay on the in-heap provider — it is
+      ~0.5-1 s/query cheaper and those states cannot grow with the
+      corpus. Baked into the checkpoint like the partition count.
     """
 
     _CONFS = {
@@ -49,17 +59,29 @@ class _few_state_partitions:
         "spark.sql.streaming.noDataMicroBatches.enabled": "false",
     }
 
-    def __init__(self, spark: SparkSession, n: int | None = None):
+    _ROCKSDB_CONFS = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        # commit a changelog instead of snapshotting the full store
+        # per batch (snapshots compact in the background)
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+            "true",
+    }
+
+    def __init__(self, spark: SparkSession, n: int | None = None, rocksdb: bool = False):
         self.spark = spark
         # measured at sf0.1: 2 beats 8 by 0.3-1.2s/query (state-store
         # commit overhead scales with instance count, and the test
         # streams hold a few thousand keys); production jobs size this
         # to the cluster via the env override before first run.
         self.n = n if n is not None else int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "2"))
+        self.rocksdb = rocksdb
         self.old: dict[str, str | None] = {}
 
     def __enter__(self):
         targets = dict(self._CONFS)
+        if self.rocksdb:
+            targets.update(self._ROCKSDB_CONFS)
         targets["spark.sql.shuffle.partitions"] = str(self.n)
         for key, val in targets.items():
             self.old[key] = self.spark.conf.get(key, None)
@@ -125,11 +147,15 @@ def replay_available_now(
     path: str,
     schema: StructType,
     transform: Callable[[DataFrame], DataFrame],
+    *,
+    rocksdb: bool = False,
 ) -> DataFrame:
     """Replay a parquet path as a file stream; collect transformed rows.
 
     foreachBatch writes each micro-batch to a parquet staging dir (the
     pg2ch buffer-table analog, R8) which is read back as the result.
+    ``rocksdb=True`` for transforms whose state scales with key
+    cardinality (see _few_state_partitions).
     """
     out = scratch_dir("pg2ch_replay_out_")
     ckpt = scratch_dir("pg2ch_replay_ckpt_")
@@ -139,7 +165,7 @@ def replay_available_now(
         batch_df.write.mode("append").parquet(out)
 
     src, src_dir = _stream_source_managed(spark, path, schema)
-    with _few_state_partitions(spark):
+    with _few_state_partitions(spark, rocksdb=rocksdb):
         q = (
             transform(src)
             .writeStream.foreachBatch(sink)
@@ -166,25 +192,37 @@ def run_complete_to_df(
     *,
     output_mode: str = "complete",
     state_partitions: int | None = None,
+    rocksdb: bool = False,
+    parquet_sink: bool = False,
 ) -> DataFrame:
     """Run a streaming aggregation to completion; return the final result.
 
-    Memory sink, availableNow trigger. The query name is unique per run
-    so repeated invocations in one session don't collide.
-    ``state_partitions`` overrides the local default (2): JVM-side
-    stateful aggs want few state stores, but Python-heavy stateful
-    operators (applyInPandasWithState) parallelize per partition and
-    want more.
+    Memory sink (or a parquet spill sink), availableNow trigger. The
+    query name is unique per run so repeated invocations in one session
+    don't collide. ``state_partitions`` overrides the local default
+    (2): JVM-side stateful aggs want few state stores, but Python-heavy
+    stateful operators (applyInPandasWithState) parallelize per
+    partition and want more. ``rocksdb=True`` for key-cardinality state
+    (see _few_state_partitions). ``parquet_sink=True`` when the RESULT
+    is corpus-scale (one row per user/session): the memory sink holds
+    every result row in JVM heap — the 1000× probe OOMed collecting
+    ~10M session rows — while the parquet sink streams each (complete
+    re-)emission to disk, overwriting the previous one.
     """
     name = f"pg2ch_mem_{uuid.uuid4().hex[:12]}"
     ckpt = scratch_dir("pg2ch_mem_ckpt_")
+    out = scratch_dir("pg2ch_mem_out_") if parquet_sink else None
     src, src_dir = _stream_source_managed(spark, path, schema)
-    with _few_state_partitions(spark, state_partitions):
+    with _few_state_partitions(spark, state_partitions, rocksdb=rocksdb):
+        writer = transform(src).writeStream
+        if parquet_sink:
+            writer = writer.foreachBatch(
+                lambda batch_df, _eid: batch_df.write.mode("overwrite").parquet(out)
+            )
+        else:
+            writer = writer.format("memory").queryName(name)
         q = (
-            transform(src)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
+            writer.outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -192,7 +230,8 @@ def run_complete_to_df(
         q.awaitTermination()
     if output_mode != "complete":
         # The memory sink in update/append mode APPENDS every
-        # re-emission of a key, so reading the sink table as the final
+        # re-emission of a key (and the parquet sink OVERWRITES with
+        # only the updated keys), so reading the sink as the final
         # answer is only correct when exactly one data micro-batch ran.
         # Our single-file sources guarantee that; a >1000-file source
         # dir or maxFilesPerTrigger would silently break it — enforce
@@ -200,12 +239,18 @@ def run_complete_to_df(
         data_batches = sum(1 for p in q.recentProgress if _num_input_rows(p) > 0)
         if data_batches > 1:
             raise AssertionError(
-                f"memory sink in {output_mode} mode saw {data_batches} data "
-                "batches; re-updated keys would appear as stale duplicates. "
+                f"{'parquet' if parquet_sink else 'memory'} sink in "
+                f"{output_mode} mode saw {data_batches} data batches; "
+                "re-updated keys would appear as stale or lost rows. "
                 "Use a keyed merge sink (cdc.merge_sink) for multi-batch runs."
             )
-    # Materialize before the temp view could be replaced by a later run.
-    result = spark.table(name).localCheckpoint(eager=True)
+    # Materialize before the temp view / scratch dir could be replaced
+    # by a later run or reclaimed below.
+    if parquet_sink:
+        result = spark.read.parquet(out).localCheckpoint(eager=True)
+        shutil.rmtree(out, ignore_errors=True)
+    else:
+        result = spark.table(name).localCheckpoint(eager=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     if src_dir:
         shutil.rmtree(src_dir, ignore_errors=True)
