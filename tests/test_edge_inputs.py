@@ -968,3 +968,66 @@ def test_sweep_equals_blocked_join_on_tie_heavy_corpus(spark, tmp_path):
     assert got[by_uid[4]] == 1
     # u3's purchase at 3600: inside u1's span AND its own -> 2
     assert got[by_uid[3]] == 2
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    na=st.integers(min_value=1, max_value=40),
+    nb=st.integers(min_value=1, max_value=40),
+    dim=st.integers(min_value=1, max_value=8),
+    chunk=st.integers(min_value=1, max_value=7),
+    upper=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_chunked_cos_pairs_matches_unchunked_reference(
+    na, nb, dim, chunk, upper, seed
+):
+    """The shared cosine tile kernel must emit EXACTLY the pairs the
+    dense unchunked reference would, regardless of where the chunk
+    boundaries fall — including zero-norm vectors (NaN cosine drops,
+    like the oracle's NULL) and the upper-triangle mask for
+    self-tiles. Chunk sizes down to 1 exercise every boundary."""
+    import numpy as np
+
+    from pg2ch_spark.llm import neardup
+
+    old_chunk = neardup._TILE_CHUNK
+    neardup._TILE_CHUNK = chunk  # restored in the finally below
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(na, dim))
+    B = A if upper else rng.normal(size=(nb, dim))
+    # plant zero-norm rows to exercise the NaN path
+    A[:: max(na // 3, 1)] = 0.0
+    ids_a = np.arange(na, dtype="int64") * 7  # non-contiguous ids
+    ids_b = ids_a if upper else (np.arange(len(B), dtype="int64") * 7 + 3)
+    pre = 0.2
+
+    try:
+        got = neardup.chunked_cos_pairs(ids_a, A, ids_b, B, pre, upper_only=upper)
+    finally:
+        neardup._TILE_CHUNK = old_chunk
+
+    # dense reference: same dimension-ordered fold, no chunking
+    dots = np.zeros((len(A), len(B)))
+    nrm_a, nrm_b = np.zeros(len(A)), np.zeros(len(B))
+    for k in range(dim):
+        dots += np.outer(A[:, k], B[:, k])
+        nrm_a += A[:, k] * A[:, k]
+        nrm_b += B[:, k] * B[:, k]
+    cos = dots / np.outer(np.sqrt(nrm_a), np.sqrt(nrm_b))
+    mask = cos >= pre
+    if upper:
+        mask &= ids_a[:, None] < ids_b[None, :]
+    ai, bj = np.nonzero(mask)
+    want = {
+        (min(ids_a[i], ids_b[j]), max(ids_a[i], ids_b[j])): cos[i, j]
+        for i, j in zip(ai, bj)
+    }
+
+    got_pairs = {
+        (int(r.vec_a), int(r.vec_b)): float(r.c_raw) for r in got.itertuples()
+    }
+    assert got_pairs.keys() == want.keys()
+    for k in want:
+        # bit-exact: the fold order is identical chunked or not
+        assert got_pairs[k] == want[k]
