@@ -297,10 +297,17 @@ def _collapse_on(
     afterwards, so cost becomes candidates-over-distinct-payloads plus
     TRUE output size.
 
-    Eagerly checkpointed: every consumer fans the cluster table into
+    Persisted (lazily): every consumer fans the cluster table into
     3-4 plan branches (reps + within + both cross sides) and Spark has
-    no cross-branch subtree reuse — without the barrier the groupBy
-    recomputes per branch (measured ~1s/branch at sf0.1)."""
+    no cross-branch subtree reuse — without the shared cache the
+    groupBy recomputes per branch (measured ~1s/branch at sf0.1).
+    Lazy persist is race-free: concurrent stages reading an uncached
+    partition serialize on the BlockManager's per-block write lock
+    (one task computes, the rest wait and read), so each partition is
+    computed exactly once. Cache lifetime is plan-keyed: re-invoking
+    the same query over the same input REUSES the entry (a warm-rerun
+    win), a distinct input adds one entry; a long-lived multi-workload
+    session reclaims them with spark.catalog.clearCache()."""
     clusters = (
         df.groupBy(key.alias("_k"))
         .agg(
@@ -497,7 +504,10 @@ def chunked_cos_pairs(ids_a, A, ids_b, B, pre, upper_only):
         dots = np.zeros((len(Ac), len(B)))
         for k in range(Ac.shape[1]):
             dots += np.outer(Ac[:, k], B[:, k])
-        cos = dots / np.outer(_norms(Ac), norm_b)
+        # in-place: one CHUNK x |B| slab fewer at peak (same single
+        # IEEE division, bit-identical)
+        dots /= np.outer(_norms(Ac), norm_b)
+        cos = dots
         mask = cos >= pre  # NaN -> False, like the oracle's NULL
         if upper_only:
             mask &= ia[:, None] < ids_b[None, :]
@@ -622,6 +632,14 @@ def sim_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_pairs = out.select(
         "vec_a", "vec_b", F.round("c_raw", 4).alias("cos_sim")
     ).where(~F.isnan("cos_sim") & (F.col("cos_sim") >= _COS_MIN))
+    # Identity pairs require a norm in (0, inf): zero-norm vectors pair
+    # with nothing (oracle NULL), and overflow-norm vectors (norm² =
+    # inf) pair with nothing EITHER — their kernel cosine is inf/inf =
+    # NaN, which this engine drops everywhere. (DuckDB's own quirk of
+    # ranking NaN above every number would *emit* those pairs; matching
+    # that would surface garbage matches for corrupt payloads, so the
+    # boundary is: non-finite norms never pair.)
+    norm2 = F.expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x)")
     return _expand_member_products(
         rep_pairs,
         eclusters.select("rep", "members"),
@@ -629,7 +647,7 @@ def sim_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_b",
         {"cos_sim": F.lit(1.0)},
         eligible=eclusters.where(
-            F.expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x) > 0")
+            (norm2 > 0) & (norm2 < F.lit(float("inf")))
         ),
     )
 

@@ -215,15 +215,16 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must pair with nothing), hence the positive-norm guard.
     from pg2ch_spark.llm.neardup import _expand_member_products
 
+    # norm in (0, inf): zero-norm AND overflow-norm vectors pair with
+    # nothing — see sim_near_dup_embedding for the NaN boundary rationale
+    norm2 = F.expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x)")
     return _expand_member_products(
         rep_pairs,
         eclusters.select("rep", "members"),
         "vec_a",
         "vec_b",
         {"cos_sim": F.lit(1.0)},
-        eligible=eclusters.where(
-            F.expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x) > 0")
-        ),
+        eligible=eclusters.where((norm2 > 0) & (norm2 < F.lit(float("inf")))),
     )
 
 

@@ -244,12 +244,17 @@ def run_complete_to_df(
                 "re-updated keys would appear as stale or lost rows. "
                 "Use a keyed merge sink (cdc.merge_sink) for multi-batch runs."
             )
-    # Materialize before the temp view / scratch dir could be replaced
-    # by a later run or reclaimed below.
     if parquet_sink:
-        result = spark.read.parquet(out).localCheckpoint(eager=True)
-        shutil.rmtree(out, ignore_errors=True)
+        # The result stays DISK-backed: re-materializing a corpus-scale
+        # result through localCheckpoint would pull every row back into
+        # JVM RDD blocks — the exact heap residency this sink exists to
+        # avoid. The scratch parquet dir therefore outlives this call
+        # (reclaimed with the session's scratch root / OS tmp cleanup);
+        # it holds exactly one copy of the result, nothing more.
+        result = spark.read.parquet(out)
     else:
+        # Materialize before the temp view could be replaced by a later
+        # run; memory-sink results are small by contract.
         result = spark.table(name).localCheckpoint(eager=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     if src_dir:

@@ -1031,3 +1031,50 @@ def test_chunked_cos_pairs_matches_unchunked_reference(
     for k in want:
         # bit-exact: the fold order is identical chunked or not
         assert got_pairs[k] == want[k]
+
+
+@pytest.fixture(scope="module")
+def overflow_emb_dir(tmp_path_factory):
+    """Corpus with OVERFLOW-norm duplicate vectors (an inf component —
+    e.g. a float32 overflow upstream). Their self-cosine is inf/inf =
+    NaN; this engine's declared boundary is that vectors whose norm is
+    not in (0, inf) pair with NOTHING. (DuckDB itself would EMIT those
+    pairs — it ranks NaN above every number — but surfacing NaN
+    'matches' for corrupt payloads is the wrong degradation, so the
+    divergence is deliberate and pinned here, not oracle-compared.)"""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(31415)
+    n, d = 40, 8
+    base = rng.normal(0, 1, (n, d)).astype("float32")
+    base[4] = base[1]  # a legitimate exact-dup pair: must still emit
+    inf = np.float32("inf")
+    base[6, 0] = inf
+    base[9] = base[6]  # exact-dup OVERFLOW pair: must NOT emit
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in base], pa.list_(pa.float32())
+            ),
+            "label": pa.array([int(i % 4) for i in range(n)], pa.int32()),
+        }
+    )
+    dd = tmp_path_factory.mktemp("overflow_emb")
+    pq.write_table(tbl, str(dd / "embeddings.parquet"))
+    return str(dd)
+
+
+@pytest.mark.parametrize("key", ["sim_near_dup_embedding", "sim_lsh_hyperplane"])
+def test_overflow_norm_vectors_pair_with_nothing(spark, overflow_emb_dir, key):
+    qs = registry.queries()
+    out = qs[key](spark, overflow_emb_dir).toPandas()
+    bad = {6, 9}
+    touched = set(out["vec_a"]).union(out["vec_b"])
+    assert not (touched & bad), f"{key} emitted pairs for overflow-norm vectors"
+    # the legitimate identical pair still comes through at cos 1.0
+    pairs = {(int(a), int(b)) for a, b in zip(out["vec_a"], out["vec_b"])}
+    assert (1, 4) in pairs
+    assert float(out.set_index(["vec_a", "vec_b"]).loc[(1, 4), "cos_sim"]) == 1.0
