@@ -228,3 +228,53 @@ def test_streaming_queries_reclaim_scratch(spark):
         qs[key](spark, "/root/testdata/sf0.001").collect()
     leaked = set(glob.glob(os.path.join(base, "pg2ch_*"))) - before
     assert not leaked, f"scratch dirs leaked: {sorted(leaked)}"
+
+
+def test_stream_dedup_collapses_true_replays(spark, tmp_path):
+    """The sf fixtures carry UNIQUE event ids, so stream_dedup's actual
+    dedup path never fires in the differential suite. This corpus
+    replays events the way an at-least-once WAL delivery would —
+    duplicate event_ids seconds-to-hours apart (all inside the 30-day
+    horizon) — and the output must equal the batch DISTINCT, with one
+    survivor per replayed id."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from pg2ch_spark import registry
+    from tests.oracle import compare_frames
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []  # (event_id, offset_s, user_id, event_type)
+    rows += [(1, 0, 10, "view"), (2, 5, 10, "purchase"), (3, 9, 11, "view")]
+    # immediate redelivery (same payload, seconds later)
+    rows += [(1, 12, 10, "view"), (2, 13, 10, "purchase")]
+    # a late replay hours later, still in horizon
+    rows += [(3, 7200, 11, "view")]
+    # triple delivery of one event
+    rows += [(4, 100, 12, "signup"), (4, 101, 12, "signup"), (4, 9000, 12, "signup")]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [e for e, _, _, _ in rows],
+            "ts": [t0 + pd.Timedelta(seconds=o) for _, o, _, _ in rows],
+            "user_id": [u for _, _, u, _ in rows],
+            "event_type": [t for _, _, _, t in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    d = str(tmp_path / "replay")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "events.parquet"), coerce_timestamps=None)
+
+    out = registry.queries()["stream_dedup"](spark, d).toPandas()
+    assert len(out) == 4  # one survivor per distinct event_id
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    oracle = con.execute(registry.oracle_sql()["stream_dedup"]).df()
+    r = compare_frames("stream_dedup-replay", out, oracle)
+    assert r.ok, str(r)
