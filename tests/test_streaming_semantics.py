@@ -278,3 +278,93 @@ def test_stream_dedup_collapses_true_replays(spark, tmp_path):
     oracle = con.execute(registry.oracle_sql()["stream_dedup"]).df()
     r = compare_frames("stream_dedup-replay", out, oracle)
     assert r.ok, str(r)
+
+
+def test_dedup_horizon_evicts_state_and_repasses_stale_replays(spark, tmp_path):
+    """The other side of the 30-day dedup horizon: state EVICTS as the
+    watermark advances, so a replay arriving beyond the horizon is a
+    new event, not a duplicate. Two micro-batches (maxFilesPerTrigger=1):
+    batch 1 carries the original; batch 2 advances the watermark ~60
+    days and replays the id — past the horizon, so BOTH occurrences
+    survive. This is the declared trade: bounded state (the 1000x
+    probe OOMed the unbounded form) in exchange for exactly-once only
+    within the replay horizon."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from pg2ch_spark.streaming.runner import _few_state_partitions, scratch_dir
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_batch(dirname, fname, rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [e for e, _ in rows],
+                "ts": [t0 + pd.Timedelta(seconds=o) for _, o in rows],
+                "user_id": [1] * len(rows),
+                "event_type": ["view"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        pdf.to_parquet(os.path.join(dirname, fname), coerce_timestamps=None)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    day = 86400
+    # file mod-time order == batch order for the file stream source
+    # (hence the sleeps). Eviction mechanics (verified empirically):
+    # id 1's state expires at event_time + horizon = day 30; the
+    # watermark the replay batch runs under derives from the PREVIOUS
+    # batch's max event time, and eviction executes at the END of the
+    # batch whose watermark first exceeds the expiry. So the stale
+    # replay needs TWO advancer batches between it and the original:
+    # b2 (day 61) raises the wm to day 31 for b3, b3's close evicts
+    # id 1, and b4's replay at day 64 re-passes as a new event.
+    import time as _time
+
+    write_batch(src, "b1.parquet", [(1, 0), (2, 10)])
+    _time.sleep(1.1)
+    write_batch(src, "b2.parquet", [(4, 61 * day)])
+    _time.sleep(1.1)
+    write_batch(src, "b3.parquet", [(5, 63 * day)])
+    _time.sleep(1.1)
+    write_batch(src, "b4.parquet", [(1, 64 * day), (3, 64 * day + 5)])
+
+    import pyspark.sql.functions as F
+
+    from pg2ch_spark.streaming.queries import _events_schema, _with_event_time
+
+    schema = spark.read.parquet(src).schema
+    out = scratch_dir("pg2ch_horizon_out_")
+    ckpt = scratch_dir("pg2ch_horizon_ckpt_")
+    shutil.rmtree(out, ignore_errors=True)
+    with _few_state_partitions(spark, rocksdb=True):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            _with_event_time(stream)
+            .withWatermark("ets", "30 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id")
+            .writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = sorted(
+        int(r.event_id) for r in spark.read.parquet(out).collect()
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # id 1 appears TWICE: its day-64 replay arrives after the horizon
+    # evicted its state, so it legitimately re-passes; the rest once
+    assert got == [1, 1, 2, 3, 4, 5]
