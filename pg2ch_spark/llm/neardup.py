@@ -190,7 +190,7 @@ def text_near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row per doc, so materialize it once — via the columnar cache
     # (spills to disk at doc scale), the classic "persist the
     # signatures" step of every LSH pipeline.
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = eager_persist(sig)
 
     # Candidate generation: ONE equi-self-join on exploded (band, value)
     # rows — band-agreement semantics identical to the oracle's OR-join
@@ -320,7 +320,7 @@ def _collapse_on(
     # Columnar persist, not an RDD-block checkpoint: the members arrays
     # total one id per INPUT row (row-scale even though the table has
     # one row per distinct payload) and must spill at scale, not OOM.
-    return clusters.persist(StorageLevel.MEMORY_AND_DISK)
+    return eager_persist(clusters)
 
 
 def _collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -397,7 +397,7 @@ def _rep_pair_scores(reps: DataFrame, keep) -> tuple[DataFrame, DataFrame]:
     # barrier each recomputes the split+shingle pipeline from the scan.
     # Columnar persist, not an RDD-block checkpoint: the shingle table
     # is row-scale once texts are mostly unique and must spill, not OOM.
-    sh = _shingles(reps).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = eager_persist(_shingles(reps))
     # Per-doc set sizes ride along as broadcast-joined constants BEFORE
     # the shingle self-join and become extra grouping keys — the first
     # implementation joined the sizes table onto the ~1.1M-row
@@ -472,6 +472,23 @@ _COS_MIN = 0.45  # measured: 14 pairs at sf0.01, 144 at sf0.1
 # is CHUNK × |B| doubles, never |A| × |B| (the unchunked kernel tried
 # to allocate a (250k, 250k) = 466 GiB matrix at the 1000× probe).
 _TILE_CHUNK = 1024
+
+
+def eager_persist(df: DataFrame) -> DataFrame:
+    """Spillable columnar cache, materialized NOW.
+
+    persist (columnar, spills to disk) instead of localCheckpoint
+    (Java-serialized RDD blocks — the OOM class at row scale), but
+    EAGERLY: a lazy persist leaves the optimizer planning every
+    consumer from the PRE-materialization estimate, and a collapse
+    groupBy's estimate reads tiny — on a mostly-unique corpus the
+    planner then broadcast-hash-joined the SHINGLE-scale cached table
+    and died building the broadcast (found by the salted 100× probe).
+    After count(), InMemoryRelation reports the cache's ACTUAL size,
+    so consumers get SMJ vs broadcast decided on real bytes."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
 
 
 def chunked_cos_pairs(ids_a, A, ids_b, B, pre, upper_only):
@@ -754,9 +771,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Columnar persist, not an RDD-block checkpoint: this table is
     # |vectors| × |centroids| rows — the largest intermediate in the
     # repo — and must spill to disk at scale, not OOM the heap.
-    ranked = d.withColumn("_rn", F.row_number().over(w)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ranked = eager_persist(d.withColumn("_rn", F.row_number().over(w)))
     assign = ranked.where(F.col("_rn") == 1).select("vec_id", F.col("cl").alias("bucket"))
     probes = (
         ranked.where((F.col("vec_id") < _N_QUERIES) & (F.col("_rn") <= _N_PROBES))

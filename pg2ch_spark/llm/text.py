@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.storagelevel import StorageLevel
 
 from pg2ch_spark import catalog
 from pg2ch_spark.registry import register
@@ -254,6 +253,7 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _collapse_exact,
         _expand_member_products,
         _shingles,
+        eager_persist,
     )
 
     docs = catalog.load(spark, sf_dir, "documents")
@@ -262,16 +262,13 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r1 measured recompute as cheaper, but that was with the old
     # shuffle-based _shingles; with in-row distinct shingles the
     # materialized table wins: checkpointed 1.5s stable vs 1.5-4.1s
-    # GC-bimodal recomputing the explode 4x (sf0.1). persist, NOT
+    # GC-bimodal recomputing the explode 4x (sf0.1). eager_persist, NOT
     # localCheckpoint: the table is shingle-scale (row-scale once texts
-    # are mostly unique), and an RDD-block checkpoint of that OOMed the
-    # heap in text_lm_logprob's 1000x probe — the columnar cache spills
-    # to disk instead.
-    toks = (
-        _shingles(reps)
-        .withColumnRenamed("g", "token")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # are mostly unique) — an RDD-block checkpoint of that OOMed the
+    # heap in text_lm_logprob's 1000x probe, and a LAZY persist left the
+    # planner broadcast-joining this table off its tiny pre-agg estimate
+    # (the salted 100x probe died building the broadcast).
+    toks = eager_persist(_shingles(reps).withColumnRenamed("g", "token"))
 
     hashed = toks.select(
         "doc_id",

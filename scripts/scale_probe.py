@@ -88,7 +88,15 @@ DEFAULT_KEYS = [
 ]
 
 
-def replicate(spark, src: str, dst: str, mult: int) -> None:
+def replicate(spark, src: str, dst: str, mult: int, salt_payloads: bool = False) -> None:
+    """salt_payloads=False (default): copies keep IDENTICAL payloads —
+    the duplicate-density stress (every text gains mult exact copies,
+    which is what breaks un-collapsed band buckets). salt_payloads=True
+    probes the COMPLEMENTARY axis: each copy's text gets a per-copy
+    suffix token and each embedding a per-copy first-dim nudge, so
+    payloads are (near-)distinct and the exact-dup collapse is a no-op
+    — shingle/signature tables then carry TRUE row scale, which is the
+    stress the spillable persists exist for."""
     os.makedirs(dst, exist_ok=True)
     for table, offs in _OFFSETS.items():
         path = os.path.join(src, f"{table}.parquet")
@@ -106,6 +114,18 @@ def replicate(spark, src: str, dst: str, mult: int) -> None:
             out = df.repartition(128).select("*", idx)
             for col, step in offs.items():
                 out = out.withColumn(col, F.col(col) + F.col("_i").cast("long") * step)
+            if salt_payloads and table == "documents":
+                out = out.withColumn(
+                    "text", F.concat_ws(" ", "text", F.concat(F.lit("u"), F.col("_i")))
+                )
+            if salt_payloads and table == "embeddings":
+                out = out.withColumn(
+                    "embedding",
+                    F.expr(
+                        "transform(embedding, (x, j) -> IF(j = 0, "
+                        "CAST(x + _i * 1e-4 AS FLOAT), x))"
+                    ),
+                )
             out = out.drop("_i")
         out.write.mode("overwrite").parquet(os.path.join(dst, f"{table}.parquet"))
 
@@ -120,6 +140,13 @@ def main() -> None:
         action="store_true",
         help="reuse (and keep) an existing replicated scratch dir",
     )
+    ap.add_argument(
+        "--salt-payloads",
+        action="store_true",
+        help="make each copy's text/embedding (near-)distinct: probes "
+        "the unique-dense axis where exact-dup collapse is a no-op "
+        "(separate scratch subdir; see replicate())",
+    )
     args = ap.parse_args()
 
     from pg2ch_spark import registry
@@ -130,12 +157,13 @@ def main() -> None:
     registry.load_all()
     keys = args.keys.split(",") if args.keys else DEFAULT_KEYS
 
-    big = os.path.join(args.scratch, f"x{args.mult}")
+    suffix = "u" if args.salt_payloads else ""
+    big = os.path.join(args.scratch, f"x{args.mult}{suffix}")
     if args.reuse and os.path.exists(os.path.join(big, "lineitem.parquet")):
         print(f"reusing {big}")
     else:
         t0 = time.perf_counter()
-        replicate(spark, SF_DIR, big, args.mult)
+        replicate(spark, SF_DIR, big, args.mult, salt_payloads=args.salt_payloads)
         print(f"replicated {args.mult}x into {big} in {time.perf_counter() - t0:.1f}s")
 
     def timed(key: str, sf_dir: str) -> float:
