@@ -414,6 +414,65 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_hll_sketch_bounds",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY event_type
+    ), all_row AS (
+        SELECT 'ALL' AS event_type, COUNT(DISTINCT user_id) AS exact_users
+        FROM events
+    ), u AS (
+        SELECT * FROM per_type UNION ALL SELECT * FROM all_row
+    )
+    SELECT event_type,
+           exact_users,
+           CAST(floor(0.95 * exact_users) AS BIGINT) AS lo_bound,
+           CAST(ceil(1.05 * exact_users) AS BIGINT) AS hi_bound,
+           TRUE AS est_in_bounds
+    FROM u
+    """,
+)
+def agg_hll_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Machine-checkable accuracy certificate for `agg_hll_sketch_merge`
+    (which is rows-only by design: HLL binary registers differ across
+    engines). Instead of emitting the estimate, this emits the EXACT
+    per-type (and merged-ALL) distinct-user count plus a boolean that
+    the Spark datasketches-HLL estimate — per-type sketch AND the
+    sketch-union rollup — lands inside ±5% of exact. DuckDB's oracle
+    computes the same exact counts and asserts literal TRUE, so a
+    drifting sketch breaks the hash gate. Deterministic: datasketches
+    HLL is a pure function of the value set; the default lgK=12 gives
+    1.04/sqrt(4096) ≈ 1.6% rms, so 5% ≈ 3σ. Scale: one pass builds all
+    sketch states map-side; exact counts shuffle only (type, user_id)
+    pairs — both linear, no payload movement."""
+    ev = catalog.load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    all_row = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+    ).crossJoin(
+        ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    ).select(F.lit("ALL").alias("event_type"), "exact_users", "est")
+    typed = per_type.select(
+        "event_type",
+        "exact_users",
+        F.hll_sketch_estimate("sketch").alias("est"),
+    )
+    lo = F.floor(F.lit(0.95) * F.col("exact_users")).cast("long")
+    hi = F.ceil(F.lit(1.05) * F.col("exact_users")).cast("long")
+    return typed.unionByName(all_row).select(
+        "event_type",
+        "exact_users",
+        lo.alias("lo_bound"),
+        hi.alias("hi_bound"),
+        F.col("est").between(lo, hi).alias("est_in_bounds"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Skew-mitigation JOIN — the join-side sibling of agg_salted_skew. At
 # 100 TB the pattern applies when BOTH sides are too big to broadcast

@@ -193,12 +193,21 @@ _ROUND6_PRIORITY: tuple[str, ...] = (
     "stream_windowed_distinct",
 )
 
-# ROUND-5 SWAP (VERDICT r4 item 1, executed at the start of round 5):
-# the round-5 driver window is exactly _ROUND5_PRIORITY — the 50-key
-# never-driver-checked backlog. At the start of round 6, change this to
-#     _DRIVER_PRIORITY = _ROUND6_PRIORITY + _ROUND5_PRIORITY + _DRIVER_PRIORITY
-# so the final 11 untested keys lead round 6's window.
-_DRIVER_PRIORITY = _ROUND5_PRIORITY + _DRIVER_PRIORITY
+# Keys ADDED during round 6 (companion/accuracy keys the round-5
+# verdict asked for). They slot directly after the 11-key backlog so
+# they earn driver evidence in the same round they are written, instead
+# of recreating a "registered but never driver-checked" backlog.
+_ROUND6_NEW: tuple[str, ...] = (
+    "agg_hll_sketch_bounds",
+)
+
+# ROUND-6 SWAP (VERDICT r5 item 1, executed at the start of round 6):
+# the round-6 driver window leads with the 11 keys that have no
+# CORRECTNESS row after rounds 1/3/4/5 (_ROUND6_PRIORITY), then any
+# keys newly added this round (_ROUND6_NEW), then the already-green
+# round-5 window re-checks. Once this round's driver run lands, every
+# declared key has driver evidence and the surface can unfreeze.
+_DRIVER_PRIORITY = _ROUND6_PRIORITY + _ROUND6_NEW + _ROUND5_PRIORITY + _DRIVER_PRIORITY
 
 
 def _prioritized(d: dict) -> dict:

@@ -30,15 +30,19 @@ def test_query_vs_oracle(key, spark, duck):
 
 
 def test_driver_window_prioritizes_unchecked_backlog():
-    """The first 50 keys queries() yields must be exactly the round-5
-    backlog window (_ROUND5_PRIORITY): the keys with no CORRECTNESS row
-    after rounds 1/3/4. Newly registered operators append after the
-    priority list and must never displace it."""
+    """The first 50 keys queries() yields must lead with the round-6
+    backlog window: the 11 keys with no CORRECTNESS row after rounds
+    1/3/4/5 (_ROUND6_PRIORITY), then keys newly added this round
+    (_ROUND6_NEW), then re-checks from the already-green round-5
+    window. Newly registered operators append after the priority list
+    and must never displace it."""
     keys = list(registry.queries())
     prio = list(dict.fromkeys(registry._DRIVER_PRIORITY))
     assert keys[: len(prio)] == prio
     window = keys[:50]
-    assert window == list(registry._ROUND5_PRIORITY)
+    head = list(registry._ROUND6_PRIORITY) + list(registry._ROUND6_NEW)
+    assert window[: len(head)] == head
+    assert window[len(head):] == list(registry._ROUND5_PRIORITY)[: 50 - len(head)]
     # every window key carries an exact oracle except the declared
     # rows-only sketch (HLL binary registers differ across engines)
     oracles = registry.oracle_sql()
@@ -48,12 +52,12 @@ def test_driver_window_prioritizes_unchecked_backlog():
     assert list(oracles)[: len(prio_with_oracle)] == prio_with_oracle
 
 
-def test_round5_and_6_priorities_cover_all_unchecked_keys():
+def test_round6_window_covers_all_unchecked_keys():
     """Driver-window plan audit: EVERY key lacking a CORRECTNESS row
-    after rounds 1/3/4 must fall inside the ACTIVE round-5 window (the
-    first 50 keys of queries()) or the PLANNED round-6 window (prepend
-    _ROUND6_PRIORITY). Round 3's verdict was precisely about this
-    invariant silently breaking."""
+    after rounds 1/3/4/5 — plus every key newly registered this round —
+    must fall inside the ACTIVE round-6 window (the first 50 keys of
+    queries()). Round 3's verdict was precisely about this invariant
+    silently breaking."""
     import json
     import os
 
@@ -63,24 +67,16 @@ def test_round5_and_6_priorities_cover_all_unchecked_keys():
         "CORRECTNESS_r01.json",
         "CORRECTNESS_r03.json",
         "CORRECTNESS_r04.json",
+        "CORRECTNESS_r05.json",
     ):
         with open(os.path.join(here, art)) as f:
             checked |= set(json.load(f))
     all_keys = list(registry.queries())
-    r5 = set(all_keys[:50])
-
-    def window(priorities):
-        sim = []
-        for k in priorities + all_keys:
-            if k not in sim:
-                sim.append(k)
-        return set(sim[:50])
-
-    r6 = window(list(registry._ROUND6_PRIORITY) + list(registry._DRIVER_PRIORITY))
-    missed = [k for k in all_keys if k not in checked and k not in (r5 | r6)]
-    assert missed == [], f"never-checked keys outside both planned windows: {missed}"
-    # the round-5 window itself must stay fully packed with unchecked
-    # keys (a re-check in round 5 while unchecked keys wait would be
-    # the round-3 failure shape again)
-    assert len(registry._ROUND5_PRIORITY) == 50
-    assert not (r5 & checked), f"already-checked keys occupy the round-5 window: {sorted(r5 & checked)}"
+    r6 = set(all_keys[:50])
+    missed = [k for k in all_keys if k not in checked and k not in r6]
+    assert missed == [], f"never-checked keys outside the round-6 window: {missed}"
+    # the backlog keys (and this round's additions) must LEAD the
+    # window — a re-check scheduled ahead of an unchecked key would be
+    # the round-3 failure shape again
+    n_unchecked = len(registry._ROUND6_PRIORITY) + len(registry._ROUND6_NEW)
+    assert not (set(all_keys[:n_unchecked]) & checked)
