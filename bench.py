@@ -99,6 +99,11 @@ def run_spark(
         # single-key re-runs of late-suite outliers are 3-6x faster
         # than their in-suite serial numbers).
         gc.collect()
+        # Drop eager_persist entries too (caching.py policy): each
+        # cache-using key adds MEMORY_AND_DISK entries per input;
+        # across 211 keys the stale entries grow storage unboundedly
+        # and evict/spill against later queries.
+        spark.catalog.clearCache()
 
     wall = None
     if not serial_only:
@@ -129,6 +134,7 @@ def _concurrent_pass(spark, queries, selected, sf_dir: str, repeat: int) -> floa
 
     walls = []
     for _ in range(repeat):
+        spark.catalog.clearCache()  # each pass starts cache-cold (caching.py policy)
         t0 = time.perf_counter()
         with ThreadPoolExecutor(nthreads) as ex:
             # list() re-raises any worker exception: a failed query must

@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.storagelevel import StorageLevel
 
 from pg2ch_spark import catalog
+from pg2ch_spark.caching import eager_persist
 from pg2ch_spark.llm.similarity import cosine, _cos_sql
 from pg2ch_spark.registry import register
 
@@ -270,9 +271,13 @@ _JACCARD_MIN = 0.5
 def text_near_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (similarity ≥ 0.5).
 
-    Candidates come only from the equi-join on shared shingles; the
-    Jaccard is exact (integer intersection/union), so no verify pass is
-    needed — this is the precise-but-costlier sibling of MinHash-LSH.
+    Candidates come from the recall-lossless AllPairs prefix filter
+    (see `_candidates_jaccard`: docs ordered rarest-shingle-first must
+    share a PREFIX shingle to reach 0.5 — provably, not heuristically),
+    then each candidate's Jaccard is verified exactly (integer
+    intersection/union) — the precise sibling of MinHash-LSH with the
+    same result set as the naive all-shared-shingle join, minus its
+    quadratic-per-hot-shingle candidate stream.
     """
     return ngram_jaccard_pairs(catalog.load(spark, sf_dir, "documents"))
 
@@ -297,17 +302,15 @@ def _collapse_on(
     afterwards, so cost becomes candidates-over-distinct-payloads plus
     TRUE output size.
 
-    Persisted (lazily): every consumer fans the cluster table into
-    3-4 plan branches (reps + within + both cross sides) and Spark has
-    no cross-branch subtree reuse — without the shared cache the
-    groupBy recomputes per branch (measured ~1s/branch at sf0.1).
-    Lazy persist is race-free: concurrent stages reading an uncached
-    partition serialize on the BlockManager's per-block write lock
-    (one task computes, the rest wait and read), so each partition is
-    computed exactly once. Cache lifetime is plan-keyed: re-invoking
-    the same query over the same input REUSES the entry (a warm-rerun
-    win), a distinct input adds one entry; a long-lived multi-workload
-    session reclaims them with spark.catalog.clearCache()."""
+    Persisted EAGERLY (``caching.eager_persist`` — see that module for
+    why eager, why columnar persist, and the cache-lifetime policy):
+    every consumer fans the cluster table into 3-4 plan branches (reps
+    + within + both cross sides) and Spark has no cross-branch subtree
+    reuse — without the shared cache the groupBy recomputes per branch
+    (measured ~1s/branch at sf0.1). A lazy persist is NOT equivalent:
+    consumers would be planned from the pre-materialization estimate,
+    which reads tiny for a collapse groupBy and once broadcast-joined
+    a shingle-scale table to death (the salted 100× probe)."""
     clusters = (
         df.groupBy(key.alias("_k"))
         .agg(
@@ -385,37 +388,165 @@ def _expand_member_products(
     return cross.unionByName(within)
 
 
-def _rep_pair_scores(reps: DataFrame, keep) -> tuple[DataFrame, DataFrame]:
-    """(rep_pairs, sz) — scored shared-shingle pairs over an already
-    exact-dup-collapsed (doc_id, text) frame, plus the per-doc shingle
-    size table (the expansion step needs it to know which reps shingle
-    at all). This is the pre-expansion core of ``_shingle_pair_scores``;
+def _ordered_grams(sh: DataFrame) -> DataFrame:
+    """(doc_id, grams, n): each doc's distinct shingles as ONE array
+    sorted rarest-first under the global total order (document
+    frequency asc, gram asc) the prefix filter requires. The df join
+    shuffles grams once; the collect_list shuffles each gram once more
+    — together no more data movement than the old full shingle
+    self-join moved per side."""
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        sh.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("_df", "g"))).alias("_sg"))
+        .select(
+            "doc_id",
+            F.col("_sg.g").alias("grams"),
+            F.size("_sg").alias("n"),
+        )
+    )
+
+
+def _prefix_len(threshold: float):
+    """AllPairs prefix length for own size n and threshold t: a pair at
+    similarity >= t must overlap in >= ceil(t*n) shingles, so the
+    ceil(t*n)-1 rarest-last shingles cannot hold ALL common ones —
+    at least one common shingle lies in the first n - ceil(t*n) + 1."""
+    return (
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
+    ).cast("int")
+
+
+def _candidates_jaccard(docs_g: DataFrame, t: float) -> DataFrame:
+    """Two-sided prefix-filtered candidates for Jaccard >= t — EXACT
+    (zero recall loss), the classic AllPairs/PPJoin prefix lemma: order
+    all shingles by a global total order; if J(A,B) >= t, the prefixes
+    of length |X| - ceil(t|X|) + 1 intersect. (Proof: wlog A's prefix
+    ends earlier in the order; every common shingle then falls after
+    it — at most ceil(t|A|)-1 of A's shingles — but J >= t forces
+    >= ceil(t|A|) common shingles. Contradiction.) Size window rides
+    in the join: J >= t also forces t <= |A|/|B| <= 1/t, pruning
+    cross-size candidates before the distinct."""
+    pre = docs_g.select(
+        "doc_id", "n", F.explode(F.slice("grams", F.lit(1), _prefix_len(t))).alias("g")
+    )
+    a = pre.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "g")
+    b = pre.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "g")
+    return (
+        a.join(b, "g")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("n_b") >= F.ceil(F.lit(t) * F.col("n_a")))
+            & (F.col("n_a") >= F.ceil(F.lit(t) * F.col("n_b")))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _candidates_containment(docs_g: DataFrame, c: float) -> DataFrame:
+    """Small-side-prefix candidates for containment >= c — EXACT. The
+    min-size semantics break the two-sided lemma (the larger doc's
+    own-size prefix can end before every common shingle), so the
+    filter indexes every doc's prefix and probes it with the FULL
+    shingle set of its size-larger partners: C >= c needs
+    o >= ceil(c*min) common shingles, and the smaller side's
+    ceil(c*n)-1 rarest-last shingles cannot hold them all, so one
+    common shingle sits in the smaller side's prefix — where the
+    larger side's full set must meet it. Rarest-first ordering keeps
+    hot shingles out of prefixes, so inverted lists of stopword-grams
+    never pair cold docs."""
+    small = docs_g.select(
+        "doc_id", "n", F.explode(F.slice("grams", F.lit(1), _prefix_len(c))).alias("g")
+    )
+    full = docs_g.select(
+        F.col("doc_id").alias("_fid"),
+        F.col("n").alias("_fn"),
+        F.explode("grams").alias("g"),
+    )
+    return (
+        small.join(full, "g")
+        .where(
+            (F.col("_fn") > F.col("n"))
+            | ((F.col("_fn") == F.col("n")) & (F.col("_fid") > F.col("doc_id")))
+        )
+        .select(
+            F.least("doc_id", "_fid").alias("doc_a"),
+            F.greatest("doc_id", "_fid").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def _rep_pair_scores(
+    reps: DataFrame,
+    keep,
+    prefilter: tuple[str, float],
+) -> tuple[DataFrame, DataFrame]:
+    """(rep_pairs, sz) — scored pairs over an already exact-dup-
+    collapsed (doc_id, text) frame, plus the per-doc shingle size table
+    (the expansion step needs it to know which reps shingle at all).
+    This is the pre-expansion core of ``_shingle_pair_scores``;
     ``dedup_cluster_components`` consumes it directly so connected
     components never materialize the k(k-1)/2 within-cluster member
-    pairs of the expanded contract (k-1 identity edges suffice)."""
-    # sh feeds three plan branches (sizes + both join sides); without a
-    # barrier each recomputes the split+shingle pipeline from the scan.
-    # Columnar persist, not an RDD-block checkpoint: the shingle table
-    # is row-scale once texts are mostly unique and must spill, not OOM.
-    sh = eager_persist(_shingles(reps))
-    # Per-doc set sizes ride along as broadcast-joined constants BEFORE
-    # the shingle self-join and become extra grouping keys — the first
-    # implementation joined the sizes table onto the ~1.1M-row
-    # intersection result twice (two more shuffles of the pair stream).
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sided = sh.join(F.broadcast(sz), "doc_id")
-    a = sided.select(F.col("doc_id").alias("doc_a"), "g", F.col("n").alias("n_a"))
-    b = sided.select(F.col("doc_id").alias("doc_b"), "g", F.col("n").alias("n_b"))
-    inter = (
-        a.join(b, "g")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
+    pairs of the expanded contract (k-1 identity edges suffice).
+
+    Candidates come from an EXACT prefix filter instead of the full
+    shared-shingle self-join. ``prefilter`` is REQUIRED and must name a
+    threshold AT MOST as strict as ``keep`` enforces — ("jaccard", t)
+    or ("containment", c); a prefilter stricter than keep (or of the
+    wrong kind: a jaccard filter under a containment keep) silently
+    drops true pairs, which is why there is no default. Why replace
+    the self-join:
+    the old plan paired every two docs sharing ANY shingle, so a
+    shingle in f docs cost f² grouped rows — quadratic per hot shingle
+    on real corpora even after exact-dup collapse. Prefix filtering is
+    recall-lossless (lemmas at the candidate builders), so results are
+    bit-identical; scores are then verified exactly per candidate via
+    array_intersect on the per-doc gram arrays — candidate-count work,
+    not shared-shingle-count work."""
+    kind, threshold = prefilter
+    # sh feeds two derivations (gram df + the per-doc arrays); persist
+    # through the docs_g build, then release — docs_g replaces it.
+    sh = _shingles(reps).persist(StorageLevel.MEMORY_AND_DISK)
+    # docs_g feeds four plan branches (prefix explode per side + both
+    # verify sides); columnar persist, spillable at row scale.
+    docs_g = eager_persist(_ordered_grams(sh))
+    sh.unpersist()
+    sz = docs_g.select("doc_id", "n")
+    if kind == "jaccard":
+        cand = _candidates_jaccard(docs_g, threshold)
+    elif kind == "containment":
+        cand = _candidates_containment(docs_g, threshold)
+    else:  # pragma: no cover - caller contract
+        raise ValueError(f"unknown prefilter kind: {kind}")
+    ga = docs_g.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("_ga"),
+        F.col("n").alias("n_a"),
+    )
+    gb = docs_g.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("_gb"),
+        F.col("n").alias("n_b"),
+    )
+    scored = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("_ga", "_gb")).alias("ni"),
+        )
+        .where(F.col("ni") > 0)
     )
     cont = F.col("ni").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
     jac = F.col("ni").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("ni"))
     rep_pairs = (
-        inter.where(keep(cont, jac))
+        scored.where(keep(cont, jac))
         .select(
             "doc_a",
             "doc_b",
@@ -426,7 +557,11 @@ def _rep_pair_scores(reps: DataFrame, keep) -> tuple[DataFrame, DataFrame]:
     return rep_pairs, sz
 
 
-def _shingle_pair_scores(docs: DataFrame, keep) -> DataFrame:
+def _shingle_pair_scores(
+    docs: DataFrame,
+    keep,
+    prefilter: tuple[str, float],
+) -> DataFrame:
     """(doc_a, doc_b, containment, jaccard) for shared-shingle pairs
     passing ``keep`` (a (containment, jaccard) -> Column predicate),
     exact-dup-collapsed: scores are computed once per distinct text
@@ -438,7 +573,7 @@ def _shingle_pair_scores(docs: DataFrame, keep) -> DataFrame:
     shingles (<3 words) never pair — the expansion keeps that by
     requiring the rep in the size table."""
     reps, clusters = _collapse_exact(docs)
-    rep_pairs, sz = _rep_pair_scores(reps, keep)
+    rep_pairs, sz = _rep_pair_scores(reps, keep, prefilter)
     # within-cluster pairs: identical texts, but only if they shingle
     # (the sz join) AND identity scores pass the caller's predicate
     # (constant-folded by Catalyst).
@@ -458,9 +593,11 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """The pair generator itself, over any (doc_id, text) frame — also
     reused by dedup_cluster_components (which pre-collapses; the
     collapse here is then a no-op over singleton clusters)."""
-    return _shingle_pair_scores(docs, lambda cont, jac: jac >= _JACCARD_MIN).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    return _shingle_pair_scores(
+        docs,
+        lambda cont, jac: jac >= _JACCARD_MIN,
+        prefilter=("jaccard", _JACCARD_MIN),
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -474,21 +611,9 @@ _COS_MIN = 0.45  # measured: 14 pairs at sf0.01, 144 at sf0.1
 _TILE_CHUNK = 1024
 
 
-def eager_persist(df: DataFrame) -> DataFrame:
-    """Spillable columnar cache, materialized NOW.
-
-    persist (columnar, spills to disk) instead of localCheckpoint
-    (Java-serialized RDD blocks — the OOM class at row scale), but
-    EAGERLY: a lazy persist leaves the optimizer planning every
-    consumer from the PRE-materialization estimate, and a collapse
-    groupBy's estimate reads tiny — on a mostly-unique corpus the
-    planner then broadcast-hash-joined the SHINGLE-scale cached table
-    and died building the broadcast (found by the salted 100× probe).
-    After count(), InMemoryRelation reports the cache's ACTUAL size,
-    so consumers get SMJ vs broadcast decided on real bytes."""
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    return df
+# eager_persist moved to pg2ch_spark.caching (imported at the top; see
+# that module for the eager-vs-lazy and persist-vs-localCheckpoint
+# rationale and the cache-lifetime policy).
 
 
 def chunked_cos_pairs(ids_a, A, ids_b, B, pre, upper_only):
@@ -929,12 +1054,14 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle doc inside a 500-shingle doc has Jaccard ≤ 0.1 but
     containment 1.0). Jaccard rides along so consumers can split
     "near-identical" from "contained". Same scale shape as the Jaccard
-    sibling: candidates ONLY from the shared-shingle equi-join over
-    exact-dup-collapsed representatives (the shared
-    `_shingle_pair_scores` generator), so duplicate clusters cost
-    their true output, never a quadratic candidate stream.
+    sibling: exact-dup collapse first, then the recall-lossless
+    small-side-prefix filter (`_candidates_containment`) generates
+    candidates — duplicate clusters cost their true output and hot
+    shingles never cross cold docs.
     """
     docs = catalog.load(spark, sf_dir, "documents")
-    return _shingle_pair_scores(docs, lambda cont, jac: cont >= _CONTAIN_MIN).select(
-        "doc_a", "doc_b", "containment", "jaccard"
-    )
+    return _shingle_pair_scores(
+        docs,
+        lambda cont, jac: cont >= _CONTAIN_MIN,
+        prefilter=("containment", _CONTAIN_MIN),
+    ).select("doc_a", "doc_b", "containment", "jaccard")

@@ -612,7 +612,9 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # rep-level scored pairs directly (skips the no-op re-collapse and
     # the member-product expansion of the pair-contract entry points)
-    rep_pairs, _ = _rep_pair_scores(reps, lambda cont, jac: jac >= _JACCARD_MIN)
+    rep_pairs, _ = _rep_pair_scores(
+        reps, lambda cont, jac: jac >= _JACCARD_MIN, ("jaccard", _JACCARD_MIN)
+    )
     pairs = rep_pairs.select("doc_a", "doc_b").unionByName(ident)
     edges = (
         pairs.unionByName(

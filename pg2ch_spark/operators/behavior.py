@@ -33,6 +33,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pg2ch_spark import catalog
+from pg2ch_spark.caching import eager_persist
 from pg2ch_spark.operators.intervals import (
     interval_overlap_pairs,
     point_in_interval,
@@ -275,7 +276,12 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = catalog.load(spark, sf_dir, "events")
     sec = catalog.ts_epoch_s(ev)
-    spans = (
+    # The span table feeds THREE plan branches (probe side, build side,
+    # and the hot-hour census inside interval_overlap_pairs); without
+    # the shared cache each re-aggregates the events scan (r5 bench:
+    # +1.4 s at sf0.1 for the third pass alone). Spans are user×day
+    # rows — bounded far below event volume at any scale.
+    spans = eager_persist(
         ev.select("user_id", sec.alias("s"))
         .groupBy("user_id", (F.col("s") / F.lit(86400)).cast("long").alias("day"))
         .agg(F.min("s").alias("lo"), F.max("s").alias("hi"))

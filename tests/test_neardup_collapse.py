@@ -87,7 +87,11 @@ def _oracle(con, where: str) -> pd.DataFrame:
 def test_containment_scores_exact_under_heavy_duplication(dup_corpus):
     docs, con, _ = dup_corpus
     got = (
-        _shingle_pair_scores(docs, lambda cont, jac: cont >= _CONTAIN_MIN)
+        _shingle_pair_scores(
+            docs,
+            lambda cont, jac: cont >= _CONTAIN_MIN,
+            prefilter=("containment", _CONTAIN_MIN),
+        )
         .toPandas()
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
@@ -111,6 +115,73 @@ def test_jaccard_pairs_exact_under_heavy_duplication(dup_corpus):
         con, f"CAST(ni AS DOUBLE) / (x.n + y.n - ni) >= {_JACCARD_MIN}"
     )[["doc_a", "doc_b", "jaccard"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [1, 7, 101])
+@pytest.mark.parametrize("kind", ["jaccard", "containment"])
+def test_prefix_filter_is_recall_lossless(spark, seed, kind):
+    """The AllPairs prefix lemma, machine-checked: on random corpora
+    with a tiny vocabulary (hot shingles everywhere), extreme size
+    skew (3-word docs through 60-word docs) and equal-size ties, the
+    prefix-filtered candidates must contain EVERY pair the brute-force
+    all-shared-shingle join scores above threshold."""
+    import itertools
+
+    from pg2ch_spark.llm.neardup import (
+        _candidates_containment,
+        _candidates_jaccard,
+        _ordered_grams,
+        _shingles,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"v{i}" for i in range(12)]  # tiny vocab: maximal overlap
+    rows, next_id = [], 0
+
+    def add(words):
+        nonlocal next_id
+        rows.append((next_id, " ".join(words)))
+        next_id += 1
+
+    for _ in range(25):
+        n = int(rng.integers(3, 60))
+        base = list(rng.choice(vocab, size=n))
+        add(base)
+        # planted near-dups: single-word edit, truncation (containment
+        # 1.0 of the shorter side), and a one-word append
+        edited = list(base)
+        edited[int(rng.integers(0, n))] = str(rng.choice(vocab))
+        add(edited)
+        if n >= 6:
+            add(base[: int(rng.integers(4, n))])
+        add(base + [str(rng.choice(vocab))])
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+    docs_g = _ordered_grams(_shingles(docs))
+    t = 0.5 if kind == "jaccard" else 0.9
+    cand_fn = _candidates_jaccard if kind == "jaccard" else _candidates_containment
+    got = {
+        (r.doc_a, r.doc_b) for r in cand_fn(docs_g, t).collect()
+    }
+    # brute force over the full pair space
+    grams = {
+        r.doc_id: set(r.grams) for r in docs_g.collect()
+    }
+    required = set()
+    for a, b in itertools.combinations(sorted(grams), 2):
+        ni = len(grams[a] & grams[b])
+        if ni == 0:
+            continue
+        score = (
+            ni / (len(grams[a]) + len(grams[b]) - ni)
+            if kind == "jaccard"
+            else ni / min(len(grams[a]), len(grams[b]))
+        )
+        if score >= t:
+            required.add((a, b))
+    assert required, "fixture must produce true pairs"
+    missed = required - got
+    assert not missed, f"prefix filter dropped true pairs: {sorted(missed)[:10]}"
 
 
 def test_candidate_join_runs_over_representatives(dup_corpus):
