@@ -57,12 +57,16 @@ class DaemonConfig:
     tables: list[TableSpec]
     max_files_per_trigger: int | None = None
     poll_interval_s: float = 5.0
+    # "events" = fixture event log (CDC derived in-stream);
+    # "cdc" = a spool directory of normalized CDC parquet files, the
+    # shape sources.spool lands from the live walsender client
+    source_format: str = "events"
     spark: SparkConfig = field(default_factory=SparkConfig)
 
 
 _TOP_KEYS = {"spark", "source", "state_root", "poll_interval_s", "tables"}
 _SPARK_KEYS = {"master", "app_name", "shuffle_partitions"}
-_SOURCE_KEYS = {"sf_dir", "max_files_per_trigger"}
+_SOURCE_KEYS = {"sf_dir", "max_files_per_trigger", "format"}
 
 
 def _reject_unknown(block: dict, allowed: set[str], where: str) -> None:
@@ -120,6 +124,9 @@ def config_from_mapping(m: dict) -> DaemonConfig:
     mft = source.get("max_files_per_trigger")
     if mft is not None and (not isinstance(mft, int) or mft < 1):
         raise ValueError("source.max_files_per_trigger must be a positive int")
+    fmt = source.get("format", "events")
+    if fmt not in ("events", "cdc"):
+        raise ValueError("source.format must be 'events' or 'cdc'")
     poll = m.get("poll_interval_s", 5.0)
     if not isinstance(poll, (int, float)) or poll < 0:
         raise ValueError("poll_interval_s must be a non-negative number")
@@ -130,6 +137,7 @@ def config_from_mapping(m: dict) -> DaemonConfig:
         tables=specs,
         max_files_per_trigger=mft,
         poll_interval_s=float(poll),
+        source_format=fmt,
         spark=SparkConfig(**spark_block),
     )
 

@@ -76,6 +76,7 @@ def run_daemon(
             cfg.source_dir,
             cfg.state_root,
             max_files_per_trigger=cfg.max_files_per_trigger,
+            source_format=cfg.source_format,
         )
         n_pass += 1
         stopping = stop.is_set() or once or (max_passes is not None and n_pass >= max_passes)

@@ -227,20 +227,30 @@ class _CollapsingSink(_AppendSink):
         )
 
 
+CDC_SPOOL_SCHEMA = "key bigint, ver bigint, op string, value double"
+
+
 def run_pipeline(
     spark: SparkSession,
     specs: list[TableSpec],
     sf_dir: str,
     state_root: str,
     max_files_per_trigger: int | None = None,
+    source_format: str = "events",
 ) -> PipelineResult:
     """Replicate every configured table, availableNow (≙ catch-up run
     of a continuous daemon; rerunning resumes from each checkpoint).
 
-    Per table: stream the events source, derive the CDC log (R3), feed
-    the engine sink via foreachBatch (R5-R9), record the final state.
+    Per table: stream the source, derive the CDC log (R3), feed the
+    engine sink via foreachBatch (R5-R9), record the final state.
     Tables are independent pipelines exactly as in the reference — a
-    failure in one does not advance the others' offsets."""
+    failure in one does not advance the others' offsets.
+
+    ``source_format``: "events" streams ``<sf_dir>/events.parquet`` and
+    derives the CDC log from it (the fixture contract); "cdc" streams
+    ``sf_dir`` as a directory of already-normalized CDC files — the
+    shape `sources.spool.spool_transactions` lands from the live
+    walsender client, closing the R2→R5 chain end-to-end."""
     from pg2ch_spark.streaming.queries import _events_schema
     from pg2ch_spark.streaming.runner import (
         _few_state_partitions,
@@ -248,10 +258,15 @@ def run_pipeline(
         scratch_dir,
     )
 
+    if source_format not in ("events", "cdc"):
+        raise ValueError(f"unknown source_format {source_format!r}")
     result = PipelineResult()
     catalog.configure(spark)
-    path = catalog.table_path(sf_dir, "events")
-    schema = _events_schema(spark, sf_dir)
+    if source_format == "cdc":
+        path, schema = sf_dir, CDC_SPOOL_SCHEMA
+    else:
+        path = catalog.table_path(sf_dir, "events")
+        schema = _events_schema(spark, sf_dir)
 
     for spec in specs:
         table_dir = os.path.join(state_root, spec.main_table)
@@ -306,7 +321,8 @@ def run_pipeline(
                 .option("maxFilesPerTrigger", max_files_per_trigger)
                 .parquet(src_path)
             )
-        cdc = derive_cdc_stream(src).select(
+        normalized = src if source_format == "cdc" else derive_cdc_stream(src)
+        cdc = normalized.select(
             F.col("key").alias(spec.key_col) if spec.key_col != "key" else F.col("key"),
             F.col("ver").alias(spec.ver_col) if spec.ver_col != "ver" else F.col("ver"),
             "op",

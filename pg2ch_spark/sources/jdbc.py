@@ -68,6 +68,54 @@ def snapshot(
     return reader.load()
 
 
+def snapshot_options(snapshot_name: str) -> dict[str, str]:
+    """JDBC options pinning every partition's read transaction to one
+    exported snapshot (`SET TRANSACTION SNAPSHOT` runs per connection
+    via sessionInitStatement) — the consistency half of the R1→R2
+    handoff. Pair with the LSN returned by
+    ``WalSenderClient.create_slot`` (the other half)."""
+    if "'" in snapshot_name:  # snapshot names are server-generated; be safe
+        raise ValueError(f"invalid snapshot name: {snapshot_name!r}")
+    return {"sessionInitStatement": f"SET TRANSACTION SNAPSHOT '{snapshot_name}'"}
+
+
+def bootstrap_replication(
+    client,
+    spark: SparkSession,
+    url: str,
+    tables: dict[str, dict],
+    *,
+    slot: str,
+    plugin: str = "pgoutput",
+    sync=None,
+    **common,
+):
+    """The executable R1→R2 gapless handoff (pg2ch `pkg/replicator`
+    startup): CREATE the slot (exporting a snapshot), build every
+    table's partitioned JDBC reader PINNED to that snapshot, and return
+    ``(slot_info, frames)``. The caller materializes the frames
+    (initial sync), then calls ``client.start_replication(slot, pub,
+    start_lsn=slot_info.consistent_point)`` ON THE SAME CLIENT — the
+    exported snapshot is session-scoped, which is why this takes a
+    connected ``WalSenderClient`` rather than making its own.
+
+    ``sync`` defaults to :func:`snapshot_all` (the real JDBC reader
+    set); tests inject a fake with the same signature to run the
+    handoff e2e against the scripted walsender without a live
+    PostgreSQL — the slot/snapshot/LSN choreography under test is
+    identical either way.
+    """
+    info = client.create_slot(slot, plugin=plugin, export_snapshot=True)
+    if info.snapshot_name is None:
+        raise ValueError(
+            f"slot {slot!r} exported no snapshot (temporary slot or "
+            "NOEXPORT option?) — gapless handoff needs one"
+        )
+    opts = {**snapshot_options(info.snapshot_name), **common.pop("options", {})}
+    frames = (sync or snapshot_all)(spark, url, tables, options=opts, **common)
+    return info, frames
+
+
 def snapshot_all(
     spark: SparkSession,
     url: str,

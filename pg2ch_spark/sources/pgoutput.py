@@ -607,6 +607,24 @@ def lsn_str(lsn: int) -> str:
     return f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"
 
 
+def lsn_parse(text: str) -> int:
+    """'1/2A' → 0x1_0000_002A (inverse of :func:`lsn_str`)."""
+    hi, lo = text.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
+
+@dataclass(frozen=True)
+class SlotInfo:
+    """CREATE_REPLICATION_SLOT's result row: the slot's consistent
+    point (the LSN to START_REPLICATION from) and the exported snapshot
+    name the initial table sync must read at (R1→R2 gapless handoff)."""
+
+    slot_name: str
+    consistent_point: int
+    snapshot_name: str | None
+    output_plugin: str | None
+
+
 class WalSenderClient:
     """Minimal walsender frontend speaking the documented protocol.
 
@@ -784,6 +802,102 @@ class WalSenderClient:
                 return
             # 'S' ParameterStatus / 'K' BackendKeyData / 'N' notice: skip
 
+    # -- replication-command queries (simple query protocol) ----------------
+
+    def _simple_query(self, q: str) -> list[tuple[str | None, ...]]:
+        """Run one walsender command through the simple-query protocol
+        and return its DataRows as tuples of text values (None = SQL
+        NULL). Reads until ReadyForQuery so the session is reusable —
+        the same connection then issues START_REPLICATION, which is
+        what makes the handoff gapless (the slot's consistent point and
+        the exported snapshot belong to THIS session's state)."""
+        self._send_msg(b"Q", q.encode() + b"\x00")
+        rows: list[tuple[str | None, ...]] = []
+        err: str | None = None
+        while True:
+            typ, payload = self._recv_msg()
+            if typ == b"D":
+                (ncols,) = struct.unpack(">h", payload[:2])
+                off, vals = 2, []
+                for _ in range(ncols):
+                    (ln,) = struct.unpack(">i", payload[off : off + 4])
+                    off += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(payload[off : off + ln].decode())
+                        off += ln
+                rows.append(tuple(vals))
+            elif typ == b"E":
+                err = self._error_text(payload)
+            elif typ == b"Z":  # ReadyForQuery — command fully consumed
+                if err is not None:
+                    raise PgOutputError(f"{q.split(' ', 1)[0]} failed: {err}")
+                return rows
+            # 'T' RowDescription / 'C' CommandComplete / 'N' notice: skip
+
+    def identify_system(self) -> dict[str, str | None]:
+        """IDENTIFY_SYSTEM → {systemid, timeline, xlogpos, dbname} —
+        the first thing pg2ch's consumer runs on a replication
+        connection (sanity: right cluster, current WAL position)."""
+        rows = self._simple_query("IDENTIFY_SYSTEM")
+        if not rows:
+            raise PgOutputError("IDENTIFY_SYSTEM returned no row")
+        sysid, timeline, xlogpos, dbname = rows[0][:4]
+        return {
+            "systemid": sysid,
+            "timeline": timeline,
+            "xlogpos": xlogpos,
+            "dbname": dbname,
+        }
+
+    def create_slot(
+        self,
+        slot: str,
+        *,
+        plugin: str = "pgoutput",
+        temporary: bool = False,
+        export_snapshot: bool = True,
+    ) -> SlotInfo:
+        """CREATE_REPLICATION_SLOT … LOGICAL … EXPORT_SNAPSHOT — the
+        R1→R2 gapless-handoff anchor. The returned
+        ``consistent_point`` is the exact LSN at which the slot began
+        retaining WAL, and ``snapshot_name`` is an exported snapshot of
+        that same instant: a snapshot read AT that name (``SET
+        TRANSACTION SNAPSHOT '<name>'`` — see ``jdbc.snapshot_options``)
+        then a stream FROM that LSN covers every row exactly once
+        between them. The exported snapshot lives until this session
+        ends or its transaction completes, so run the initial sync
+        while this client stays connected, then START_REPLICATION on
+        the same connection."""
+        q = f"CREATE_REPLICATION_SLOT {slot}"
+        if temporary:
+            q += " TEMPORARY"
+        q += f" LOGICAL {plugin}"
+        if export_snapshot:
+            q += " EXPORT_SNAPSHOT"
+        rows = self._simple_query(q)
+        if not rows:
+            raise PgOutputError("CREATE_REPLICATION_SLOT returned no row")
+        name, point, snap, out_plugin = rows[0][:4]
+        if name is None or point is None:
+            raise PgOutputError(f"malformed CREATE_REPLICATION_SLOT row: {rows[0]!r}")
+        return SlotInfo(
+            slot_name=name,
+            consistent_point=lsn_parse(point),
+            snapshot_name=snap,
+            output_plugin=out_plugin,
+        )
+
+    def drop_slot(self, slot: str, *, wait: bool = True) -> None:
+        """DROP_REPLICATION_SLOT — teardown symmetry for tests and
+        operator runbooks (pg2ch leaves slots in place by default; so
+        does the daemon — an unconsumed slot retains WAL, which is the
+        at-least-once guarantee, so dropping is always explicit)."""
+        self._simple_query(
+            f"DROP_REPLICATION_SLOT {slot}" + (" WAIT" if wait else "")
+        )
+
     def start_replication(
         self,
         slot: str,
@@ -888,9 +1002,11 @@ def replication_stream(
     commit — so a crash mid-sink replays the transaction (at-least-once
     into idempotent merges, the pg2ch convergence argument).
 
-    The gapless-handoff recipe (R1→R2): CREATE_REPLICATION_SLOT …
-    EXPORT_SNAPSHOT, snapshot via sources.jdbc.snapshot at that
-    snapshot name, then start here from the slot's LSN.
+    The gapless handoff (R1→R2) is executable code, not a recipe:
+    ``jdbc.bootstrap_replication(client, …)`` creates the slot via
+    ``WalSenderClient.create_slot`` (EXPORT_SNAPSHOT), pins the
+    partitioned JDBC snapshot to the exported name, and the same
+    client then starts here from the slot's consistent point.
     """
     client = WalSenderClient(
         host,

@@ -118,3 +118,83 @@ def test_pg_socket_to_clickhouse_http(
         "INSERT INTO `db`.`accounts`" in urllib.parse.unquote(path)
         for path, _ in received
     )
+
+
+def test_daemon_resumes_through_walsender_crash(spark, tmp_path):
+    """VERDICT r5 item 5 — the full chain with a mid-transaction kill:
+    live walsender protocol → WalSenderClient → spool landing zone →
+    `run_daemon` (checkpointed streaming into the Replacing merge sink)
+    → crash BEFORE the first transaction's ack → reconnect, full WAL
+    replay (what a real slot does with an unacked LSN) → daemon resume
+    from its checkpoint → state converges exactly once, replay and all.
+    """
+    import io
+    import json
+    import os
+
+    from pg2ch_spark.config import config_from_mapping
+    from pg2ch_spark.daemon import run_daemon
+    from pg2ch_spark.sources.spool import spool_transactions
+
+    spool = str(tmp_path / "spool")
+    cfg = config_from_mapping(
+        {
+            "source": {"sf_dir": spool, "format": "cdc"},
+            "state_root": str(tmp_path / "state"),
+            "tables": {"accounts": {"engine": "ReplacingMergeTree"}},
+        }
+    )
+
+    def one_connection():
+        server = socketserver.TCPServer(("127.0.0.1", 0), FakeWalSender)
+        server.log = {}
+        server.done = threading.Event()
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        host, port = server.server_address
+        stream = pg.replication_stream(
+            host, port, slot="pg2ch_slot", publication="pg2ch_pub",
+            clock=lambda: FIXED_CLOCK,
+        )
+        return server, stream
+
+    # -- connection 1: spool tx1, then DIE before resuming (no ack) --
+    server1, stream1 = one_connection()
+    sp1 = spool_transactions(stream1, spool)
+    lsn, path1 = next(sp1)
+    assert lsn == LSN1 and os.path.exists(path1)
+    sp1.close()  # crash: generator never resumed → LSN1 never acked
+    assert server1.done.wait(5)
+    assert server1.log["acks"] == [_expected_ack(0)]  # keepalive only
+    server1.shutdown(); server1.server_close()
+
+    # -- daemon pass 1 over the partial spool --
+    out = io.StringIO()
+    assert run_daemon(cfg, spark, once=True, out=out) == 0
+    assert json.loads(out.getvalue())["batches"] == {"accounts": 1}
+    state_path = os.path.join(cfg.state_root, "accounts", "state")
+    mid = {r.key: r.value for r in spark.read.parquet(state_path).collect()}
+    assert mid == {1: 10.5, 2: 20.0}  # tx1 applied, tx2 not yet spooled
+
+    # -- connection 2: the slot re-delivers from LSN1 (unacked) --
+    server2, stream2 = one_connection()
+    spooled = [lsn for lsn, _ in spool_transactions(stream2, spool)]
+    assert spooled == [LSN1, LSN2]  # full replay: tx1 again, then tx2
+    assert server2.done.wait(5)
+    # this time every commit was acked after its file landed
+    assert server2.log["acks"][1:3] == [_expected_ack(LSN1), _expected_ack(LSN2)]
+    server2.shutdown(); server2.server_close()
+    # the replayed tx1 rewrote the SAME file name — two files, not three
+    assert len([f for f in os.listdir(spool) if f.endswith(".parquet")]) == 2
+
+    # -- daemon pass 2: checkpoint resume dedups the replayed file --
+    out = io.StringIO()
+    assert run_daemon(cfg, spark, once=True, out=out) == 0
+    final = {
+        r.key: (r.ver, r.value) for r in spark.read.parquet(state_path).collect()
+    }
+    expected = {}
+    for r in pg.decode_stream(WAL_SCRIPT):
+        k = int(r.values["id"])
+        if k not in expected or r.scalar_ver > expected[k][0]:
+            expected[k] = (r.scalar_ver, float(r.values["balance"]))
+    assert final == expected  # converged exactly once through the replay
