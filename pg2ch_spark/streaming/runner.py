@@ -17,6 +17,7 @@ Two collection strategies:
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -109,6 +110,32 @@ def scratch_dir(prefix: str) -> str:
     if base is None and os.path.isdir("/dev/shm"):
         base = "/dev/shm"
     return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+# parquet-sink RESULT dirs: they must outlive their run_complete_to_df
+# call (the caller reads them lazily), so they cannot be reclaimed
+# inline — but leaving them behind leaked one result copy per
+# invocation, and on the tmpfs scratch base that leak is RAM across a
+# bench loop. Policy: results go to REAL DISK (never the tmpfs base —
+# the fsync argument for tmpfs applies to checkpoint small-file I/O,
+# not to a result written once and read once), and every dir is
+# reclaimed at interpreter exit.
+_RESULT_DIRS: list[str] = []
+
+
+def _reclaim_result_dirs() -> None:
+    while _RESULT_DIRS:
+        shutil.rmtree(_RESULT_DIRS.pop(), ignore_errors=True)
+
+
+def result_dir(prefix: str) -> str:
+    """Disk-backed scratch for a streaming RESULT that outlives its
+    query (see _RESULT_DIRS policy note)."""
+    d = tempfile.mkdtemp(prefix=prefix)  # tempfile default: real /tmp
+    if not _RESULT_DIRS:
+        atexit.register(_reclaim_result_dirs)
+    _RESULT_DIRS.append(d)
+    return d
 
 
 def _num_input_rows(progress) -> int:
@@ -211,10 +238,11 @@ def run_complete_to_df(
     """
     name = f"pg2ch_mem_{uuid.uuid4().hex[:12]}"
     ckpt = scratch_dir("pg2ch_mem_ckpt_")
-    out = scratch_dir("pg2ch_mem_out_") if parquet_sink else None
+    out = result_dir("pg2ch_mem_out_") if parquet_sink else None
     src, src_dir = _stream_source_managed(spark, path, schema)
     with _few_state_partitions(spark, state_partitions, rocksdb=rocksdb):
-        writer = transform(src).writeStream
+        tdf = transform(src)
+        writer = tdf.writeStream
         if parquet_sink:
             writer = writer.foreachBatch(
                 lambda batch_df, _eid: batch_df.write.mode("overwrite").parquet(out)
@@ -248,10 +276,16 @@ def run_complete_to_df(
         # The result stays DISK-backed: re-materializing a corpus-scale
         # result through localCheckpoint would pull every row back into
         # JVM RDD blocks — the exact heap residency this sink exists to
-        # avoid. The scratch parquet dir therefore outlives this call
-        # (reclaimed with the session's scratch root / OS tmp cleanup);
-        # it holds exactly one copy of the result, nothing more.
-        result = spark.read.parquet(out)
+        # avoid. The result dir therefore outlives this call (real
+        # disk, reclaimed at interpreter exit — see result_dir); it
+        # holds exactly one copy of the result, nothing more.
+        if not any(f.endswith(".parquet") for f in os.listdir(out)):
+            # zero data micro-batches: foreachBatch never wrote, and
+            # schema inference over an empty dir throws where the
+            # memory-sink path returned an empty typed result — match it
+            result = spark.createDataFrame([], tdf.schema)
+        else:
+            result = spark.read.parquet(out)
     else:
         # Materialize before the temp view could be replaced by a later
         # run; memory-sink results are small by contract.

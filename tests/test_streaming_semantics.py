@@ -224,10 +224,48 @@ def test_streaming_queries_reclaim_scratch(spark):
     registry.load_all()
     qs = registry.queries()
     before = set(glob.glob(os.path.join(base, "pg2ch_*")))
-    for key in ("stream_foreachbatch_upsert", "stream_stream_join"):
+    # stream_session/stream_custom_state use the parquet RESULT sink:
+    # its dirs legitimately outlive the call, but must live on REAL
+    # DISK (not the tmpfs base) and be registered for exit reclaim.
+    from pg2ch_spark.streaming import runner
+
+    results_before = list(runner._RESULT_DIRS)
+    for key in ("stream_foreachbatch_upsert", "stream_stream_join",
+                "stream_session", "stream_custom_state"):
         qs[key](spark, "/root/testdata/sf0.001").collect()
     leaked = set(glob.glob(os.path.join(base, "pg2ch_*"))) - before
-    assert not leaked, f"scratch dirs leaked: {sorted(leaked)}"
+    assert not leaked, f"tmpfs scratch dirs leaked: {sorted(leaked)}"
+    new_results = [d for d in runner._RESULT_DIRS if d not in results_before]
+    assert new_results, "parquet-sink queries must register their result dirs"
+    for d in new_results:
+        assert not d.startswith("/dev/shm"), f"result dir on tmpfs: {d}"
+    # exit-time reclaim removes every registered dir
+    runner._reclaim_result_dirs()
+    assert not runner._RESULT_DIRS
+    for d in new_results:
+        assert not os.path.exists(d)
+
+
+def test_parquet_sink_empty_source_returns_typed_empty(spark, tmp_path):
+    """parquet_sink + a source whose only micro-batches carry no data:
+    foreachBatch never writes, and the result must be an EMPTY frame
+    with the transform's schema — not a schema-inference crash over an
+    empty dir (the memory-sink path already behaved this way)."""
+    import os
+
+    from pg2ch_spark.streaming.runner import run_complete_to_df
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)  # a valid, empty stream source directory
+    out = run_complete_to_df(
+        spark,
+        src_dir,
+        "user_id bigint, value double",
+        lambda df: df.groupBy("user_id").agg(F.sum("value").alias("total")),
+        parquet_sink=True,
+    )
+    assert out.columns == ["user_id", "total"]
+    assert out.count() == 0
 
 
 def test_stream_dedup_collapses_true_replays(spark, tmp_path):
