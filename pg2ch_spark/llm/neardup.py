@@ -795,6 +795,60 @@ def sim_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Library entry points — the guardrail posture operators/intervals.py
+# established for the pair-materializing interval joins, applied to the
+# near-dup family: the DEFAULT a user reaches for is the banded/
+# prefix-filtered plan that survives 100 TB; the exact all-pairs scan
+# is an explicit opt-in acknowledging an output-sized (embedding case:
+# O(N²/NB)-tile) job. The registered keys keep their declared
+# contracts; these functions are what library users should call.
+
+
+def near_dup_embedding_pairs(spark: SparkSession, sf_dir: str, *, exact: bool = False) -> DataFrame:
+    """Embedding near-dup pairs with a scale-safe DEFAULT.
+
+    Default (``exact=False``): random-hyperplane LSH — 16 sign bits in
+    4 bands, candidates must agree on one full band, exact cosine
+    verified in-bucket (`sim_lsh_hyperplane`'s plan). Work is a band-
+    key shuffle + per-bucket tiles: the 100 TB path. Recall < 1 by
+    construction: a pair at angle θ shares a band with probability
+    1 − (1 − (1 − θ/π)⁴)⁴ (~0.96 at cos 0.9, falling fast below —
+    tune band count/width for the target regime the way
+    `text_fuzzy_blocked_join` documents its prefix-block recall).
+
+    ``exact=True`` (opt-in, quadratic): the chunked all-pairs tile
+    scan (`sim_near_dup_embedding`'s plan) — the VERIFY KERNEL. Its
+    FLOP count is O(N²·d/NB-tiles) no matter how it is blocked; reach
+    for it only on bucket-sized inputs (it is what the default runs
+    inside each bucket) or when the contract truly demands zero
+    recall loss over the whole corpus."""
+    if exact:
+        return sim_near_dup_embedding(spark, sf_dir)
+    from pg2ch_spark.operators.extended import sim_lsh_hyperplane
+
+    return sim_lsh_hyperplane(spark, sf_dir)
+
+
+def near_dup_text_pairs(spark: SparkSession, sf_dir: str, *, exact: bool = False) -> DataFrame:
+    """Text near-dup pairs with a scale-safe DEFAULT.
+
+    Default (``exact=False``): MinHash-LSH banded candidates with
+    exact-Jaccard verification (`text_near_dedup_minhash`'s plan) —
+    2×8-band equi-joins, the 100 TB path; recall bound 1 − (1 − s⁸)²
+    at Jaccard s. ``exact=True``: the prefix-filtered exact scan
+    (`text_near_dedup_ngram_jaccard`'s plan) — recall-lossless and
+    sub-quadratic per hot shingle since the AllPairs rewrite, but its
+    OUTPUT is every qualifying pair, which is itself quadratic in
+    near-dup cluster size; the default's banding bounds the same
+    output only by what its buckets surface."""
+    if exact:
+        return text_near_dedup_ngram_jaccard(spark, sf_dir)
+    from pg2ch_spark.llm.text import text_near_dedup_minhash
+
+    return text_near_dedup_minhash(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # IVF-bucketed approximate nearest neighbor (exact oracle — both engines
 # implement the same probe-limited search, so results match exactly)
 

@@ -319,6 +319,37 @@ def test_embedding_keys_exact_with_zero_norm_vectors(zero_norm_sf_dir, spark, ke
     assert not leaked, f"{key}: zero-norm vectors paired: {leaked}"
 
 
+def test_library_entry_points_dispatch_to_declared_plans(spark):
+    """`near_dup_embedding_pairs` / `near_dup_text_pairs` are the
+    guardrail facade: the DEFAULT must be the banded plan, the exact
+    scan an opt-in — checked by result identity with the registered
+    keys at sf0.001."""
+    from pg2ch_spark import registry
+    from pg2ch_spark.llm.neardup import (
+        near_dup_embedding_pairs,
+        near_dup_text_pairs,
+    )
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(near_dup_embedding_pairs(spark, sf)) == rows(
+        registry.QUERIES["sim_lsh_hyperplane"](spark, sf)
+    )
+    assert rows(near_dup_embedding_pairs(spark, sf, exact=True)) == rows(
+        registry.QUERIES["sim_near_dup_embedding"](spark, sf)
+    )
+    assert rows(near_dup_text_pairs(spark, sf)) == rows(
+        registry.QUERIES["text_near_dedup_minhash"](spark, sf)
+    )
+    assert rows(near_dup_text_pairs(spark, sf, exact=True)) == rows(
+        registry.QUERIES["text_near_dedup_ngram_jaccard"](spark, sf)
+    )
+
+
 @pytest.mark.parametrize(
     "key",
     ["text_near_dedup_minhash", "text_near_dedup_simhash", "sim_lsh_hyperplane"],
