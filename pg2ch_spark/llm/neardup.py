@@ -278,6 +278,13 @@ def text_near_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     intersection/union) — the precise sibling of MinHash-LSH with the
     same result set as the naive all-shared-shingle join, minus its
     quadratic-per-hot-shingle candidate stream.
+
+    Regime limit (measured, BASELINE.md round 6): when the shingle
+    space itself is tiny relative to the corpus (the salted probe:
+    500k docs over 120k distinct grams), even prefixes are hot and the
+    candidate graph is intrinsically dense — 3.9B candidate rows for
+    25M true pairs. No exact pair join beats Ω(candidates); that
+    regime belongs to the MinHash default of `near_dup_text_pairs`.
     """
     return ngram_jaccard_pairs(catalog.load(spark, sf_dir, "documents"))
 
@@ -440,7 +447,9 @@ def _candidates_jaccard(docs_g: DataFrame, t: float) -> DataFrame:
             & (F.col("n_b") >= F.ceil(F.lit(t) * F.col("n_a")))
             & (F.col("n_a") >= F.ceil(F.lit(t) * F.col("n_b")))
         )
-        .select("doc_a", "doc_b")
+        # sizes ride along (functionally dependent on the ids): the
+        # verify stage then never joins a doc-scale size table
+        .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
     )
 
@@ -465,6 +474,7 @@ def _candidates_containment(docs_g: DataFrame, c: float) -> DataFrame:
         F.col("n").alias("_fn"),
         F.explode("grams").alias("g"),
     )
+    swap = F.col("_fid") < F.col("doc_id")
     return (
         small.join(full, "g")
         .where(
@@ -474,6 +484,8 @@ def _candidates_containment(docs_g: DataFrame, c: float) -> DataFrame:
         .select(
             F.least("doc_id", "_fid").alias("doc_a"),
             F.greatest("doc_id", "_fid").alias("doc_b"),
+            F.when(swap, F.col("_fn")).otherwise(F.col("n")).alias("n_a"),
+            F.when(swap, F.col("n")).otherwise(F.col("_fn")).alias("n_b"),
         )
         .distinct()
     )
@@ -503,17 +515,17 @@ def _rep_pair_scores(
     shingle in f docs cost f² grouped rows — quadratic per hot shingle
     on real corpora even after exact-dup collapse. Prefix filtering is
     recall-lossless (lemmas at the candidate builders), so results are
-    bit-identical; scores are then verified exactly per candidate via
-    array_intersect on the per-doc gram arrays — candidate-count work,
+    bit-identical; each candidate's intersection is then counted
+    exactly through a candidate-restricted shared-gram join (thin rows
+    end to end — see the verify note below) — candidate-bounded work,
     not shared-shingle-count work."""
     kind, threshold = prefilter
-    # sh feeds two derivations (gram df + the per-doc arrays); persist
-    # through the docs_g build, then release — docs_g replaces it.
-    sh = _shingles(reps).persist(StorageLevel.MEMORY_AND_DISK)
-    # docs_g feeds four plan branches (prefix explode per side + both
-    # verify sides); columnar persist, spillable at row scale.
+    # sh feeds three plan branches (gram df, the per-doc arrays, the
+    # verify gram stream); columnar persist, spillable at row scale.
+    sh = eager_persist(_shingles(reps))
+    # docs_g feeds the prefix explode(s); its arrays stay INSIDE their
+    # stage — they are never shuffled (see the verify note below).
     docs_g = eager_persist(_ordered_grams(sh))
-    sh.unpersist()
     sz = docs_g.select("doc_id", "n")
     if kind == "jaccard":
         cand = _candidates_jaccard(docs_g, threshold)
@@ -521,27 +533,25 @@ def _rep_pair_scores(
         cand = _candidates_containment(docs_g, threshold)
     else:  # pragma: no cover - caller contract
         raise ValueError(f"unknown prefilter kind: {kind}")
-    ga = docs_g.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("grams").alias("_ga"),
-        F.col("n").alias("n_a"),
-    )
-    gb = docs_g.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("grams").alias("_gb"),
-        F.col("n").alias("n_b"),
-    )
+    # Exact verify with THIN rows only: the first implementation joined
+    # each candidate to both docs' gram ARRAYS and took array_intersect
+    # — one row per candidate, but the second join shuffles candidate
+    # rows CARRYING an array payload, and on a degenerate corpus (tiny
+    # vocabulary → every pair a candidate) that fat shuffle OOMed the
+    # 8 g probe heap. This form is the candidate-restricted shared-gram
+    # count: ids and single grams end to end, every stage a standard
+    # spilling SMJ/groupBy — the proven shape of the old full self-join,
+    # minus its unfiltered pair stream. Per-candidate cost is n_a rows
+    # through a shuffle instead of one fat row; at sane corpora
+    # candidates are few and both are trivial, at degenerate ones this
+    # spills where arrays blew the heap.
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "g")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "g")
     scored = (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_a",
-            "n_b",
-            F.size(F.array_intersect("_ga", "_gb")).alias("ni"),
-        )
-        .where(F.col("ni") > 0)
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
     )
     cont = F.col("ni").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
     jac = F.col("ni").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("ni"))
