@@ -520,12 +520,13 @@ def _rep_pair_scores(
     end to end — see the verify note below) — candidate-bounded work,
     not shared-shingle-count work."""
     kind, threshold = prefilter
-    # sh feeds three plan branches (gram df, the per-doc arrays, the
-    # verify gram stream); columnar persist, spillable at row scale.
-    sh = eager_persist(_shingles(reps))
-    # docs_g feeds the prefix explode(s); its arrays stay INSIDE their
-    # stage — they are never shuffled (see the verify note below).
+    # sh feeds two derivations (gram df + the per-doc arrays); persist
+    # through the docs_g build, then release — docs_g replaces it.
+    sh = _shingles(reps).persist(StorageLevel.MEMORY_AND_DISK)
+    # docs_g feeds every later branch (prefix explode per side + both
+    # verify sides); columnar persist, spillable at row scale.
     docs_g = eager_persist(_ordered_grams(sh))
+    sh.unpersist()
     sz = docs_g.select("doc_id", "n")
     if kind == "jaccard":
         cand = _candidates_jaccard(docs_g, threshold)
@@ -533,25 +534,32 @@ def _rep_pair_scores(
         cand = _candidates_containment(docs_g, threshold)
     else:  # pragma: no cover - caller contract
         raise ValueError(f"unknown prefilter kind: {kind}")
-    # Exact verify with THIN rows only: the first implementation joined
-    # each candidate to both docs' gram ARRAYS and took array_intersect
-    # — one row per candidate, but the second join shuffles candidate
-    # rows CARRYING an array payload, and on a degenerate corpus (tiny
-    # vocabulary → every pair a candidate) that fat shuffle OOMed the
-    # 8 g probe heap. This form is the candidate-restricted shared-gram
-    # count: ids and single grams end to end, every stage a standard
-    # spilling SMJ/groupBy — the proven shape of the old full self-join,
-    # minus its unfiltered pair stream. Per-candidate cost is n_a rows
-    # through a shuffle instead of one fat row; at sane corpora
-    # candidates are few and both are trivial, at degenerate ones this
-    # spills where arrays blew the heap.
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "g")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "g")
+    # Exact verify, one row per candidate: join each candidate to both
+    # docs' gram-HASH arrays (xxhash64 per gram — 8 bytes/element, so
+    # a 50-gram doc's verify payload is 400 B, not a string array; the
+    # all-string form measured 2× these rows' weight and a re-join
+    # through the raw shingle stream measured n̄× more shuffled rows
+    # and 2× the stage time at sf0.1). ni = |hash-set intersection| —
+    # grams are distinct per doc, and a cross-doc collision changing
+    # ni requires two distinct grams in the SAME candidate pair to
+    # share an xxhash64, P ≈ n²/2⁶⁴ ≈ 1e-17 per pair. The degenerate
+    # candidate-dense regime (see the regime note) dies on candidate
+    # VOLUME under any verify shape; this one is the cheapest per
+    # candidate while keeping shuffle rows bounded (hundreds of bytes).
+    hashed = F.expr("transform(grams, x -> xxhash64(x))")
+    gha = docs_g.select(F.col("doc_id").alias("doc_a"), hashed.alias("_ha"))
+    ghb = docs_g.select(F.col("doc_id").alias("doc_b"), hashed.alias("_hb"))
     scored = (
-        cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "g"])
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("ni"))
+        cand.join(gha, "doc_a")
+        .join(ghb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("_ha", "_hb")).alias("ni"),
+        )
+        .where(F.col("ni") > 0)
     )
     cont = F.col("ni").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
     jac = F.col("ni").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("ni"))
