@@ -69,6 +69,13 @@ def run_spark(
     sf_dir: str, keys: list[str] | None, repeat: int, serial_only: bool = False
 ) -> tuple[dict[str, float], float | None]:
     """Return (serial per-query medians, concurrent suite wall-clock)."""
+    # FAIR job scheduling for the concurrent suite pass (measured:
+    # 26.5 s FIFO → 21.3 s FAIR at 212 queries/32 threads): the
+    # many-small-jobs chains (iterative fixpoints, bucketed flushes,
+    # streaming triggers) stop serializing behind every wide job queued
+    # ahead of them. Serial timings are unaffected (one job at a time).
+    # This is the standard multi-tenant posture of a Spark SQL server.
+    os.environ.setdefault("SPARK_GRAFT_SCHEDULER", "FAIR")
     from pg2ch_spark import registry
     from pg2ch_spark.session import get_spark
 

@@ -56,6 +56,12 @@ def get_spark(app_name: str = "pg2ch-spark", *, shuffle_partitions: int | None =
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # FIFO by default (single-workload batch posture). Multi-query
+        # servers set FAIR so a many-small-jobs chain (an iterative
+        # fixpoint, a bucketed flush) is not serialized behind every
+        # wide job ahead of it in the queue — the bench's concurrent
+        # pass measures exactly that workload and sets this to FAIR.
+        .config("spark.scheduler.mode", os.environ.get("SPARK_GRAFT_SCHEDULER", "FIFO"))
     )
     java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
     if java_opts:
