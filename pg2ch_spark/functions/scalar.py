@@ -141,6 +141,62 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_variant_shred",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_eid,
+           round(sum(value), 2) AS sum_v,
+           round(sum(value * 2), 2) AS sum_v2,
+           CAST(count(*) AS BIGINT) AS n_absent_null
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4 VariantType): build a
+    nested JSON document per event, `parse_json` it into a variant,
+    then SHRED typed fields back out with `variant_get` /
+    `try_variant_get` — the modern replacement for string-JSON
+    `get_json_object` (`fn_json`): the variant is a parsed binary
+    encoding, so repeated path extraction skips re-tokenizing the
+    text, which at 100 TB is the difference between one parse and one
+    parse PER extracted column. Everything checked comes through the
+    variant: the grouping key itself ($.m.t), a bigint at the top
+    level, a double inside a nested object, an ARRAY ELEMENT path
+    ($.m.arr[1]), and absent-path semantics (try_variant_get of a
+    missing key must be NULL on every row — counted and hash-gated).
+    The oracle computes the same aggregates straight from the base
+    columns, so any shredding loss (type coercion, path miss, array
+    index off-by-one) breaks the hash."""
+    ev = catalog.load(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.col("value").alias("v"),
+                F.array(F.col("value"), F.col("value") * 2).alias("arr"),
+            ).alias("m"),
+        )
+    )
+    v = ev.select(F.parse_json(doc).alias("v"))
+    shred = v.select(
+        F.expr("variant_get(v, '$.m.t', 'string')").alias("event_type"),
+        F.expr("variant_get(v, '$.event_id', 'bigint')").alias("eid"),
+        F.expr("variant_get(v, '$.m.v', 'double')").alias("val"),
+        F.expr("variant_get(v, '$.m.arr[1]', 'double')").alias("val2"),
+        F.expr("try_variant_get(v, '$.m.absent', 'int')").alias("absent"),
+    )
+    return shred.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("eid").cast("bigint").alias("sum_eid"),
+        F.round(F.sum("val"), 2).alias("sum_v"),
+        F.round(F.sum("val2"), 2).alias("sum_v2"),
+        F.sum(F.col("absent").isNull().cast("int")).cast("bigint").alias("n_absent_null"),
+    )
+
+
+@register(
     "fn_array",
     oracle="""
     SELECT vec_id,

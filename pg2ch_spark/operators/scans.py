@@ -137,3 +137,85 @@ def source_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_available_now(
         spark, catalog.table_path(sf_dir, "events"), schema, transform
     )
+
+
+@register(
+    "source_pyds_tsv",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(length(text) + 3) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_lang,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents GROUP BY source
+    """,
+)
+def source_pyds_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-TabSeparated sink → PYTHON DATA SOURCE re-read
+    (`sources/pyds.py`, the public `pyspark.sql.datasource` plugin API
+    of Spark 4) — under the hash gate WITH hostile payloads.
+
+    Every document's text gains a raw TAB + BACKSLASH + NEWLINE suffix
+    and every 7th lang becomes NULL before encoding, so the dialect's
+    escape rules (``\\t`` ``\\\\`` ``\\n``, ``\\N`` nulls) are load-
+    bearing: Spark's built-in CSV reader CANNOT parse this file back
+    (CSV quotes, it never character-escapes), which is exactly why the
+    dialect needs a custom source. The oracle aggregates the original
+    parquet plus the same injected transform, so one mis-unescaped
+    byte or a lost null breaks the hash. Parallelism: the encode is a
+    per-partition mapInPandas, the sink one part file per task, the
+    re-read one InputPartition per part — distributed both directions,
+    no inference pass (declared schema only).
+    """
+    import shutil
+
+    import pandas as pd
+
+    from pg2ch_spark.sources import pyds
+    from pg2ch_spark.sources.clickhouse import escape_value
+    from pg2ch_spark.streaming.runner import scratch_dir
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    hostile = docs.select(
+        "doc_id",
+        F.concat("text", F.lit("\t\\\n")).alias("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "line": [
+                        "\t".join(escape_value(v) for v in row)
+                        for row in pdf.itertuples(index=False)
+                    ]
+                }
+            )
+
+    base = scratch_dir("pg2ch_pyds_")
+    out = base + "/tsv"
+    hostile.mapInPandas(enc, "line string").write.mode("overwrite").text(out)
+    pyds.register(spark)
+    back = (
+        spark.read.format("clickhouse_tsv")
+        .schema("doc_id bigint, text string, lang string, source string")
+        .option("path", out)
+        .load()
+    )
+    res = (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("chars_total"),
+            F.sum(F.col("lang").isNull().cast("int")).cast("bigint").alias("n_null_lang"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return res

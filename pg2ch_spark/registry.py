@@ -199,6 +199,8 @@ _ROUND6_PRIORITY: tuple[str, ...] = (
 # of recreating a "registered but never driver-checked" backlog.
 _ROUND6_NEW: tuple[str, ...] = (
     "agg_hll_sketch_bounds",
+    "fn_variant_shred",
+    "source_pyds_tsv",
 )
 
 # ROUND-6 SWAP (VERDICT r5 item 1, executed at the start of round 6):

@@ -89,6 +89,75 @@ class TestInsertUrl:
         assert q == "INSERT INTO `db`.`t` (`geo.lat`) FORMAT TabSeparated"
 
 
+class TestPythonDataSourceTsv:
+    """The clickhouse_tsv Python DataSource must be the exact inverse
+    of sources/clickhouse.escape_value for every escapable character."""
+
+    HOSTILE = [
+        "plain",
+        "tab\there",
+        "new\nline",
+        "back\\slash",
+        "\\N",  # a LITERAL backslash-N string, not a null
+        "carriage\rreturn",
+        "mix\t\\\n\r end",
+        "",
+        None,
+    ]
+
+    def test_unescape_inverts_escape(self):
+        from pg2ch_spark.sources.clickhouse import escape_value
+        from pg2ch_spark.sources.pyds import unescape_field
+
+        for s in self.HOSTILE:
+            enc = escape_value(s)
+            assert "\t" not in enc and "\n" not in enc and "\r" not in enc
+            assert unescape_field(enc) == s
+
+    def test_roundtrip_through_spark(self, spark, tmp_path):
+        from pg2ch_spark.sources import pyds
+        from pg2ch_spark.sources.clickhouse import escape_value
+
+        rows = [(i, s) for i, s in enumerate(self.HOSTILE)]
+        path = tmp_path / "part-0.tsv"
+        path.write_text(
+            "".join(
+                "\t".join(escape_value(v) for v in r) + "\n" for r in rows
+            ),
+            encoding="utf-8",
+        )
+        pyds.register(spark)
+        back = (
+            spark.read.format("clickhouse_tsv")
+            .schema("id bigint, payload string")
+            .option("path", str(tmp_path))
+            .load()
+        )
+        got = sorted((r.id, r.payload) for r in back.collect())
+        assert got == rows
+
+    def test_declared_schema_is_required(self, spark):
+        from pg2ch_spark.sources import pyds
+
+        pyds.register(spark)
+        with pytest.raises(Exception, match="no inference pass"):
+            spark.read.format("clickhouse_tsv").option("path", "/tmp").load()
+
+    def test_field_count_mismatch_is_loud(self, spark, tmp_path):
+        from pg2ch_spark.sources import pyds
+
+        (tmp_path / "bad.tsv").write_text("1\tonly-two\textra\n")
+        pyds.register(spark)
+        back = (
+            spark.read.format("clickhouse_tsv")
+            .schema("id bigint, payload string")
+            .option("path", str(tmp_path))
+            .load()
+        )
+        with pytest.raises(Exception, match="3 fields"):
+            back.collect()
+
+
 class TestJdbcContract:
     def test_partitioned_requires_bounds(self, spark):
         with pytest.raises(ValueError, match="lower_bound"):
