@@ -201,6 +201,7 @@ _ROUND6_NEW: tuple[str, ...] = (
     "agg_hll_sketch_bounds",
     "fn_variant_shred",
     "source_pyds_tsv",
+    "stream_pyds_spool",
 )
 
 # ROUND-6 SWAP (VERDICT r5 item 1, executed at the start of round 6):

@@ -27,7 +27,12 @@ from __future__ import annotations
 import os
 from datetime import date, datetime
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 FORMAT_NAME = "clickhouse_tsv"
 
@@ -135,7 +140,112 @@ class TabSeparatedDataSource(DataSource):
         return _TsvReader(schema, self.options)
 
 
+# ---------------------------------------------------------------------------
+# WAL-spool STREAMING source — the custom streaming source a walsender
+# deployment reads its landing zone with, on the same public plugin
+# API (`DataSource.streamReader`). Offsets are the spool's OWN commit
+# LSNs, not an opaque file list: `latestOffset` reports the highest
+# transaction visible, `partitions(start, end)` hands each micro-batch
+# exactly the transactions in (start, end], and a replayed transaction
+# (at-least-once delivery rewrites the SAME LSN name with the SAME
+# bytes) lands at-or-below the committed offset and is never re-read —
+# the offset log turns the spool's at-least-once into exactly-once by
+# construction, with a bounded (single-integer) offset instead of an
+# ever-growing processed-file list.
+#
+# Two layouts, one contract "one LSN = one transaction":
+#   - flat files  cdc-<lsn:016x>.parquet   (sources/spool.py's writer)
+#   - hive dirs   lsn=<int>/part-*.parquet (a distributed partitionBy
+#     write, for spools produced by Spark jobs rather than the
+#     protocol client)
+
+
+def _spool_entries(path: str) -> list[tuple[int, str]]:
+    """(lsn, entry-path) for every transaction in the spool."""
+    out: list[tuple[int, str]] = []
+    for name in os.listdir(path):
+        p = os.path.join(path, name)
+        if name.startswith("cdc-") and name.endswith(".parquet"):
+            out.append((int(name[4:-8], 16), p))
+        elif name.startswith("lsn=") and os.path.isdir(p):
+            out.append((int(name[4:]), p))
+    out.sort()
+    return out
+
+
+class _SpoolPartition(InputPartition):
+    def __init__(self, entry: str):
+        self.entry = entry
+
+
+class SpoolStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("pg2ch_spool requires option 'path'")
+        self._fields = [f.name for f in schema.fields]
+
+    def initialOffset(self):
+        return {"lsn": -1}
+
+    def latestOffset(self):
+        entries = _spool_entries(self._path)
+        return {"lsn": entries[-1][0] if entries else -1}
+
+    def partitions(self, start, end):
+        new = [
+            _SpoolPartition(p)
+            for lsn, p in _spool_entries(self._path)
+            if start["lsn"] < lsn <= end["lsn"]
+        ]
+        # the engine requires >= 1 partition per planned batch
+        return new or [_SpoolPartition("")]
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        if not partition.entry:
+            return
+        if os.path.isdir(partition.entry):
+            files = sorted(
+                os.path.join(partition.entry, f)
+                for f in os.listdir(partition.entry)
+                if f.endswith(".parquet")
+            )
+        else:
+            files = [partition.entry]
+        for f in files:
+            table = pq.read_table(f, columns=self._fields)
+            for batch in table.to_batches():
+                cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+                yield from zip(*cols)
+
+    def commit(self, end):
+        # nothing to do: progress durability lives in the engine's
+        # offset log; spool retention is the producer's concern (it
+        # acks its upstream only after the file is durable)
+        pass
+
+
+class SpoolDataSource(DataSource):
+    """spark.readStream.format("pg2ch_spool").schema(ddl).option("path", dir)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pg2ch_spool"
+
+    def schema(self):
+        raise ValueError(
+            "pg2ch_spool has no inference pass — declare the schema "
+            "(the spool's normalized CDC shape: pipeline.CDC_SPOOL_SCHEMA)"
+        )
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return SpoolStreamReader(schema, self.options)
+
+
 def register(spark) -> None:
-    """Register the format with this session (idempotent — re-register
+    """Register both formats with this session (idempotent — re-register
     simply replaces the prior entry)."""
     spark.dataSource.register(TabSeparatedDataSource)
+    spark.dataSource.register(SpoolDataSource)

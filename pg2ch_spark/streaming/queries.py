@@ -618,3 +618,93 @@ def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         rocksdb=True,  # user×hour state entries — grow with the corpus
     )
     return res.select(_win_start_s(), "dau")
+
+
+@register(
+    "stream_pyds_spool",
+    oracle=CDC_CTE
+    + """
+    , latest AS (
+        SELECT key, ver, op, value FROM cdc
+        QUALIFY row_number() OVER (PARTITION BY key ORDER BY ver DESC) = 1
+    )
+    SELECT op,
+           count(*) AS n_keys,
+           round(sum(value), 2) AS value_total,
+           CAST(max(ver) AS BIGINT) AS max_ver
+    FROM latest GROUP BY op
+    """,
+)
+def stream_pyds_spool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAL spool consumed through the CUSTOM STREAMING SOURCE
+    (`sources/pyds.SpoolDataSource`, the Spark-4 Python DataSource
+    plugin API's `streamReader`): the CDC log is written as a
+    partitioned spool (one `lsn=<n>` directory per commit batch — the
+    distributed-producer layout; `sources/spool.py`'s flat LSN files
+    are the protocol-client layout, same reader), then streamed with
+    availableNow where the source's OFFSETS ARE THE SPOOL'S COMMIT
+    LSNS — a replayed transaction lands at-or-below the committed
+    offset and is never re-read (exactly-once from at-least-once, by
+    offset construction; pinned in tests/test_sources.py). The replay
+    lands in a parquet staging sink; final per-key latest state is the
+    ReplacingMergeTree fold, aggregated per op.
+
+    Scale: the spool write is a distributed partitionBy; each LSN
+    batch is one InputPartition (Arrow-batched pyarrow read in
+    Python); batch count grows with WAL volume, rows per batch with
+    transaction size — both fan out."""
+    import shutil
+
+    from pg2ch_spark.cdc.derive import derive_cdc
+    from pg2ch_spark.sources import pyds
+    from pg2ch_spark.streaming.runner import (
+        _few_state_partitions,
+        scratch_dir,
+    )
+
+    cdc = derive_cdc(spark, sf_dir).select("key", "ver", "op", "value")
+    base = scratch_dir("pg2ch_spoolq_")
+    spool, out, ckpt = base + "/spool", base + "/out", base + "/ckpt"
+    # one commit batch per 100k versions — batch COUNT scales with WAL
+    # volume the way a real walsender's transaction count does
+    (
+        cdc.withColumn("lsn", F.expr("ver div 100000"))
+        .write.mode("overwrite")
+        .partitionBy("lsn")
+        .parquet(spool)
+    )
+    pyds.register(spark)
+    src = (
+        spark.readStream.format("pg2ch_spool")
+        .schema("key bigint, ver bigint, op string, value double")
+        .option("path", spool)
+        .load()
+    )
+    with _few_state_partitions(spark):
+        q = (
+            src.writeStream.foreachBatch(
+                lambda b, _e: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    back = spark.read.parquet(out)
+    w = Window.partitionBy("key").orderBy(F.desc("ver"))
+    latest = (
+        back.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    res = (
+        latest.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(F.sum("value"), 2).alias("value_total"),
+            F.max("ver").cast("bigint").alias("max_ver"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return res

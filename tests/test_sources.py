@@ -158,6 +158,89 @@ class TestPythonDataSourceTsv:
             back.collect()
 
 
+class TestSpoolStreamSource:
+    """pg2ch_spool streaming source: commit-LSN offsets must make
+    at-least-once spool delivery exactly-once through the offset log."""
+
+    @staticmethod
+    def _write_tx(spool, lsn, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {
+                "key": pa.array([r[0] for r in rows], pa.int64()),
+                "ver": pa.array([r[1] for r in rows], pa.int64()),
+                "op": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(t, os.path.join(spool, f"cdc-{lsn:016x}.parquet"))
+
+    def _run(self, spark, spool, out, ckpt):
+        from pg2ch_spark.sources import pyds
+
+        pyds.register(spark)
+        src = (
+            spark.readStream.format("pg2ch_spool")
+            .schema("key bigint, ver bigint, op string, value double")
+            .option("path", str(spool))
+            .load()
+        )
+        q = (
+            src.writeStream.foreachBatch(
+                lambda b, _e: b.write.mode("append").parquet(str(out))
+            )
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def test_replayed_lsn_is_never_reprocessed(self, spark, tmp_path):
+        spool = tmp_path / "spool"
+        out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+        os.makedirs(spool)
+        self._write_tx(spool, 0x100, [(1, 1, "I", 10.5), (2, 2, "I", 20.0)])
+        self._run(spark, spool, out, ckpt)
+        assert spark.read.parquet(str(out)).count() == 2
+        # crash-replay: the producer re-lands tx 0x100 (same bytes,
+        # same name) and commits a new tx 0x200
+        self._write_tx(spool, 0x100, [(1, 1, "I", 10.5), (2, 2, "I", 20.0)])
+        self._write_tx(spool, 0x200, [(3, 3, "I", 30.25)])
+        self._run(spark, spool, out, ckpt)
+        rows = sorted(tuple(r) for r in spark.read.parquet(str(out)).collect())
+        # exactly once: tx1's rows appear once despite the replay
+        assert rows == [
+            (1, 1, "I", 10.5),
+            (2, 2, "I", 20.0),
+            (3, 3, "I", 30.25),
+        ]
+
+    def test_hive_layout_reads_like_flat(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        spool = tmp_path / "spool"
+        d = spool / "lsn=7"
+        os.makedirs(d)
+        pq.write_table(
+            pa.table(
+                {
+                    "key": pa.array([9], pa.int64()),
+                    "ver": pa.array([9], pa.int64()),
+                    "op": pa.array(["I"], pa.string()),
+                    "value": pa.array([1.25], pa.float64()),
+                }
+            ),
+            str(d / "part-0.parquet"),
+        )
+        self._run(spark, spool, tmp_path / "out2", tmp_path / "ckpt2")
+        assert [tuple(r) for r in spark.read.parquet(str(tmp_path / "out2")).collect()] == [
+            (9, 9, "I", 1.25)
+        ]
+
+
 class TestJdbcContract:
     def test_partitioned_requires_bounds(self, spark):
         with pytest.raises(ValueError, match="lower_bound"):
