@@ -12,8 +12,22 @@ spark:                       # session knobs (optional block)
   app_name: pg2ch-spark
   shuffle_partitions: 32
 source:
-  sf_dir: /data/sf0.001      # dir holding events.parquet (the change log)
+  sf_dir: /var/lib/pg2ch/spool  # change-log dir (events.parquet fixture,
+                                # or the walsender spool when live)
   max_files_per_trigger: 1   # optional: micro-batch granularity
+  format: cdc                # events (fixture) | cdc (spool files)
+  walsender:                 # OPTIONAL: live replication source (R2) —
+    host: pg.internal        # the daemon runs the protocol client in a
+    port: 5432               # spool thread landing LSN-named files
+    slot: pg2ch_slot         # into sf_dir; implies format: cdc
+    publication: pg2ch_pub
+    user: repl
+    database: shop
+    password_env: PGPASSWORD # credential comes from the environment
+    sslmode: require
+clickhouse:                  # OPTIONAL: R12 sink — every merged
+  endpoint: http://ch:8123   # micro-batch delta POSTed as TabSeparated
+  database: analytics        # into <database>.<table>
 state_root: /var/lib/pg2ch   # per-table sink state + checkpoints
 poll_interval_s: 5.0         # pause between catch-up passes
                              # (pg2ch inactivity_merge_timeout analog)
@@ -51,6 +65,38 @@ class SparkConfig:
 
 
 @dataclass
+class WalSenderSource:
+    """Live replication source: the daemon runs the protocol client in
+    a spool thread (R2 consumer → LSN-named landing files), and the
+    catch-up passes stream the spool (source.format becomes "cdc").
+    The password comes from the ENVIRONMENT (``password_env`` names the
+    variable) — credentials never live in the YAML, same posture as
+    pg2ch's connection strings read from env in container deploys."""
+
+    host: str
+    port: int
+    slot: str
+    publication: str
+    user: str = "postgres"
+    database: str = "postgres"
+    password_env: str | None = None
+    sslmode: str = "disable"
+    retry_s: float = 2.0
+
+
+@dataclass
+class ClickHouseSink:
+    """R12: every merged micro-batch is ALSO posted to ClickHouse over
+    HTTP as TabSeparated (one INSERT per batch per table, into
+    ``<database>.<table>``). At-least-once replays re-post the same
+    versioned rows; the CH merge engine collapses them — the same
+    convergence contract pg2ch relies on."""
+
+    endpoint: str
+    database: str = "default"
+
+
+@dataclass
 class DaemonConfig:
     source_dir: str
     state_root: str
@@ -61,12 +107,19 @@ class DaemonConfig:
     # "cdc" = a spool directory of normalized CDC parquet files, the
     # shape sources.spool lands from the live walsender client
     source_format: str = "events"
+    walsender: WalSenderSource | None = None
+    clickhouse: ClickHouseSink | None = None
     spark: SparkConfig = field(default_factory=SparkConfig)
 
 
-_TOP_KEYS = {"spark", "source", "state_root", "poll_interval_s", "tables"}
+_TOP_KEYS = {"spark", "source", "state_root", "poll_interval_s", "tables", "clickhouse"}
 _SPARK_KEYS = {"master", "app_name", "shuffle_partitions"}
-_SOURCE_KEYS = {"sf_dir", "max_files_per_trigger", "format"}
+_SOURCE_KEYS = {"sf_dir", "max_files_per_trigger", "format", "walsender"}
+_WALSENDER_KEYS = {
+    "host", "port", "slot", "publication",
+    "user", "database", "password_env", "sslmode", "retry_s",
+}
+_CLICKHOUSE_KEYS = {"endpoint", "database"}
 
 
 def _reject_unknown(block: dict, allowed: set[str], where: str) -> None:
@@ -127,6 +180,34 @@ def config_from_mapping(m: dict) -> DaemonConfig:
     fmt = source.get("format", "events")
     if fmt not in ("events", "cdc"):
         raise ValueError("source.format must be 'events' or 'cdc'")
+
+    walsender = None
+    ws_block = source.get("walsender")
+    if ws_block is not None:
+        if not isinstance(ws_block, dict):
+            raise ValueError("source.walsender: must be a mapping")
+        _reject_unknown(ws_block, _WALSENDER_KEYS, "source.walsender")
+        for req in ("host", "port", "slot", "publication"):
+            if req not in ws_block:
+                raise ValueError(f"source.walsender is missing required key {req!r}")
+        if not isinstance(ws_block["port"], int):
+            raise ValueError("source.walsender.port must be an int")
+        # a live walsender lands LSN-named CDC files into sf_dir — the
+        # passes must read them as the spool they are
+        if source.get("format", "cdc") != "cdc":
+            raise ValueError("source.walsender requires source.format: cdc")
+        fmt = "cdc"
+        walsender = WalSenderSource(**ws_block)
+
+    clickhouse = None
+    ch_block = m.get("clickhouse")
+    if ch_block is not None:
+        if not isinstance(ch_block, dict):
+            raise ValueError("clickhouse: must be a mapping")
+        _reject_unknown(ch_block, _CLICKHOUSE_KEYS, "clickhouse")
+        if "endpoint" not in ch_block:
+            raise ValueError("clickhouse: is missing required key 'endpoint'")
+        clickhouse = ClickHouseSink(**ch_block)
     poll = m.get("poll_interval_s", 5.0)
     if not isinstance(poll, (int, float)) or poll < 0:
         raise ValueError("poll_interval_s must be a non-negative number")
@@ -138,6 +219,8 @@ def config_from_mapping(m: dict) -> DaemonConfig:
         max_files_per_trigger=mft,
         poll_interval_s=float(poll),
         source_format=fmt,
+        walsender=walsender,
+        clickhouse=clickhouse,
         spark=SparkConfig(**spark_block),
     )
 

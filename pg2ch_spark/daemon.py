@@ -19,13 +19,14 @@ the e2e test) can follow the daemon without scraping Spark logs.
 from __future__ import annotations
 
 import json
+import os
 import signal
 import sys
 import threading
 
 from pyspark.sql import SparkSession
 
-from pg2ch_spark.config import DaemonConfig
+from pg2ch_spark.config import DaemonConfig, WalSenderSource
 from pg2ch_spark.pipeline import run_pipeline
 
 
@@ -51,6 +52,53 @@ def install_signal_handlers(stop: threading.Event) -> None:
     signal.signal(signal.SIGINT, handler)
 
 
+def start_walsender_spool(
+    ws: WalSenderSource, spool_dir: str, stop: threading.Event, out=None
+) -> threading.Thread:
+    """The live R2 consumer as a daemon thread: protocol client →
+    LSN-named spool files (`sources.spool`), flush-then-ack all the way
+    through (the generator acks an LSN only after its file is durable).
+    Reconnects with backoff on any socket/protocol error — a restart
+    replays from the last acked LSN into the same file names, which the
+    passes' streaming offset log dedups. One connection per slot by
+    protocol; the Spark side fans out from the files."""
+    from pg2ch_spark.sources.pgoutput import replication_stream
+    from pg2ch_spark.sources.spool import spool_transactions
+
+    out = out or sys.stdout
+    password = os.environ.get(ws.password_env) if ws.password_env else None
+
+    def run() -> None:
+        while not stop.is_set():
+            try:
+                stream = replication_stream(
+                    ws.host,
+                    ws.port,
+                    slot=ws.slot,
+                    publication=ws.publication,
+                    user=ws.user,
+                    database=ws.database,
+                    password=password,
+                    sslmode=ws.sslmode,
+                )
+                for lsn, _path in spool_transactions(stream, spool_dir):
+                    if stop.is_set():
+                        return
+                # clean CopyDone from the server: fall through to retry
+            except Exception as e:  # noqa: BLE001 — daemon thread must survive
+                print(
+                    json.dumps({"walsender_error": str(e)[:200]}),
+                    file=out,
+                    flush=True,
+                )
+            if stop.wait(ws.retry_s):
+                return
+
+    t = threading.Thread(target=run, name="walsender-spool", daemon=True)
+    t.start()
+    return t
+
+
 def run_daemon(
     cfg: DaemonConfig,
     spark: SparkSession,
@@ -65,9 +113,31 @@ def run_daemon(
     ``once`` is the batch mode (single catch-up pass, then exit) —
     pg2ch has no direct analog but every CDC daemon grows one; it is
     also what a scheduler invokes. ``max_passes`` bounds continuous
-    mode for tests."""
+    mode for tests.
+
+    With ``cfg.walsender`` the daemon IS the reference's full shape:
+    the protocol client spools committed transactions concurrently
+    while the passes consume the spool; with ``cfg.clickhouse`` every
+    merged micro-batch delta is also POSTed as TabSeparated to
+    ``<database>.<table>`` (R12) — replays converge on the CH merge
+    engine exactly as on the local sink."""
     out = out or sys.stdout
     stop = stop or threading.Event()
+    if cfg.walsender is not None:
+        os.makedirs(cfg.source_dir, exist_ok=True)
+        start_walsender_spool(cfg.walsender, cfg.source_dir, stop, out=out)
+
+    batch_hook = None
+    if cfg.clickhouse is not None:
+        from pg2ch_spark.sources.clickhouse import clickhouse_sink
+
+        def batch_hook(name: str, batch_df) -> None:
+            clickhouse_sink(
+                cfg.clickhouse.endpoint,
+                f"{cfg.clickhouse.database}.{name}",
+                batch_df.columns,
+            )(batch_df, epoch_id=0)
+
     n_pass = 0
     while True:
         res = run_pipeline(
@@ -77,6 +147,7 @@ def run_daemon(
             cfg.state_root,
             max_files_per_trigger=cfg.max_files_per_trigger,
             source_format=cfg.source_format,
+            batch_hook=batch_hook,
         )
         n_pass += 1
         stopping = stop.is_set() or once or (max_passes is not None and n_pass >= max_passes)

@@ -237,6 +237,7 @@ def run_pipeline(
     state_root: str,
     max_files_per_trigger: int | None = None,
     source_format: str = "events",
+    batch_hook=None,
 ) -> PipelineResult:
     """Replicate every configured table, availableNow (≙ catch-up run
     of a continuous daemon; rerunning resumes from each checkpoint).
@@ -250,7 +251,14 @@ def run_pipeline(
     derives the CDC log from it (the fixture contract); "cdc" streams
     ``sf_dir`` as a directory of already-normalized CDC files — the
     shape `sources.spool.spool_transactions` lands from the live
-    walsender client, closing the R2→R5 chain end-to-end."""
+    walsender client, closing the R2→R5 chain end-to-end.
+
+    ``batch_hook(table_name, batch_df)`` runs AFTER each micro-batch's
+    local merge commits — the R12 fan-out point (the daemon posts each
+    batch delta to ClickHouse here). It sees the DELTA, not the state:
+    at 100 TB re-shipping full state per pass is wrong, and replayed
+    deltas converge on the remote merge engine exactly as they do on
+    the local sink."""
     from pg2ch_spark.streaming.queries import _events_schema
     from pg2ch_spark.streaming.runner import (
         _few_state_partitions,
@@ -331,9 +339,13 @@ def run_pipeline(
 
         n_batches = 0
 
-        def sink_batch(batch_df: DataFrame, epoch_id: int, _sink=sink) -> None:
+        def sink_batch(
+            batch_df: DataFrame, epoch_id: int, _sink=sink, _name=spec.main_table
+        ) -> None:
             nonlocal n_batches
             _sink.merge(batch_df, epoch_id)
+            if batch_hook is not None:
+                batch_hook(_name, batch_df)
             n_batches += 1
 
         try:

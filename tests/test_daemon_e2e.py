@@ -120,6 +120,87 @@ def test_pg_socket_to_clickhouse_http(
     )
 
 
+def test_config_driven_daemon_pg_socket_to_clickhouse(spark, tmp_path, http_stub):  # noqa: F811
+    """pg2ch's WHOLE operating shape from ONE config mapping: a
+    `source.walsender` block makes the daemon run the live protocol
+    client in a spool thread (R2→R13) while its passes consume the
+    spool into engine state (R5–R9), and a `clickhouse` block posts
+    every merged micro-batch delta as TabSeparated (R12). The fake
+    walsender replays its script on every reconnect — the at-least-
+    once behavior of a real slot with a re-used start LSN — and the
+    LSN-named spool plus the streaming offset log absorb it."""
+    import io
+    import json
+    import os
+    import time
+
+    from pg2ch_spark.config import config_from_mapping
+    from pg2ch_spark.daemon import run_daemon
+
+    server = socketserver.TCPServer(("127.0.0.1", 0), FakeWalSender)
+    server.log = {}
+    server.done = threading.Event()
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    host, port = server.server_address
+    endpoint, received = http_stub
+
+    cfg = config_from_mapping(
+        {
+            "source": {
+                "sf_dir": str(tmp_path / "spool"),
+                "walsender": {
+                    "host": host,
+                    "port": port,
+                    "slot": "pg2ch_slot",
+                    "publication": "pg2ch_pub",
+                    "retry_s": 0.2,
+                },
+            },
+            "state_root": str(tmp_path / "state"),
+            "poll_interval_s": 0.3,
+            "tables": {"accounts": {"engine": "ReplacingMergeTree"}},
+            "clickhouse": {"endpoint": endpoint, "database": "db"},
+        }
+    )
+    assert cfg.source_format == "cdc" and cfg.walsender.port == port
+
+    out = io.StringIO()
+    assert run_daemon(cfg, spark, max_passes=8, out=out) == 0
+    passes = [json.loads(line) for line in out.getvalue().splitlines()
+              if "pass" in line]
+    assert passes[-1]["pass"] == 8
+
+    # local engine state converged to the WAL's per-key latest
+    state_path = os.path.join(cfg.state_root, "accounts", "state")
+    deadline = time.time() + 10
+    final = {}
+    while time.time() < deadline:
+        final = {r.key: r.value for r in spark.read.parquet(state_path).collect()}
+        if final == {1: 10.5, 2: 20.0, 3: 30.25}:
+            break
+        time.sleep(0.2)
+    assert final == {1: 10.5, 2: 20.0, 3: 30.25}
+
+    # ClickHouse received every merged delta, TabSeparated, right table
+    import urllib.parse
+
+    assert received, "no CH inserts arrived"
+    assert all(
+        "INSERT INTO `db`.`accounts`" in urllib.parse.unquote(path)
+        for path, _ in received
+    )
+    posted = {}
+    for _, body in received:
+        for line in filter(None, body.decode().split("\n")):
+            k, ver, op, val = line.split("\t")
+            if int(ver) >= posted.get(int(k), (0,))[0]:
+                posted[int(k)] = (int(ver), float(val))
+    assert {k: v for k, (_, v) in posted.items()} == {1: 10.5, 2: 20.0, 3: 30.25}
+
+    server.shutdown()
+    server.server_close()
+
+
 def test_daemon_resumes_through_walsender_crash(spark, tmp_path):
     """VERDICT r5 item 5 — the full chain with a mid-transaction kill:
     live walsender protocol → WalSenderClient → spool landing zone →
