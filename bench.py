@@ -69,12 +69,15 @@ def run_spark(
     sf_dir: str, keys: list[str] | None, repeat: int, serial_only: bool = False
 ) -> tuple[dict[str, float], float | None]:
     """Return (serial per-query medians, concurrent suite wall-clock)."""
-    # FAIR job scheduling for the concurrent suite pass (measured:
-    # 26.5 s FIFO → 21.3 s FAIR at 212 queries/32 threads): the
-    # many-small-jobs chains (iterative fixpoints, bucketed flushes,
-    # streaming triggers) stop serializing behind every wide job queued
-    # ahead of them. Serial timings are unaffected (one job at a time).
-    # This is the standard multi-tenant posture of a Spark SQL server.
+    # FAIR job scheduling + one pool per query for the concurrent pass —
+    # the standard multi-tenant posture of a Spark SQL server. Measured
+    # honestly (back-to-back A/B with per-key pools, warm host): FIFO
+    # 20.5 s vs FAIR 21.5 s at 215 queries/32 threads — on THIS box the
+    # mode is roughly a wash (an earlier 26.5→21.3 s reading attributed
+    # to FAIR was run-order warmth; mode=FAIR without per-job pools is
+    # a scheduling no-op, all jobs share the FIFO 'default' pool). Kept
+    # because it is the right posture for a real multi-tenant server,
+    # where one tenant's hour-long job must not starve another's chain.
     os.environ.setdefault("SPARK_GRAFT_SCHEDULER", "FAIR")
     from pg2ch_spark import registry
     from pg2ch_spark.session import get_spark
@@ -137,6 +140,14 @@ def _concurrent_pass(spark, queries, selected, sf_dir: str, repeat: int) -> floa
     nthreads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "32"))
 
     def run_one(key: str) -> None:
+        # FAIR mode schedules fairly BETWEEN pools; jobs without a pool
+        # all land in the single 'default' pool whose internal order is
+        # FIFO — i.e. FAIR without per-key pools is a scheduling no-op.
+        # One pool per key (thread-local property) gives each query an
+        # equal share, so small-job chains stop queueing behind wide
+        # jobs. Undeclared pools inherit FIFO internally, which is
+        # correct here: each key's OWN jobs are sequential anyway.
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", key)
         _materialize(queries[key](spark, sf_dir))
 
     walls = []

@@ -123,9 +123,10 @@ def run_daemon(
     engine exactly as on the local sink."""
     out = out or sys.stdout
     stop = stop or threading.Event()
+    spool_thread = None
     if cfg.walsender is not None:
         os.makedirs(cfg.source_dir, exist_ok=True)
-        start_walsender_spool(cfg.walsender, cfg.source_dir, stop, out=out)
+        spool_thread = start_walsender_spool(cfg.walsender, cfg.source_dir, stop, out=out)
 
     batch_hook = None
     if cfg.clickhouse is not None:
@@ -159,7 +160,7 @@ def run_daemon(
             flush=True,
         )
         if stopping:
-            return 0
+            return _shutdown(stop, spool_thread)
         # interruptible sleep: a signal during the pause exits promptly
         # (the pass just committed, nothing is in flight)
         if stop.wait(cfg.poll_interval_s):
@@ -168,4 +169,17 @@ def run_daemon(
                 file=out,
                 flush=True,
             )
-            return 0
+            return _shutdown(stop, spool_thread)
+
+
+def _shutdown(stop: threading.Event, spool_thread: threading.Thread | None) -> int:
+    """Every daemon exit path stops the spool thread WITH the passes:
+    once/max_passes exits previously left it reconnecting and spooling
+    forever (live socket + writer targeting a stale spool dir for the
+    rest of the process). The join is best-effort — the thread may sit
+    in a blocking recv up to its socket timeout; it is a daemon thread
+    and checks the stop flag at its next yield/retry either way."""
+    stop.set()
+    if spool_thread is not None:
+        spool_thread.join(timeout=2.0)
+    return 0

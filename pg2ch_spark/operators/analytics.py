@@ -447,15 +447,23 @@ def agg_hll_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.04/sqrt(4096) ≈ 1.6% rms, so 5% ≈ 3σ. Scale: one pass builds all
     sketch states map-side; exact counts shuffle only (type, user_id)
     pairs — both linear, no payload movement."""
+    from pg2ch_spark.caching import eager_persist
+
     ev = catalog.load(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(
+    # One pass over events: the distinct (type, user) pair table feeds
+    # every branch below (HLL is duplicate-insensitive, so sketches
+    # over the pairs equal sketches over raw events). Without the
+    # persist each branch re-aggregates the scan — Spark has no
+    # cross-branch subtree reuse (caching.py rationale).
+    du = eager_persist(ev.select("event_type", "user_id").distinct())
+    per_type = du.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sketch"),
-        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("exact_users"),  # pairs are distinct
     )
     all_row = per_type.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
     ).crossJoin(
-        ev.agg(F.countDistinct("user_id").alias("exact_users"))
+        du.agg(F.countDistinct("user_id").alias("exact_users"))
     ).select(F.lit("ALL").alias("event_type"), "exact_users", "est")
     typed = per_type.select(
         "event_type",

@@ -173,7 +173,7 @@ def source_pyds_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from pg2ch_spark.sources import pyds
-    from pg2ch_spark.sources.clickhouse import escape_value
+    from pg2ch_spark.sources.clickhouse import encode_row
     from pg2ch_spark.streaming.runner import scratch_dir
 
     docs = catalog.load(spark, sf_dir, "documents")
@@ -189,12 +189,7 @@ def source_pyds_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     def enc(batches):
         for pdf in batches:
             yield pd.DataFrame(
-                {
-                    "line": [
-                        "\t".join(escape_value(v) for v in row)
-                        for row in pdf.itertuples(index=False)
-                    ]
-                }
+                {"line": [encode_row(row) for row in pdf.itertuples(index=False)]}
             )
 
     base = scratch_dir("pg2ch_pyds_")

@@ -73,11 +73,18 @@ def escape_value(v: object) -> str:
     return "".join(out)
 
 
+def encode_row(values) -> str:
+    """One row of values → one TabSeparated line (no newline) — THE
+    line encoder; every TSV producer (HTTP sink body, file sinks)
+    must route through it so the dialect cannot fork."""
+    return "\t".join(escape_value(v) for v in values)
+
+
 def encode_tsv(pdf: pd.DataFrame) -> bytes:
     """One pandas batch → a TabSeparated request body (UTF-8)."""
     buf = io.StringIO()
     for row in pdf.itertuples(index=False):
-        buf.write("\t".join(escape_value(v) for v in row))
+        buf.write(encode_row(row))
         buf.write("\n")
     return buf.getvalue().encode("utf-8")
 

@@ -111,7 +111,26 @@ def bootstrap_replication(
             f"slot {slot!r} exported no snapshot (temporary slot or "
             "NOEXPORT option?) — gapless handoff needs one"
         )
-    opts = {**snapshot_options(info.snapshot_name), **common.pop("options", {})}
+    pin = snapshot_options(info.snapshot_name)
+    # The snapshot pin must survive every options-merge path: a caller
+    # (or per-table kwargs, which replace the shared options dict
+    # wholesale in snapshot_all's {**common, **kw}) silently overriding
+    # sessionInitStatement would un-anchor the sync from the slot's
+    # consistent point — the exact bug this function exists to prevent.
+    for where, block in (
+        ("options", common.get("options", {})),
+        *((f"tables[{n!r}].options", kw.get("options", {})) for n, kw in tables.items()),
+    ):
+        if "sessionInitStatement" in block:
+            raise ValueError(
+                f"{where} sets sessionInitStatement, which would replace "
+                "the exported-snapshot pin; bootstrap_replication owns it"
+            )
+    opts = {**pin, **common.pop("options", {})}
+    tables = {
+        n: {**kw, "options": {**opts, **kw.get("options", {})}}
+        for n, kw in tables.items()
+    }
     frames = (sync or snapshot_all)(spark, url, tables, options=opts, **common)
     return info, frames
 

@@ -70,11 +70,18 @@ def _converter(type_name: str):
     if type_name == "date":
         return lambda s: date.fromisoformat(s)
     if type_name.startswith("timestamp"):
-        return lambda s: (
-            datetime.strptime(s, "%Y-%m-%d %H:%M:%S.%f")
-            if "." in s
-            else datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
-        )
+        # the sink encodes DateTime64 with 6 (µs) or 9 (ns) fractional
+        # digits; strptime's %f stops at 6, so parse the fraction by
+        # hand — Spark's timestamp is µs anyway, so ns truncate to the
+        # column type's own precision
+        def _ts(s: str) -> datetime:
+            base, _, frac = s.partition(".")
+            dt = datetime.strptime(base, "%Y-%m-%d %H:%M:%S")
+            if frac:
+                dt = dt.replace(microsecond=int(frac[:6].ljust(6, "0")))
+            return dt
+
+        return _ts
     if type_name == "string":
         return lambda s: s
     raise ValueError(f"clickhouse_tsv: unsupported declared type {type_name!r}")
@@ -160,15 +167,47 @@ class TabSeparatedDataSource(DataSource):
 #     protocol client)
 
 
+_FLAT_RE = None  # compiled lazily (module import stays cheap)
+
+
 def _spool_entries(path: str) -> list[tuple[int, str]]:
-    """(lsn, entry-path) for every transaction in the spool."""
+    """(lsn, entry-path) for every COMMITTED transaction in the spool.
+
+    Flat files (``<table>-<lsn:016x>.parquet``, any table prefix —
+    `spool_transactions` parameterizes it) are committed by definition:
+    the producer publishes them with an atomic rename. Hive-layout
+    ``lsn=<n>`` directories come from a distributed partitionBy job
+    whose dirs/part-files appear non-atomically per task — so they are
+    recognized ONLY once the job's root ``_SUCCESS`` marker exists
+    (mode("overwrite") recreates the directory, so no marker exists
+    until the job commits). A spool with lsn= dirs but no marker is an
+    ERROR, not silence: treating an in-flight write as committed would
+    let latestOffset advance past a late-landing transaction and lose
+    it forever. Live incremental producers must use the flat layout.
+    """
+    global _FLAT_RE
+    if _FLAT_RE is None:
+        import re
+
+        _FLAT_RE = re.compile(r"^[A-Za-z0-9_]+-([0-9a-fA-F]{16})\.parquet$")
     out: list[tuple[int, str]] = []
+    hive: list[tuple[int, str]] = []
     for name in os.listdir(path):
         p = os.path.join(path, name)
-        if name.startswith("cdc-") and name.endswith(".parquet"):
-            out.append((int(name[4:-8], 16), p))
+        m = _FLAT_RE.match(name)
+        if m:
+            out.append((int(m.group(1), 16), p))
         elif name.startswith("lsn=") and os.path.isdir(p):
-            out.append((int(name[4:]), p))
+            hive.append((int(name[4:]), p))
+    if hive:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise ValueError(
+                f"pg2ch_spool: {path} has lsn= directories but no _SUCCESS "
+                "marker — the partitionBy producer has not committed; a "
+                "concurrently-appended spool must use the flat atomic "
+                "layout (sources.spool.spool_transactions)"
+            )
+        out.extend(hive)
     out.sort()
     return out
 

@@ -136,6 +136,35 @@ class TestPythonDataSourceTsv:
         got = sorted((r.id, r.payload) for r in back.collect())
         assert got == rows
 
+    def test_timestamp_roundtrips_incl_nanoseconds(self, spark, tmp_path):
+        """escape_value emits 6 (µs) or 9 (ns) fractional digits; the
+        reader must parse both (strptime's %f alone chokes on 9) —
+        nanoseconds truncate to the Spark timestamp type's own µs."""
+        import pandas as pd
+
+        from pg2ch_spark.sources import pyds
+        from pg2ch_spark.sources.clickhouse import escape_value
+
+        stamps = [
+            pd.Timestamp("2024-01-01 00:00:00"),
+            pd.Timestamp("2024-01-01 00:00:00.123456"),
+            pd.Timestamp("2024-01-01 00:00:00.000000001"),
+        ]
+        (tmp_path / "t.tsv").write_text(
+            "".join(f"{i}\t{escape_value(t)}\n" for i, t in enumerate(stamps))
+        )
+        pyds.register(spark)
+        back = (
+            spark.read.format("clickhouse_tsv")
+            .schema("id bigint, ts timestamp")
+            .option("path", str(tmp_path))
+            .load()
+        )
+        got = {r.id: r.ts for r in back.collect()}
+        assert got[0].microsecond == 0
+        assert got[1].microsecond == 123456
+        assert got[2].microsecond == 0  # ns floor to the µs column type
+
     def test_declared_schema_is_required(self, spark):
         from pg2ch_spark.sources import pyds
 
@@ -235,10 +264,33 @@ class TestSpoolStreamSource:
             ),
             str(d / "part-0.parquet"),
         )
+        (spool / "_SUCCESS").write_text("")  # the producer job committed
         self._run(spark, spool, tmp_path / "out2", tmp_path / "ckpt2")
         assert [tuple(r) for r in spark.read.parquet(str(tmp_path / "out2")).collect()] == [
             (9, 9, "I", 1.25)
         ]
+
+    def test_uncommitted_hive_layout_is_refused(self, tmp_path):
+        """lsn= dirs without the producer job's _SUCCESS marker are an
+        in-flight write: treating them as committed would let the
+        offset advance past a late-landing transaction and lose it —
+        the reader must refuse loudly, not stream silence."""
+        from pg2ch_spark.sources.pyds import _spool_entries
+
+        spool = tmp_path / "spool"
+        os.makedirs(spool / "lsn=3")
+        with pytest.raises(ValueError, match="no _SUCCESS"):
+            _spool_entries(str(spool))
+
+    def test_custom_table_prefix_is_visible(self, tmp_path):
+        """spool_transactions(table=...) names files <table>-<lsn> —
+        the stream reader must see any such prefix, not just cdc-."""
+        from pg2ch_spark.sources.pyds import _spool_entries
+
+        spool = tmp_path / "spool"
+        os.makedirs(spool)
+        (spool / f"accounts-{0x42:016x}.parquet").write_bytes(b"")
+        assert [lsn for lsn, _ in _spool_entries(str(spool))] == [0x42]
 
 
 class TestJdbcContract:
