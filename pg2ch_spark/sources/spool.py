@@ -41,10 +41,23 @@ def default_row(r: CdcRow) -> dict:
     """CdcRow → the pipeline's normalized CDC shape: generic single
     key/value tables (the fixture contract of `derive_cdc_stream`).
     Real deployments pass a per-table mapper (the R4 route step) that
-    knows the replicated schema."""
+    knows the replicated schema.
+
+    Op coverage matters here, not just inserts: a DELETE carries its
+    key in ``old_key`` (``values`` is empty — pgoutput sends only the
+    replica identity), and a TRUNCATE is relation-level with NO key at
+    all (key stays NULL; propagating it is the sink's R10 decision).
+    The first implementation indexed ``values[0]`` and crashed on the
+    first delete through the composed chain."""
     vals = list(r.values.values())
+    if vals:
+        key = int(vals[0])
+    elif r.old_key:
+        key = int(next(iter(r.old_key.values())))
+    else:  # truncate: relation-level marker
+        key = None
     return {
-        "key": int(vals[0]),
+        "key": key,
         "ver": r.scalar_ver,
         "op": r.op,
         "value": float(vals[1]) if len(vals) > 1 and vals[1] is not None else None,

@@ -293,6 +293,54 @@ class TestSpoolStreamSource:
         assert [lsn for lsn, _ in _spool_entries(str(spool))] == [0x42]
 
 
+def test_spool_default_row_covers_all_ops(tmp_path):
+    """The spool mapper must survive the full DML surface, not just
+    inserts: DELETE's key rides in old_key (values is empty on the
+    wire) and TRUNCATE has no key at all — the first implementation
+    crashed on the first delete through the composed chain."""
+    from pg2ch_spark.sources import pgoutput as pg
+    from pg2ch_spark.sources.spool import spool_transactions
+    from tests.test_pgoutput import (
+        begin,
+        commit,
+        delete,
+        insert,
+        relation,
+        truncate,
+        update,
+    )
+
+    lsn = (1 << 32) | 0x500
+    frames = [
+        begin(lsn, xid=11),
+        relation(42, "accounts", [(1, "id", 23), (0, "balance", 701)]),
+        insert(42, 1, 10.5),
+        update(42, (1, 11.0), old=(1, 10.5)),
+        delete(42, 2, None),
+        truncate(42),
+        commit(lsn),
+    ]
+
+    def stream():
+        dec = pg.WalDecoder()
+        rows = []
+        for f in frames:
+            rows.extend(dec.push(f))
+        yield lsn, rows
+
+    [(got_lsn, path)] = list(spool_transactions(stream(), str(tmp_path)))
+    assert got_lsn == lsn
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(path).to_pylist()
+    assert [(r["key"], r["op"], r["value"]) for r in rows] == [
+        (1, "I", 10.5),
+        (1, "U", 11.0),
+        (2, "D", None),   # key recovered from old_key
+        (None, "T", None),  # relation-level truncate marker
+    ]
+
+
 class TestJdbcContract:
     def test_partitioned_requires_bounds(self, spark):
         with pytest.raises(ValueError, match="lower_bound"):
