@@ -56,11 +56,34 @@ class ReplacingMergeSink:
             .drop("_rn")
         )
 
+    def _truncate_horizon(self, df: DataFrame | None):
+        """Highest TRUNCATE-marker version in ``df`` (op == 'T'), or
+        None. pg2ch R10: a truncate wipes everything ordered before it
+        — the marker's version IS the horizon, and filtering both state
+        and batch to ``ver > horizon`` applies it exactly (the last
+        marker subsumes earlier ones, markers themselves sit AT their
+        horizon so they never persist). One narrow aggregate over the
+        micro-batch; replays re-filter idempotently."""
+        if df is None or "op" not in df.columns:
+            return None
+        return (
+            df.where(F.col("op") == "T")
+            .agg(F.max(self.ver_col))
+            .collect()[0][0]
+        )
+
     def merge(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
         """foreachBatch entry point: union existing state + batch, keep the
         max-version row per key, commit atomically. Re-running the same
-        batch (at-least-once replay) is a no-op by construction."""
+        batch (at-least-once replay) is a no-op by construction.
+        TRUNCATE markers in the batch propagate (R10): state and batch
+        rows at or before the last marker's version are dropped."""
         current = self.state()
+        tmax = self._truncate_horizon(batch_df)
+        if tmax is not None:
+            batch_df = batch_df.where(F.col(self.ver_col) > tmax)
+            if current is not None:
+                current = current.where(F.col(self.ver_col) > tmax)
         merged = batch_df if current is None else current.unionByName(batch_df)
         self._commit(self._latest_per_key(merged))
 
@@ -122,11 +145,18 @@ class BufferedMergeSink(ReplacingMergeSink):
             self.flush()
 
     def flush(self) -> None:
-        """Replacing-merge the buffer tier into the main state table."""
+        """Replacing-merge the buffer tier into the main state table.
+        TRUNCATE markers buffered since the last flush apply here: the
+        last marker's version filters both tiers (R10)."""
         if not os.path.exists(self.buffer_path):
             return
         buf = self.spark.read.parquet(self.buffer_path)
+        tmax = self._truncate_horizon(buf)
+        if tmax is not None:
+            buf = buf.where(F.col(self.ver_col) > tmax)
         current = super().state()
+        if current is not None and tmax is not None:
+            current = current.where(F.col(self.ver_col) > tmax)
         merged = buf if current is None else current.unionByName(buf)
         self._commit(self._latest_per_key(merged))
         shutil.rmtree(self.buffer_path, ignore_errors=True)
@@ -207,16 +237,27 @@ class BucketedMergeSink(BufferedMergeSink):
         if not os.path.exists(self.buffer_path):
             return
         buf = self.spark.read.parquet(self.buffer_path)
+        tmax = self._truncate_horizon(buf)
+        if tmax is not None:
+            # a truncate touches EVERY bucket: the O(touched) pruning
+            # rightly escalates to a full-state pass for the one
+            # operation whose semantics are "all state before me"
+            buf = buf.where(F.col(self.ver_col) > tmax)
         delta = self._bucket(self._latest_per_key(buf))
-        touched = sorted(
-            r["_b"] for r in delta.select("_b").distinct().collect()
-        )
+        if tmax is not None:
+            touched = list(range(self.n_buckets))
+        else:
+            touched = sorted(
+                r["_b"] for r in delta.select("_b").distinct().collect()
+            )
         existing = [
             d for d in (self._recover_bucket(b) for b in touched) if d is not None
         ]
         merged = delta
         if existing:
             current = self._bucket(self.spark.read.parquet(*existing))
+            if tmax is not None:
+                current = current.where(F.col(self.ver_col) > tmax)
             merged = current.unionByName(delta)
         staging = self.path + ".staging"
         shutil.rmtree(staging, ignore_errors=True)
@@ -231,6 +272,15 @@ class BucketedMergeSink(BufferedMergeSink):
         for b in touched:
             src = os.path.join(staging, f"_b={b}")
             if not os.path.exists(src):
+                if tmax is not None:
+                    # truncate wiped this bucket entirely: remove it
+                    # (idempotent on replay — the buffer re-flushes
+                    # until its own truncate below commits)
+                    bdir = self._bucket_dir(b)
+                    shutil.rmtree(bdir + ".old", ignore_errors=True)
+                    if os.path.exists(bdir):
+                        shutil.rmtree(bdir, ignore_errors=True)
+                        self.buckets_rewritten += 1
                 continue  # defensive: argmax keeps ≥1 row per delta key
             bdir = self._bucket_dir(b)
             old = bdir + ".old"

@@ -440,3 +440,69 @@ def test_bucketed_spec_equals_single_tier(spark, pipe_sf_dir, tmp_path_factory):
 def test_bucketed_spec_rejected_for_other_engines():
     with pytest.raises(ValueError, match="bucketed state requires"):
         TableSpec(main_table="x", engine="MergeTree", n_buckets=4)
+
+
+# ---------------------------------------------------------------------------
+# TRUNCATE propagation (R10) through the Replacing sink family: a 'T'
+# marker wipes all state ordered before its version — in the single-
+# tier merge, across the buffer tier, and across EVERY bucket of the
+# bucket-pruned sink (the one operation that rightly escalates the
+# O(touched) rewrite to a full-state pass).
+
+
+def _cdc_batch(spark, rows):
+    return spark.createDataFrame(rows, "key bigint, ver bigint, op string, value double")
+
+
+@pytest.mark.parametrize("n_buckets", [0, 4])
+def test_truncate_wipes_prior_state(spark, tmp_path, n_buckets):
+    from pg2ch_spark.cdc.merge_sink import BucketedMergeSink, ReplacingMergeSink
+
+    path = str(tmp_path / f"st{n_buckets}")
+    if n_buckets:
+        sink = BucketedMergeSink(spark, path, "key", "ver", merge_every=1, n_buckets=n_buckets)
+    else:
+        sink = ReplacingMergeSink(spark, path, "key", "ver")
+    sink.merge(_cdc_batch(spark, [(1, 1, "I", 10.0), (2, 2, "I", 20.0)]))
+    # truncate at ver 3, then a survivor AFTER it in the same batch
+    truncate_batch = [(None, 3, "T", None), (3, 4, "I", 30.0)]
+    sink.merge(_cdc_batch(spark, truncate_batch))
+    got = {r.key: r.value for r in sink.state().collect()}
+    assert got == {3: 30.0}
+    # at-least-once replay of the truncate batch is a no-op
+    sink.merge(_cdc_batch(spark, truncate_batch))
+    assert {r.key: r.value for r in sink.state().collect()} == {3: 30.0}
+
+
+def test_truncate_only_batch_empties_bucketed_state(spark, tmp_path):
+    """Every bucket dir must GO AWAY, not linger as stale state."""
+    import os
+
+    from pg2ch_spark.cdc.merge_sink import BucketedMergeSink
+
+    path = str(tmp_path / "stb")
+    sink = BucketedMergeSink(spark, path, "key", "ver", merge_every=1, n_buckets=4)
+    sink.merge(_cdc_batch(spark, [(k, k, "I", float(k)) for k in range(1, 9)]))
+    assert sink.state().count() == 8
+    sink.merge(_cdc_batch(spark, [(None, 100, "T", None)]))
+    state = sink.state()
+    assert state is None or state.count() == 0
+    assert not any(
+        d.startswith("b") and os.listdir(os.path.join(path, d))
+        for d in (os.listdir(path) if os.path.exists(path) else [])
+        if os.path.isdir(os.path.join(path, d))
+    )
+
+
+def test_truncate_across_buffer_tier(spark, tmp_path):
+    """Markers buffered between flushes apply at flush time: rows
+    before the LAST marker drop even when they arrived in earlier
+    buffered batches; later markers subsume earlier ones."""
+    from pg2ch_spark.cdc.merge_sink import BufferedMergeSink
+
+    sink = BufferedMergeSink(spark, str(tmp_path / "buf"), "key", "ver", merge_every=10)
+    sink.merge(_cdc_batch(spark, [(1, 1, "I", 10.0)]))
+    sink.merge(_cdc_batch(spark, [(None, 2, "T", None), (2, 3, "I", 20.0)]))
+    sink.merge(_cdc_batch(spark, [(None, 4, "T", None), (3, 5, "I", 30.0)]))
+    got = {r.key: r.value for r in sink.state().collect()}  # state() flushes
+    assert got == {3: 30.0}
