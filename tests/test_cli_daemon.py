@@ -139,6 +139,43 @@ def test_config_loader_rejections(daemon_dirs):
         config_from_mapping({**base, "spark": {"master": ["local"]}})
 
 
+def test_config_walsender_and_clickhouse_blocks(daemon_dirs):
+    d, _, _ = daemon_dirs
+    base = {"source": {"sf_dir": d}, "state_root": d, "tables": {"t": {}}}
+    ws = {"host": "h", "port": 5432, "slot": "s", "publication": "p"}
+
+    # a walsender source implies (and forces) the cdc spool format
+    cfg = config_from_mapping(
+        {**base, "source": {"sf_dir": d, "walsender": dict(ws)}}
+    )
+    assert cfg.source_format == "cdc" and cfg.walsender.slot == "s"
+    with pytest.raises(ValueError, match="requires source.format: cdc"):
+        config_from_mapping(
+            {**base, "source": {"sf_dir": d, "format": "events", "walsender": dict(ws)}}
+        )
+    with pytest.raises(ValueError, match="missing required key 'slot'"):
+        config_from_mapping(
+            {**base, "source": {"sf_dir": d, "walsender": {"host": "h", "port": 1, "publication": "p"}}}
+        )
+    with pytest.raises(ValueError, match="port must be an int"):
+        config_from_mapping(
+            {**base, "source": {"sf_dir": d, "walsender": {**ws, "port": "5432"}}}
+        )
+    with pytest.raises(ValueError, match="unknown source.walsender keys"):
+        config_from_mapping(
+            {**base, "source": {"sf_dir": d, "walsender": {**ws, "password": "x"}}}
+        )  # secrets in YAML are rejected by name: password_env only
+
+    cfg = config_from_mapping({**base, "clickhouse": {"endpoint": "http://ch:8123"}})
+    assert cfg.clickhouse.database == "default"
+    with pytest.raises(ValueError, match="missing required key 'endpoint'"):
+        config_from_mapping({**base, "clickhouse": {"database": "db"}})
+    with pytest.raises(ValueError, match="unknown clickhouse keys"):
+        config_from_mapping(
+            {**base, "clickhouse": {"endpoint": "e", "table": "t"}}
+        )
+
+
 def test_daemon_sigterm_then_resume(daemon_dirs):
     d, cfg_path, state_root = daemon_dirs
 
