@@ -670,3 +670,23 @@ def test_pareto_and_cusum_have_no_row_scale_join(spark):
         plan = _plan(spark, key)
         assert "SortMergeJoin" not in plan, key
         assert "ShuffledHashJoin" not in plan, key
+
+
+def test_prefix_filter_candidates_avoid_nested_loop(spark):
+    """AllPairs candidate generation must stay an equi-join on the
+    shingle key: the size-window predicates ride the g-key join as
+    post-conditions, never a BroadcastNestedLoopJoin or cartesian
+    product (which would re-create the all-pairs cost the prefix
+    filter exists to remove)."""
+    for key in ("text_near_dedup_ngram_jaccard", "text_containment_pairs"):
+        plan = _plan(spark, key)
+        assert "BroadcastNestedLoopJoin" not in plan, key
+        assert "CartesianProduct" not in plan, key
+
+
+def test_variant_shred_is_single_shuffle(spark):
+    """parse-once/extract-many: everything before the final aggregate
+    is map-side — exactly one Exchange (the groupBy), no joins."""
+    plan = _plan(spark, "fn_variant_shred")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
