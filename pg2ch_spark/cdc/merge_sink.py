@@ -23,6 +23,21 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 
+def truncate_horizon(df: DataFrame | None, ver_col: str):
+    """Highest TRUNCATE-marker version in ``df`` (op == 'T'), or None.
+
+    pg2ch R10: a truncate wipes everything ordered before it — the
+    marker's version IS the horizon, and filtering rows to
+    ``ver > horizon`` applies it exactly (the last marker subsumes
+    earlier ones; markers sit AT their own horizon so they never
+    persist). One narrow aggregate; replays re-filter idempotently.
+    Shared by every sink family AND the daemon's remote ClickHouse
+    fan-out, so horizon semantics cannot fork per consumer."""
+    if df is None or "op" not in df.columns:
+        return None
+    return df.where(F.col("op") == "T").agg(F.max(ver_col)).collect()[0][0]
+
+
 class ReplacingMergeSink:
     """Idempotent merge-by-key sink: state converges to argmax(ver) per key."""
 
@@ -56,21 +71,18 @@ class ReplacingMergeSink:
             .drop("_rn")
         )
 
-    def _truncate_horizon(self, df: DataFrame | None):
-        """Highest TRUNCATE-marker version in ``df`` (op == 'T'), or
-        None. pg2ch R10: a truncate wipes everything ordered before it
-        — the marker's version IS the horizon, and filtering both state
-        and batch to ``ver > horizon`` applies it exactly (the last
-        marker subsumes earlier ones, markers themselves sit AT their
-        horizon so they never persist). One narrow aggregate over the
-        micro-batch; replays re-filter idempotently."""
-        if df is None or "op" not in df.columns:
-            return None
-        return (
-            df.where(F.col("op") == "T")
-            .agg(F.max(self.ver_col))
-            .collect()[0][0]
-        )
+    def _apply_truncate(
+        self, incoming: DataFrame, current: DataFrame | None
+    ) -> tuple[object, DataFrame, DataFrame | None]:
+        """(tmax, incoming', current'): the R10 horizon from
+        ``incoming``'s markers applied to both tiers (see
+        :func:`truncate_horizon` for semantics)."""
+        tmax = truncate_horizon(incoming, self.ver_col)
+        if tmax is not None:
+            incoming = incoming.where(F.col(self.ver_col) > tmax)
+            if current is not None:
+                current = current.where(F.col(self.ver_col) > tmax)
+        return tmax, incoming, current
 
     def merge(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
         """foreachBatch entry point: union existing state + batch, keep the
@@ -79,11 +91,7 @@ class ReplacingMergeSink:
         TRUNCATE markers in the batch propagate (R10): state and batch
         rows at or before the last marker's version are dropped."""
         current = self.state()
-        tmax = self._truncate_horizon(batch_df)
-        if tmax is not None:
-            batch_df = batch_df.where(F.col(self.ver_col) > tmax)
-            if current is not None:
-                current = current.where(F.col(self.ver_col) > tmax)
+        _, batch_df, current = self._apply_truncate(batch_df, current)
         merged = batch_df if current is None else current.unionByName(batch_df)
         self._commit(self._latest_per_key(merged))
 
@@ -151,12 +159,8 @@ class BufferedMergeSink(ReplacingMergeSink):
         if not os.path.exists(self.buffer_path):
             return
         buf = self.spark.read.parquet(self.buffer_path)
-        tmax = self._truncate_horizon(buf)
-        if tmax is not None:
-            buf = buf.where(F.col(self.ver_col) > tmax)
         current = super().state()
-        if current is not None and tmax is not None:
-            current = current.where(F.col(self.ver_col) > tmax)
+        _, buf, current = self._apply_truncate(buf, current)
         merged = buf if current is None else current.unionByName(buf)
         self._commit(self._latest_per_key(merged))
         shutil.rmtree(self.buffer_path, ignore_errors=True)
@@ -237,12 +241,11 @@ class BucketedMergeSink(BufferedMergeSink):
         if not os.path.exists(self.buffer_path):
             return
         buf = self.spark.read.parquet(self.buffer_path)
-        tmax = self._truncate_horizon(buf)
-        if tmax is not None:
-            # a truncate touches EVERY bucket: the O(touched) pruning
-            # rightly escalates to a full-state pass for the one
-            # operation whose semantics are "all state before me"
-            buf = buf.where(F.col(self.ver_col) > tmax)
+        # a truncate touches EVERY bucket: the O(touched) pruning
+        # rightly escalates to a full-state pass for the one operation
+        # whose semantics are "all state before me" (current is
+        # filtered below, after the touched-bucket read)
+        tmax, buf, _ = self._apply_truncate(buf, None)
         delta = self._bucket(self._latest_per_key(buf))
         if tmax is not None:
             touched = list(range(self.n_buckets))

@@ -130,13 +130,22 @@ def run_daemon(
 
     batch_hook = None
     if cfg.clickhouse is not None:
-        from pg2ch_spark.sources.clickhouse import clickhouse_sink
+        import pyspark.sql.functions as F
 
-        def batch_hook(name: str, batch_df) -> None:
+        from pg2ch_spark.cdc.merge_sink import truncate_horizon
+        from pg2ch_spark.sources.clickhouse import clickhouse_sink, truncate_table
+
+        def batch_hook(spec, batch_df) -> None:
+            table = f"{cfg.clickhouse.database}.{spec.main_table}"
+            # R10 remotely: pg2ch TRUNCATEs the CH table; markers are
+            # commands, never data rows (a \\N key would either fail a
+            # non-Nullable column or linger as a ghost row forever)
+            tmax = truncate_horizon(batch_df, spec.ver_col)
+            if tmax is not None:
+                truncate_table(cfg.clickhouse.endpoint, table)
+                batch_df = batch_df.where(F.col(spec.ver_col) > tmax)
             clickhouse_sink(
-                cfg.clickhouse.endpoint,
-                f"{cfg.clickhouse.database}.{name}",
-                batch_df.columns,
+                cfg.clickhouse.endpoint, table, batch_df.columns
             )(batch_df, epoch_id=0)
 
     n_pass = 0

@@ -98,7 +98,22 @@ class _AppendSink:
         self.spark, self.path = spark, path
         self.key_col, self.sign_col, self.ver_col = key_col, sign_col, ver_col
 
+    def _apply_truncate_wipe(self, batch_df: DataFrame) -> DataFrame:
+        """R10 for log-shaped sinks: ClickHouse TRUNCATE on a MergeTree
+        wipes the table, so a marker drops every already-landed epoch
+        and filters this batch to the rows after the horizon. Replay of
+        the same epoch re-wipes (already empty) and relands the same
+        filtered rows — idempotent."""
+        from pg2ch_spark.cdc.merge_sink import truncate_horizon
+
+        tmax = truncate_horizon(batch_df, self.ver_col)
+        if tmax is None:
+            return batch_df
+        shutil.rmtree(self.path, ignore_errors=True)
+        return batch_df.where(F.col(self.ver_col) > tmax)
+
     def merge(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
+        batch_df = self._apply_truncate_wipe(batch_df)
         out = os.path.join(self.path, f"epoch={int(epoch_id or 0)}")
         batch_df.write.mode("overwrite").parquet(out)
 
@@ -167,10 +182,22 @@ class _CollapsingSink(_AppendSink):
     def merge(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
         from pyspark.sql import Window
 
+        from pg2ch_spark.cdc.merge_sink import truncate_horizon
+
         k = self.key_col
         v = self.ver_col
         epoch = int(epoch_id or 0)
         w = Window.partitionBy(k).orderBy(v)
+        # R10: a marker wipes the signed log AND the per-key side state
+        # — after a truncate the table is empty, so the first change
+        # per key afterwards must see NO carry (its −1 sibling would
+        # resurrect a wiped value). Replays rebuild identically: the
+        # snapshots are gone on first application and stay gone.
+        tmax = truncate_horizon(batch_df, v)
+        if tmax is not None:
+            shutil.rmtree(self.path, ignore_errors=True)
+            shutil.rmtree(self.prev_root, ignore_errors=True)
+            batch_df = batch_df.where(F.col(v) > tmax)
         prev = self._prev(epoch)
         b = batch_df.withColumn("_lag", F.lag("value").over(w))
         if prev is not None:
@@ -227,7 +254,10 @@ class _CollapsingSink(_AppendSink):
         )
 
 
-CDC_SPOOL_SCHEMA = "key bigint, ver bigint, op string, value double"
+# The spool's normalized CDC shape. ``table`` is the R4 routing key:
+# each configured TableSpec consumes only its own relation's rows, so
+# a TRUNCATE of one replicated table can never wipe another's state.
+CDC_SPOOL_SCHEMA = "table string, key bigint, ver bigint, op string, value double"
 
 
 def run_pipeline(
@@ -253,12 +283,13 @@ def run_pipeline(
     shape `sources.spool.spool_transactions` lands from the live
     walsender client, closing the R2→R5 chain end-to-end.
 
-    ``batch_hook(table_name, batch_df)`` runs AFTER each micro-batch's
-    local merge commits — the R12 fan-out point (the daemon posts each
-    batch delta to ClickHouse here). It sees the DELTA, not the state:
-    at 100 TB re-shipping full state per pass is wrong, and replayed
-    deltas converge on the remote merge engine exactly as they do on
-    the local sink."""
+    ``batch_hook(spec, batch_df)`` runs AFTER each micro-batch's local
+    merge commits — the R12 fan-out point (the daemon posts each batch
+    delta to ClickHouse here; the spec carries the ver column name the
+    hook needs to honor TRUNCATE markers remotely). It sees the DELTA,
+    not the state: at 100 TB re-shipping full state per pass is wrong,
+    and replayed deltas converge on the remote merge engine exactly as
+    they do on the local sink."""
     from pg2ch_spark.streaming.queries import _events_schema
     from pg2ch_spark.streaming.runner import (
         _few_state_partitions,
@@ -329,7 +360,13 @@ def run_pipeline(
                 .option("maxFilesPerTrigger", max_files_per_trigger)
                 .parquet(src_path)
             )
-        normalized = src if source_format == "cdc" else derive_cdc_stream(src)
+        if source_format == "cdc":
+            # R4 route: this spec consumes only its own relation's rows
+            normalized = src.where(
+                F.col("table") == spec.main_table
+            ).drop("table")
+        else:
+            normalized = derive_cdc_stream(src)
         cdc = normalized.select(
             F.col("key").alias(spec.key_col) if spec.key_col != "key" else F.col("key"),
             F.col("ver").alias(spec.ver_col) if spec.ver_col != "ver" else F.col("ver"),
@@ -340,12 +377,12 @@ def run_pipeline(
         n_batches = 0
 
         def sink_batch(
-            batch_df: DataFrame, epoch_id: int, _sink=sink, _name=spec.main_table
+            batch_df: DataFrame, epoch_id: int, _sink=sink, _spec=spec
         ) -> None:
             nonlocal n_batches
             _sink.merge(batch_df, epoch_id)
             if batch_hook is not None:
-                batch_hook(_name, batch_df)
+                batch_hook(_spec, batch_df)
             n_batches += 1
 
         try:

@@ -126,6 +126,19 @@ def insert_partition(
                 raise RuntimeError(f"clickhouse insert failed: {resp.status}")
 
 
+def truncate_table(endpoint: str, table: str) -> None:
+    """R10 on the remote side: pg2ch executes TRUNCATE against
+    ClickHouse when the source table truncates; the daemon's batch
+    hook calls this before inserting the post-horizon survivors."""
+    q = urllib.parse.quote(f"TRUNCATE TABLE {quote_ident(table, dotted=True)}")
+    req = urllib.request.Request(
+        f"{endpoint.rstrip('/')}/?query={q}", data=b"", method="POST"
+    )
+    with urllib.request.urlopen(req) as resp:
+        if resp.status not in (200, 204):
+            raise RuntimeError(f"clickhouse truncate failed: {resp.status}")
+
+
 def clickhouse_sink(endpoint: str, table: str, columns: list[str]):
     """``foreachBatch`` function factory: stream → per-partition HTTP
     inserts. Usage::

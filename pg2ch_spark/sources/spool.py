@@ -57,6 +57,10 @@ def default_row(r: CdcRow) -> dict:
     else:  # truncate: relation-level marker
         key = None
     return {
+        # the R4 routing key: each TableSpec consumes only its own
+        # relation's rows, so a TRUNCATE of table a (a relation-SCOPED
+        # wire message — Truncate.rel_oids) can never wipe table b
+        "table": r.relation,
         "key": key,
         "ver": r.scalar_ver,
         "op": r.op,
@@ -83,6 +87,7 @@ def spool_transactions(
     os.makedirs(spool_dir, exist_ok=True)
     schema = pa.schema(
         [
+            ("table", pa.string()),
             ("key", pa.int64()),
             ("ver", pa.int64()),
             ("op", pa.string()),

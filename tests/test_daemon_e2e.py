@@ -201,6 +201,68 @@ def test_config_driven_daemon_pg_socket_to_clickhouse(spark, tmp_path, http_stub
     server.server_close()
 
 
+def test_daemon_posts_remote_truncate(spark, tmp_path, http_stub):  # noqa: F811
+    """R10 reaches ClickHouse: a TRUNCATE marker in a micro-batch must
+    become a TRUNCATE TABLE statement on the remote (pg2ch executes
+    exactly that), followed by an insert of only the post-horizon
+    survivors — never a \\N-key marker row shipped as data."""
+    import io
+    import os
+    import urllib.parse
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg2ch_spark.config import config_from_mapping
+    from pg2ch_spark.daemon import run_daemon
+
+    endpoint, received = http_stub
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    rows = [
+        ("accounts", 1, 1, "I", 10.0),
+        ("accounts", None, 2, "T", None),
+        ("accounts", 3, 3, "I", 30.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "table": pa.array([r[0] for r in rows], pa.string()),
+                "key": pa.array([r[1] for r in rows], pa.int64()),
+                "ver": pa.array([r[2] for r in rows], pa.int64()),
+                "op": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        ),
+        str(spool / f"cdc-{0x100:016x}.parquet"),
+    )
+    cfg = config_from_mapping(
+        {
+            "source": {"sf_dir": str(spool), "format": "cdc"},
+            "state_root": str(tmp_path / "state"),
+            "tables": {"accounts": {}},
+            "clickhouse": {"endpoint": endpoint, "database": "db"},
+        }
+    )
+    out = io.StringIO()
+    assert run_daemon(cfg, spark, once=True, out=out) == 0
+
+    queries = [urllib.parse.unquote(path) for path, _ in received]
+    assert any("TRUNCATE TABLE `db`.`accounts`" in q for q in queries)
+    # the truncate precedes every insert for the table
+    t_idx = next(i for i, q in enumerate(queries) if "TRUNCATE" in q)
+    ins = [i for i, q in enumerate(queries) if "INSERT INTO" in q]
+    assert ins and all(i > t_idx for i in ins)
+    # only the survivor row was shipped — no marker, no pre-truncate row
+    body = b"".join(b for _, b in received).decode()
+    lines = [ln for ln in body.split("\n") if ln]
+    assert lines == ["3\t3\tI\t30"] or lines == ["3\t3\tI\t30.0"]
+
+    # local state agrees with the remote
+    state = os.path.join(cfg.state_root, "accounts", "state")
+    assert {r.key: r.value for r in spark.read.parquet(state).collect()} == {3: 30.0}
+
+
 def test_daemon_resumes_through_walsender_crash(spark, tmp_path):
     """VERDICT r5 item 5 — the full chain with a mid-transaction kill:
     live walsender protocol → WalSenderClient → spool landing zone →

@@ -506,3 +506,80 @@ def test_truncate_across_buffer_tier(spark, tmp_path):
     sink.merge(_cdc_batch(spark, [(None, 4, "T", None), (3, 5, "I", 30.0)]))
     got = {r.key: r.value for r in sink.state().collect()}  # state() flushes
     assert got == {3: 30.0}
+
+
+def test_truncate_is_relation_scoped_through_the_pipeline(spark, tmp_path):
+    """A TRUNCATE of table a must never wipe table b: the spool rows
+    carry the relation (R4 route) and each spec consumes only its own
+    — the failure mode was a GLOBAL horizon wiping every configured
+    table's state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg2ch_spark.pipeline import TableSpec, run_pipeline
+
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    rows = [
+        ("a", 1, 1, "I", 10.0),
+        ("b", 1, 2, "I", 99.0),
+        ("a", None, 3, "T", None),   # truncates a ONLY
+        ("a", 2, 4, "I", 20.0),
+    ]
+    t = pa.table(
+        {
+            "table": pa.array([r[0] for r in rows], pa.string()),
+            "key": pa.array([r[1] for r in rows], pa.int64()),
+            "ver": pa.array([r[2] for r in rows], pa.int64()),
+            "op": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(spool / f"cdc-{0x100:016x}.parquet"))
+    res = run_pipeline(
+        spark,
+        [TableSpec(main_table="a"), TableSpec(main_table="b")],
+        str(spool),
+        str(tmp_path / "state"),
+        source_format="cdc",
+    )
+    a = {r.key: r.value for r in res.states["a"].collect()}
+    b = {r.key: r.value for r in res.states["b"].collect()}
+    assert a == {2: 20.0}   # pre-truncate row gone, survivor kept
+    assert b == {1: 99.0}   # untouched by a's truncate
+
+
+def test_truncate_wipes_collapsing_and_append_sinks(spark, tmp_path):
+    """R10 for the other engines: the signed log (and its per-key
+    carry side state) and the append log are wiped, not left carrying
+    pre-truncate rows — and the first post-truncate change per key
+    sees NO carry."""
+    from pg2ch_spark.pipeline import _AppendSink, _CollapsingSink
+
+    batches = [
+        [(1, 1, "I", 10.0), (1, 2, "U", 11.0)],
+        [(None, 3, "T", None), (1, 4, "I", 30.0)],
+    ]
+
+    ap = _AppendSink(spark, str(tmp_path / "ap"), "key", "sign")
+    cs = _CollapsingSink(spark, str(tmp_path / "cs"), "key", "sign")
+    for e, rows in enumerate(batches):
+        df = _cdc_batch(spark, rows)
+        ap.merge(df, epoch_id=e)
+        cs.merge(df, epoch_id=e)
+
+    ap_rows = [(r.key, r.op) for r in ap.final().collect()]
+    assert ap_rows == [(1, "I")]  # only the post-truncate insert
+
+    cs_final = {r.key: r.net for r in cs.final().collect()}
+    assert cs_final == {1: 1}  # one +1, no −1 from a wiped carry
+    # the signed log itself holds exactly the post-truncate +1 row:
+    # a surviving carry would have emitted a −1 with the OLD value
+    log = [(r.key, r.sign, r.value) for r in cs.state().collect()]
+    assert log == [(1, 1, 30.0)]
+
+    # at-least-once replay of the truncate epoch converges identically
+    ap.merge(_cdc_batch(spark, batches[1]), epoch_id=1)
+    cs.merge(_cdc_batch(spark, batches[1]), epoch_id=1)
+    assert [(r.key, r.op) for r in ap.final().collect()] == [(1, "I")]
+    assert {r.key: r.net for r in cs.final().collect()} == {1: 1}

@@ -333,11 +333,11 @@ def test_spool_default_row_covers_all_ops(tmp_path):
     import pyarrow.parquet as pq
 
     rows = pq.read_table(path).to_pylist()
-    assert [(r["key"], r["op"], r["value"]) for r in rows] == [
-        (1, "I", 10.5),
-        (1, "U", 11.0),
-        (2, "D", None),   # key recovered from old_key
-        (None, "T", None),  # relation-level truncate marker
+    assert [(r["table"], r["key"], r["op"], r["value"]) for r in rows] == [
+        ("accounts", 1, "I", 10.5),
+        ("accounts", 1, "U", 11.0),
+        ("accounts", 2, "D", None),   # key recovered from old_key
+        ("accounts", None, "T", None),  # relation-SCOPED truncate marker
     ]
 
 
