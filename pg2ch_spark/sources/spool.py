@@ -34,21 +34,31 @@ from __future__ import annotations
 import os
 from typing import Callable, Iterable, Iterator
 
-from pg2ch_spark.sources.pgoutput import CdcRow
+from pg2ch_spark.sources.pgoutput import UNCHANGED, CdcRow
 
 
-def default_row(r: CdcRow) -> dict:
-    """CdcRow → the pipeline's normalized CDC shape: generic single
-    key/value tables (the fixture contract of `derive_cdc_stream`).
-    Real deployments pass a per-table mapper (the R4 route step) that
-    knows the replicated schema.
+def default_rows(r: CdcRow) -> list[dict]:
+    """CdcRow → zero or more rows of the pipeline's normalized CDC
+    shape: generic single key/value tables (the fixture contract of
+    `derive_cdc_stream`). Real deployments pass a per-table mapper
+    (the R4 route step) that knows the replicated schema.
 
-    Op coverage matters here, not just inserts: a DELETE carries its
-    key in ``old_key`` (``values`` is empty — pgoutput sends only the
-    replica identity), and a TRUNCATE is relation-level with NO key at
-    all (key stays NULL; propagating it is the sink's R10 decision).
-    The first implementation indexed ``values[0]`` and crashed on the
-    first delete through the composed chain."""
+    Full wire-surface coverage, not just inserts:
+
+    - DELETE's key rides in ``old_key`` (``values`` is empty — pgoutput
+      sends only the replica identity);
+    - TRUNCATE is relation-level: NULL key, one 'T' marker row;
+    - a KEY-CHANGING UPDATE (replica identity ≠ new key) splits into a
+      tombstone on the OLD key plus the new row — mapping it to the
+      new key alone would leave the old row live in every keyed sink
+      forever;
+    - a TOAST-UNCHANGED payload ('u' kind: PostgreSQL did not resend
+      the value) emits NOTHING: in the (key, value) shape the value is
+      the whole payload, so the row is a no-op and shipping NULL would
+      overwrite the real stored value on merge. (Wider schemas must
+      resolve the marker against the prior version —
+      `pgoutput.resolve_unchanged` — in their custom mapper.)
+    """
     vals = list(r.values.values())
     if vals:
         key = int(vals[0])
@@ -56,23 +66,37 @@ def default_row(r: CdcRow) -> dict:
         key = int(next(iter(r.old_key.values())))
     else:  # truncate: relation-level marker
         key = None
-    return {
-        # the R4 routing key: each TableSpec consumes only its own
-        # relation's rows, so a TRUNCATE of table a (a relation-SCOPED
-        # wire message — Truncate.rel_oids) can never wipe table b
-        "table": r.relation,
-        "key": key,
-        "ver": r.scalar_ver,
-        "op": r.op,
-        "value": float(vals[1]) if len(vals) > 1 and vals[1] is not None else None,
-    }
+
+    def row(key, op, value):
+        return {
+            # the R4 routing key: each TableSpec consumes only its own
+            # relation's rows, so a TRUNCATE of table a (relation-SCOPED
+            # on the wire — Truncate.rel_oids) can never wipe table b
+            "table": r.relation,
+            "key": key,
+            "ver": r.scalar_ver,
+            "op": op,
+            "value": value,
+        }
+
+    payload = vals[1] if len(vals) > 1 else None
+    if payload is UNCHANGED:
+        return []  # no-op in the 2-column shape (see docstring)
+    value = float(payload) if payload is not None else None
+    out = []
+    if r.op == "U" and r.old_key:
+        old = int(next(iter(r.old_key.values())))
+        if old != key:
+            out.append(row(old, "D", None))  # tombstone the vacated key
+    out.append(row(key, r.op, value))
+    return out
 
 
 def spool_transactions(
     stream: Iterable[tuple[int, list[CdcRow]]],
     spool_dir: str,
     *,
-    to_row: Callable[[CdcRow], dict] = default_row,
+    to_rows: Callable[[CdcRow], list[dict]] = default_rows,
     table: str = "cdc",
 ) -> Iterator[tuple[int, str]]:
     """Land each committed transaction as one parquet file; yield
@@ -99,7 +123,10 @@ def spool_transactions(
             name = f"{table}-{commit_lsn:016x}.parquet"
             path = os.path.join(spool_dir, name)
             tmp = os.path.join(spool_dir, f".{name}.tmp")
-            pdf = pd.DataFrame([to_row(r) for r in rows])
+            pdf = pd.DataFrame(
+                [d for r in rows for d in to_rows(r)],
+                columns=[f.name for f in schema],
+            )
             pq.write_table(
                 pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), tmp
             )

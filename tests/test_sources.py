@@ -310,12 +310,16 @@ def test_spool_default_row_covers_all_ops(tmp_path):
         update,
     )
 
+    from pg2ch_spark.sources.pgoutput import UNCHANGED
+
     lsn = (1 << 32) | 0x500
     frames = [
         begin(lsn, xid=11),
         relation(42, "accounts", [(1, "id", 23), (0, "balance", 701)]),
         insert(42, 1, 10.5),
         update(42, (1, 11.0), old=(1, 10.5)),
+        update(42, (5, 12.0), old=(1, 11.0)),  # KEY-CHANGING update
+        update(42, (5, UNCHANGED), old=(5, 12.0)),  # TOAST not resent
         delete(42, 2, None),
         truncate(42),
         commit(lsn),
@@ -336,6 +340,9 @@ def test_spool_default_row_covers_all_ops(tmp_path):
     assert [(r["table"], r["key"], r["op"], r["value"]) for r in rows] == [
         ("accounts", 1, "I", 10.5),
         ("accounts", 1, "U", 11.0),
+        ("accounts", 1, "D", None),   # key-change: tombstone the old key…
+        ("accounts", 5, "U", 12.0),   # …then land the new one
+        # (the TOAST-unchanged update emitted NOTHING: no-op in this shape)
         ("accounts", 2, "D", None),   # key recovered from old_key
         ("accounts", None, "T", None),  # relation-SCOPED truncate marker
     ]
