@@ -32,7 +32,15 @@ def truncate_horizon(df: DataFrame | None, ver_col: str):
     earlier ones; markers sit AT their own horizon so they never
     persist). One narrow aggregate; replays re-filter idempotently.
     Shared by every sink family AND the daemon's remote ClickHouse
-    fan-out, so horizon semantics cannot fork per consumer."""
+    fan-out, so horizon semantics cannot fork per consumer.
+
+    Ordering contract: the horizon is applied from the INCOMING
+    batch's markers and is not persisted, so convergence relies on
+    Structured Streaming's commit order — replays re-deliver only the
+    last uncommitted epoch, in order (the property the epoch-snapshot
+    machinery in pipeline._CollapsingSink also depends on). A sink fed
+    arbitrarily re-ordered history would need a persisted horizon;
+    argmax-by-version alone is order-free, truncate is not."""
     if df is None or "op" not in df.columns:
         return None
     return df.where(F.col("op") == "T").agg(F.max(ver_col)).collect()[0][0]

@@ -221,3 +221,62 @@ def test_bucketed_sink_reflush_same_buffer_is_noop(spark):
     sink.flush()
     state2 = {(r.key, r.ver, r.value) for r in sink.state().collect()}
     assert state1 == state2
+
+
+def test_random_op_streams_with_truncates_converge(spark):
+    """Randomized convergence property for the full op surface: random
+    I/U/D/T sequences, random batch boundaries, and a random replayed
+    batch, through every Replacing-family sink — the final state must
+    equal the batch-global oracle (rows after the LAST truncate,
+    argmax ver per key) regardless of how the stream was chopped or
+    re-delivered."""
+    import tempfile
+
+    from pg2ch_spark.cdc.merge_sink import (
+        BucketedMergeSink,
+        BufferedMergeSink,
+        ReplacingMergeSink,
+    )
+
+    for seed in (3, 17, 44):
+        rng = random.Random(seed)
+        rows = []
+        for ver in range(1, 181):
+            roll = rng.random()
+            if roll < 0.04:
+                rows.append((None, ver, "T", None))
+            elif roll < 0.30:
+                rows.append((rng.randrange(12), ver, "D", None))
+            else:
+                op = "I" if roll < 0.6 else "U"
+                rows.append((rng.randrange(12), ver, op, round(rng.random() * 100, 2)))
+
+        # batch-global oracle
+        tmax = max((v for k, v, o, _ in rows if o == "T"), default=-1)
+        live = {}
+        for k, v, o, val in rows:
+            if v > tmax and o != "T":
+                if k not in live or v > live[k][0]:
+                    live[k] = (v, o, val)
+        expected = {(k, v, o, val) for k, (v, o, val) in live.items()}
+
+        # random batch boundaries + one replayed batch
+        cuts = sorted(rng.sample(range(1, len(rows)), 5))
+        batches = [rows[a:b] for a, b in zip([0, *cuts], [*cuts, len(rows)])]
+        replay_at = rng.randrange(len(batches))
+
+        base = tempfile.mkdtemp(prefix=f"pg2ch_trunc_prop_{seed}_")
+        sinks = [
+            ReplacingMergeSink(spark, base + "/r", "key", "ver"),
+            BufferedMergeSink(spark, base + "/f", "key", "ver", merge_every=2),
+            BucketedMergeSink(spark, base + "/b", "key", "ver", merge_every=2, n_buckets=4),
+        ]
+        for i, b in enumerate(batches):
+            df = spark.createDataFrame(b, "key bigint, ver bigint, op string, value double")
+            for s in sinks:
+                s.merge(df)
+                if i == replay_at:
+                    s.merge(df)  # at-least-once re-delivery
+        for s in sinks:
+            got = {(r.key, r.ver, r.op, r.value) for r in s.state().collect()}
+            assert got == expected, (seed, type(s).__name__)
