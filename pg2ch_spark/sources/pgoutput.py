@@ -143,6 +143,10 @@ class Update:
     rel_oid: int
     old: tuple | None  # replica-identity tuple when key changed / FULL
     new: tuple
+    # wire kind of the old tuple: b"O" = full old row (REPLICA IDENTITY
+    # FULL — non-key values are real), b"K" = key columns only (non-key
+    # positions are NULL placeholders, NOT values), None = no old tuple
+    old_kind: bytes | None = None
 
 
 @dataclass(frozen=True)
@@ -263,14 +267,16 @@ def parse_message(buf: bytes):
         marker = buf[off : off + 1]
         off += 1
         old = None
+        old_kind = None
         if marker in (b"K", b"O"):
+            old_kind = marker
             old, off = _tuple_data(buf, off)
             marker = buf[off : off + 1]
             off += 1
         if marker != b"N":
             raise PgOutputError(f"Update expects 'N' tuple, got {marker!r}")
         new, off = _tuple_data(buf, off)
-        return Update(oid, old, new)
+        return Update(oid, old, new, old_kind)
     if tag == b"D":
         oid, off = _u32(buf, off)
         marker = buf[off : off + 1]
@@ -341,6 +347,10 @@ class CdcRow:
     xid: int
     values: dict = field(default_factory=dict)
     old_key: dict | None = None
+    # True iff the old tuple was wire kind 'O' (REPLICA IDENTITY FULL):
+    # only then are old_key's NON-KEY values real — under 'K' they are
+    # NULL placeholders and must not be read as data
+    old_full: bool = False
 
     @property
     def scalar_ver(self) -> int:
@@ -402,6 +412,7 @@ class WalDecoder:
                     CdcRow(
                         rel.name, "U", 0, seq, self._xid,
                         self._decode_tuple(rel, msg.new), old_key=old,
+                        old_full=msg.old_kind == b"O",
                     )
                 )
             else:

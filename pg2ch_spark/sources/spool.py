@@ -52,18 +52,28 @@ def default_rows(r: CdcRow) -> list[dict]:
       tombstone on the OLD key plus the new row — mapping it to the
       new key alone would leave the old row live in every keyed sink
       forever;
-    - a TOAST-UNCHANGED payload ('u' kind: PostgreSQL did not resend
-      the value) emits NOTHING: in the (key, value) shape the value is
-      the whole payload, so the row is a no-op and shipping NULL would
-      overwrite the real stored value on merge. (Wider schemas must
-      resolve the marker against the prior version —
+    - a SAME-KEY TOAST-UNCHANGED payload ('u' kind: PostgreSQL did not
+      resend the value) emits NOTHING: in the (key, value) shape the
+      value is the whole payload, so the row is a no-op and shipping
+      NULL would overwrite the real stored value on merge. (Wider
+      schemas must resolve the marker against the prior version —
       `pgoutput.resolve_unchanged` — in their custom mapper.)
+    - a KEY-CHANGING UPDATE whose payload is TOAST-UNCHANGED is NOT a
+      no-op: the row MOVED. Dropping it would leave the vacated key
+      live with its stale value forever. The old-key tombstone is
+      always emitted, and the new key lands with the value resolved
+      from the OLD tuple (replica identity FULL ships it — the same
+      wire fact pg2ch's collapsing path relies on). If the old tuple
+      does not carry the value (replica identity DEFAULT), the generic
+      shape cannot resolve it and fails LOUDLY rather than landing
+      NULL over real data.
     """
     vals = list(r.values.values())
+    old_vals = list(r.old_key.values()) if r.old_key else []
     if vals:
         key = int(vals[0])
-    elif r.old_key:
-        key = int(next(iter(r.old_key.values())))
+    elif old_vals:
+        key = int(old_vals[0])
     else:  # truncate: relation-level marker
         key = None
 
@@ -80,14 +90,32 @@ def default_rows(r: CdcRow) -> list[dict]:
         }
 
     payload = vals[1] if len(vals) > 1 else None
+    old = int(old_vals[0]) if (r.op == "U" and old_vals) else None
+    key_changed = old is not None and old != key
     if payload is UNCHANGED:
-        return []  # no-op in the 2-column shape (see docstring)
+        if not key_changed:
+            return []  # same-key no-op in the 2-column shape (docstring)
+        # The row moved keys with its value unsent: resolve it from the
+        # old tuple (replica identity FULL) — never from thin air.
+        # old_full gates on the WIRE kind ('O'): under 'K' the old
+        # tuple's non-key positions are NULL placeholders, not values.
+        if not r.old_full or len(old_vals) < 2 or old_vals[1] is UNCHANGED:
+            raise ValueError(
+                "key-changing UPDATE with TOAST-unchanged value on "
+                f"relation {r.relation!r} (old key {old}): the generic "
+                "(key, value) mapper needs REPLICA IDENTITY FULL to "
+                "resolve the moved value; configure a custom mapper or "
+                "REPLICA IDENTITY FULL on the source table"
+            )
+        moved = old_vals[1]
+        return [
+            row(old, "D", None),  # tombstone the vacated key
+            row(key, "U", float(moved) if moved is not None else None),
+        ]
     value = float(payload) if payload is not None else None
     out = []
-    if r.op == "U" and r.old_key:
-        old = int(next(iter(r.old_key.values())))
-        if old != key:
-            out.append(row(old, "D", None))  # tombstone the vacated key
+    if key_changed:
+        out.append(row(old, "D", None))  # tombstone the vacated key
     out.append(row(key, r.op, value))
     return out
 

@@ -320,6 +320,11 @@ def test_spool_default_row_covers_all_ops(tmp_path):
         update(42, (1, 11.0), old=(1, 10.5)),
         update(42, (5, 12.0), old=(1, 11.0)),  # KEY-CHANGING update
         update(42, (5, UNCHANGED), old=(5, 12.0)),  # TOAST not resent
+        # KEY-CHANGING update whose value is TOAST-unchanged: the row
+        # MOVED (5 → 7) with its value unsent — must tombstone 5 AND
+        # land 7 with the value resolved from the RI-FULL old tuple
+        # (wire kind 'O' — only then are old non-key values real)
+        update(42, (7, UNCHANGED), old=(5, 12.0), old_kind=b"O"),
         delete(42, 2, None),
         truncate(42),
         commit(lsn),
@@ -342,10 +347,38 @@ def test_spool_default_row_covers_all_ops(tmp_path):
         ("accounts", 1, "U", 11.0),
         ("accounts", 1, "D", None),   # key-change: tombstone the old key…
         ("accounts", 5, "U", 12.0),   # …then land the new one
-        # (the TOAST-unchanged update emitted NOTHING: no-op in this shape)
+        # (the SAME-KEY TOAST-unchanged update emitted NOTHING)
+        ("accounts", 5, "D", None),   # key-change + TOAST-unchanged:
+        ("accounts", 7, "U", 12.0),   # …value resolved from the old tuple
         ("accounts", 2, "D", None),   # key recovered from old_key
         ("accounts", None, "T", None),  # relation-SCOPED truncate marker
     ]
+
+
+def test_spool_keychange_unchanged_without_ri_full_is_loud():
+    """A key-changing UPDATE with a TOAST-unchanged value and a
+    key-only old tuple (replica identity DEFAULT) is unresolvable in
+    the generic (key, value) shape — it must raise, never land NULL
+    over real data or silently drop the move."""
+    from pg2ch_spark.sources import pgoutput as pg
+    from pg2ch_spark.sources.spool import default_rows
+    from pg2ch_spark.sources.pgoutput import UNCHANGED
+    from tests.test_pgoutput import begin, commit, relation, update
+
+    dec = pg.WalDecoder()
+    rows = []
+    frames = [
+        begin((1 << 32) | 0x600, xid=12),
+        relation(43, "t", [(1, "id", 23), (0, "v", 701)]),
+        # RI DEFAULT: old tuple is wire kind 'K' — full-width, but the
+        # non-key position is a NULL placeholder, NOT the old value
+        update(43, (9, UNCHANGED), old=(3, None)),
+        commit((1 << 32) | 0x600),
+    ]
+    for f in frames:
+        rows.extend(dec.push(f))
+    with pytest.raises(ValueError, match="REPLICA IDENTITY FULL"):
+        default_rows(rows[0])
 
 
 class TestJdbcContract:
