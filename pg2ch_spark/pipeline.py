@@ -55,6 +55,14 @@ class TableSpec:
     # flushes rewrite only delta-touched buckets (O(touched) — the
     # production MERGE shape; ReplacingMergeTree only)
     n_buckets: int = 0
+    # Per-column TYPE MAP for the live replication path (the pg2ch YAML
+    # column-mapping analog, SURVEY §1.2): VALUE column name → Spark DDL
+    # type ("decimal(18,2)", "date", "timestamp", "array<bigint>", …).
+    # None = the generic (key, value double) fixture shape. Typed specs
+    # consume a TYPED spool (sources.spool.typed_rows /
+    # typed_spool_schema) so replicated state is never stringly-typed.
+    columns: dict[str, str] | None = None
+    key_type: str = "bigint"
 
     def __post_init__(self) -> None:
         if self.engine not in ENGINES:
@@ -65,6 +73,21 @@ class TableSpec:
             raise ValueError("n_buckets must be >= 0")
         if self.n_buckets and self.engine != "ReplacingMergeTree":
             raise ValueError("bucketed state requires engine=ReplacingMergeTree")
+        if self.columns is not None:
+            if self.engine != "ReplacingMergeTree":
+                # the collapsing/append sinks carry single-value carry
+                # logic; typed N-column state is a Replacing feature
+                raise ValueError("typed columns require engine=ReplacingMergeTree")
+            reserved = {self.key_col, self.ver_col, "op", "table"}
+            clash = reserved & set(self.columns)
+            if clash:
+                raise ValueError(f"typed columns clash with envelope: {sorted(clash)}")
+            # fail at declaration time, not first batch
+            from pg2ch_spark.sources.spool import _arrow_type
+
+            _arrow_type(self.key_type)
+            for ddl in self.columns.values():
+                _arrow_type(ddl)
 
 
 def spec_from_mapping(m: dict) -> TableSpec:
@@ -342,8 +365,15 @@ def run_pipeline(
                 spark, state_path, spec.key_col, spec.sign_col, spec.ver_col
             )
 
+        spec_schema = schema
+        if spec.columns is not None:
+            if source_format != "cdc":
+                raise ValueError("typed columns require source_format='cdc'")
+            from pg2ch_spark.sources.spool import typed_spool_ddl
+
+            spec_schema = typed_spool_ddl(spec.key_col, spec.key_type, spec.columns)
         if max_files_per_trigger is None:
-            src, _src_dir = _stream_source_managed(spark, path, schema)
+            src, _src_dir = _stream_source_managed(spark, path, spec_schema)
         else:
             # multi-batch replay: one file per micro-batch (the shape a
             # continuous daemon sees), exercising cross-batch carry
@@ -356,7 +386,7 @@ def run_pipeline(
                 )
                 src_path = _src_dir
             src = (
-                spark.readStream.schema(schema)
+                spark.readStream.schema(spec_schema)
                 .option("maxFilesPerTrigger", max_files_per_trigger)
                 .parquet(src_path)
             )
@@ -367,12 +397,20 @@ def run_pipeline(
             ).drop("table")
         else:
             normalized = derive_cdc_stream(src)
-        cdc = normalized.select(
-            F.col("key").alias(spec.key_col) if spec.key_col != "key" else F.col("key"),
-            F.col("ver").alias(spec.ver_col) if spec.ver_col != "ver" else F.col("ver"),
-            "op",
-            "value",
-        )
+        if spec.columns is not None:
+            # typed spool: key/ver columns already carry the spec's
+            # names (typed_spool_ddl emits them), value columns are the
+            # declared map — pass everything through typed
+            cdc = normalized.select(
+                spec.key_col, spec.ver_col, "op", *spec.columns
+            )
+        else:
+            cdc = normalized.select(
+                F.col("key").alias(spec.key_col) if spec.key_col != "key" else F.col("key"),
+                F.col("ver").alias(spec.ver_col) if spec.ver_col != "ver" else F.col("ver"),
+                "op",
+                "value",
+            )
 
         n_batches = 0
 
@@ -408,6 +446,13 @@ def run_pipeline(
             # downstream .select/.join never see None
             if spec.engine == "CollapsingMergeTree":
                 final = spark.createDataFrame([], f"{spec.key_col} bigint, net bigint")
+            elif spec.columns is not None:
+                cols = ", ".join(f"{n} {t}" for n, t in spec.columns.items())
+                final = spark.createDataFrame(
+                    [],
+                    f"{spec.key_col} {spec.key_type}, {spec.ver_col} bigint, "
+                    f"op string, {cols}",
+                )
             else:
                 final = spark.createDataFrame(
                     [],

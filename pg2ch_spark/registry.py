@@ -204,13 +204,20 @@ _ROUND6_NEW: tuple[str, ...] = (
     "stream_pyds_spool",
 )
 
+# Keys first registered in round 7 — same-round driver evidence.
+_ROUND7_NEW: tuple[str, ...] = (
+    "cdc_typed_roundtrip",
+)
+
 # ROUND-6 SWAP (VERDICT r5 item 1, executed at the start of round 6):
 # the round-6 driver window leads with the 11 keys that have no
 # CORRECTNESS row after rounds 1/3/4/5 (_ROUND6_PRIORITY), then any
 # keys newly added this round (_ROUND6_NEW), then the already-green
 # round-5 window re-checks. Once this round's driver run lands, every
 # declared key has driver evidence and the surface can unfreeze.
-_DRIVER_PRIORITY = _ROUND6_PRIORITY + _ROUND6_NEW + _ROUND5_PRIORITY + _DRIVER_PRIORITY
+_DRIVER_PRIORITY = (
+    _ROUND7_NEW + _ROUND6_PRIORITY + _ROUND6_NEW + _ROUND5_PRIORITY + _DRIVER_PRIORITY
+)
 
 
 def _prioritized(d: dict) -> dict:
@@ -280,6 +287,8 @@ def load_all() -> None:
     from pg2ch_spark.operators import behavior  # noqa: F401
     from pg2ch_spark.operators import summaries  # noqa: F401
     from pg2ch_spark.operators import basket  # noqa: F401
+    # Round-7 additions:
+    from pg2ch_spark.cdc import typed_query  # noqa: F401
 
     _LOADED = True
 

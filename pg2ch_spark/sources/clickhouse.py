@@ -40,6 +40,26 @@ _ESCAPES = {
 }
 
 
+def _array_literal(v) -> str:
+    """Sequence → ClickHouse array literal (the TabSeparated rendering
+    of Array(T): ``[1,2]``; string-ish elements single-quoted with
+    ``\\'``/``\\\\`` escapes; NULL elements as NULL)."""
+    parts = []
+    for e in v:
+        if e is None:
+            parts.append("NULL")
+        elif isinstance(e, bool):
+            parts.append("1" if e else "0")
+        elif isinstance(e, (int, float)):
+            parts.append(str(e))
+        elif isinstance(e, (list, tuple)):
+            parts.append(_array_literal(e))
+        else:  # strings, dates, datetimes, Decimals render quoted
+            s = str(e).replace("\\", "\\\\").replace("'", "\\'")
+            parts.append(f"'{s}'")
+    return "[" + ",".join(parts) + "]"
+
+
 def escape_value(v: object) -> str:
     """One value → one ClickHouse TabSeparated literal."""
     if v is None:
@@ -55,6 +75,10 @@ def escape_value(v: object) -> str:
         pass
     if isinstance(v, bool):
         return "1" if v else "0"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        # field-level escape still applies: an element containing a raw
+        # tab/newline must not break row framing
+        return "".join(_ESCAPES.get(ch, ch) for ch in _array_literal(v))
     if isinstance(v, bytes):
         v = v.decode("utf-8", errors="replace")
     if isinstance(v, pd.Timestamp):

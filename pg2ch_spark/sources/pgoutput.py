@@ -307,20 +307,153 @@ def parse_message(buf: bytes):
 # text output format unless binary transfer was negotiated)
 
 _INT_OIDS = {20, 21, 23, 26}  # int8, int2, int4, oid
-_FLOAT_OIDS = {700, 701}  # float4, float8 — NOT numeric (1700): a
-# Python float would silently lose precision past ~15-16 significant
-# digits, so NUMERIC keeps its exact text form (cast downstream, R11).
+_FLOAT_OIDS = {700, 701}  # float4, float8
 _BOOL_OID = 16
+_NUMERIC_OID = 1700  # → decimal.Decimal: a Python float would silently
+# lose precision past ~15-16 significant digits; Decimal keeps the text
+# form's exact value and maps 1:1 onto Spark's DecimalType (R11).
+_DATE_OID = 1082
+_TIMESTAMP_OID = 1114
+_TIMESTAMPTZ_OID = 1184
+_UUID_OID = 2950
+# array OID → element OID (the common replicated types; PG array text
+# format is uniform, so adding an element type is one dict entry)
+_ARRAY_ELEM_OIDS = {
+    1000: 16,    # _bool
+    1005: 21,    # _int2
+    1007: 23,    # _int4
+    1016: 20,    # _int8
+    1021: 700,   # _float4
+    1022: 701,   # _float8
+    1009: 25,    # _text
+    1015: 1043,  # _varchar
+    1231: 1700,  # _numeric
+    1182: 1082,  # _date
+    1115: 1114,  # _timestamp
+    1185: 1184,  # _timestamptz
+    2951: 2950,  # _uuid
+}
+
+
+def _decode_timestamp(raw: str):
+    """PG timestamp[tz] text → datetime (tz-aware input normalized to
+    UTC-naive, matching Spark's UTC session storage). 'infinity' and BC
+    dates have no Spark analog — fail loudly rather than wrap around."""
+    import datetime as _dt
+
+    if raw in ("infinity", "-infinity") or raw.endswith(" BC"):
+        raise PgOutputError(f"timestamp {raw!r} has no Spark representation")
+    base, tz = raw, None
+    # trailing offset: +HH / -HH / +HH:MM / +HH:MM:SS (PG emits these
+    # for timestamptz); the date part's hyphens are positions 0-9 so a
+    # sign past position 10 is always the offset
+    for i in range(len(raw) - 1, 10, -1):
+        if raw[i] in "+-":
+            base, tz = raw[:i], raw[i:]
+            break
+        if raw[i] == " ":
+            break
+    d, _, t = base.partition(" ")
+    t, _, frac = t.partition(".")
+    dt = _dt.datetime.combine(
+        _dt.date.fromisoformat(d), _dt.time.fromisoformat(t)
+    )
+    if frac:
+        dt = dt.replace(microsecond=int(frac[:6].ljust(6, "0")))
+    if tz:
+        parts = [int(p) for p in tz[1:].split(":")]
+        while len(parts) < 3:
+            parts.append(0)
+        off = _dt.timedelta(hours=parts[0], minutes=parts[1], seconds=parts[2])
+        dt = dt + (-off if tz[0] == "+" else off)  # normalize to UTC
+    return dt
+
+
+def _parse_pg_array(raw: str, elem_oid: int) -> list:
+    """PG array text format → list of decoded elements.
+
+    Grammar (PostgreSQL array output): ``{e1,e2,…}``; elements are
+    double-quoted when they contain the delimiter/braces/quotes/space,
+    with ``\\"`` and ``\\\\`` escapes; the bare token NULL is SQL NULL.
+    Nested arrays recurse on ``{``. Dimension-bound prefixes
+    (``[1:3]={…}``) are not produced for default-bound arrays and are
+    rejected loudly."""
+    s = raw.strip()
+    if not (s.startswith("{") and s.endswith("}")):
+        raise PgOutputError(f"malformed array literal {raw!r}")
+
+    def parse_items(i: int) -> tuple[list, int]:
+        out: list = []
+        assert s[i] == "{"
+        i += 1
+        if s[i] == "}":
+            return out, i + 1
+        while True:
+            if s[i] == "{":
+                sub, i = parse_items(i)
+                out.append(sub)
+            elif s[i] == '"':
+                buf = []
+                i += 1
+                while s[i] != '"':
+                    if s[i] == "\\":
+                        i += 1
+                    buf.append(s[i])
+                    i += 1
+                i += 1
+                out.append(decode_value("".join(buf), elem_oid))
+            else:
+                j = i
+                while s[j] not in ",}":
+                    j += 1
+                tok = s[i:j]
+                out.append(None if tok == "NULL" else decode_value(tok, elem_oid))
+                i = j
+            if s[i] == ",":
+                i += 1
+                continue
+            if s[i] == "}":
+                return out, i + 1
+            raise PgOutputError(f"malformed array literal {raw!r}")
+
+    items, end = parse_items(0)
+    if end != len(s):
+        raise PgOutputError(f"trailing garbage in array literal {raw!r}")
+    return items
 
 
 def decode_value(raw, type_oid: int):
-    """Text-format value → Python value (None/UNCHANGED pass through)."""
+    """Text-format value → Python value (None/UNCHANGED pass through).
+
+    Typed coverage for the live replication path (pg2ch's pgutils text
+    conversion analog): ints/floats/bool plus NUMERIC → Decimal (exact),
+    DATE → date, TIMESTAMP[TZ] → datetime (UTC-normalized), UUID →
+    canonical lowercase string, and arrays of all of these → lists.
+    Unknown OIDs keep their text form (cast downstream, R11)."""
     if raw is None or raw is UNCHANGED or isinstance(raw, bytes):
         return raw
     if type_oid in _INT_OIDS:
         return int(raw)
     if type_oid in _FLOAT_OIDS:
         return float(raw)
+    if type_oid == _NUMERIC_OID:
+        from decimal import Decimal
+
+        return Decimal(raw)
+    if type_oid == _DATE_OID:
+        import datetime as _dt
+
+        if raw in ("infinity", "-infinity") or raw.endswith(" BC"):
+            raise PgOutputError(f"date {raw!r} has no Spark representation")
+        return _dt.date.fromisoformat(raw)
+    if type_oid in (_TIMESTAMP_OID, _TIMESTAMPTZ_OID):
+        return _decode_timestamp(raw)
+    if type_oid == _UUID_OID:
+        import uuid as _uuid
+
+        return str(_uuid.UUID(raw))  # canonical lowercase form
+    if type_oid in _ARRAY_ELEM_OIDS:
+        return _parse_pg_array(raw, _ARRAY_ELEM_OIDS[type_oid])
     if type_oid == _BOOL_OID:
         return raw == "t"
     return raw  # text, varchar, numeric, timestamps, json… stay strings

@@ -120,12 +120,125 @@ def default_rows(r: CdcRow) -> list[dict]:
     return out
 
 
+def _arrow_type(spark_ddl: str):
+    """One Spark DDL type string → the pyarrow type the typed spool
+    lands it as (the parquet column type Spark reads back losslessly)."""
+    import pyarrow as pa
+
+    t = spark_ddl.strip().lower()
+    flat = {
+        "bigint": pa.int64(), "long": pa.int64(),
+        "int": pa.int32(), "integer": pa.int32(),
+        "smallint": pa.int16(), "tinyint": pa.int8(),
+        "double": pa.float64(), "float": pa.float32(),
+        "boolean": pa.bool_(),
+        "string": pa.string(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us"),
+        "binary": pa.binary(),
+    }
+    if t in flat:
+        return flat[t]
+    if t.startswith("decimal(") and t.endswith(")"):
+        p, s = t[len("decimal(") : -1].split(",")
+        return pa.decimal128(int(p), int(s))
+    if t.startswith("array<") and t.endswith(">"):
+        return pa.list_(_arrow_type(t[len("array<") : -1]))
+    raise ValueError(f"typed spool: unsupported Spark type {spark_ddl!r}")
+
+
+def typed_spool_schema(key_col: str, key_type: str, columns: dict[str, str]):
+    """pyarrow schema of a TYPED spool: the normalized envelope
+    (table, key, ver, op) followed by one typed column per replicated
+    value column — the per-table column map pg2ch carries in its YAML
+    (SURVEY §1.2), applied at the landing zone so everything downstream
+    of the spool is already typed (never stringly)."""
+    import pyarrow as pa
+
+    fields = [
+        ("table", pa.string()),
+        (key_col, _arrow_type(key_type)),
+        ("ver", pa.int64()),
+        ("op", pa.string()),
+    ]
+    fields += [(name, _arrow_type(ddl)) for name, ddl in columns.items()]
+    return pa.schema(fields)
+
+
+def typed_spool_ddl(key_col: str, key_type: str, columns: dict[str, str]) -> str:
+    """The matching Spark stream-schema DDL for a typed spool (what a
+    `pg2ch_spool` readStream declares)."""
+    cols = ", ".join(f"{n} {t}" for n, t in columns.items())
+    return f"table string, {key_col} {key_type}, ver bigint, op string, {cols}"
+
+
+def typed_rows(
+    key_col: str, columns: dict[str, str]
+) -> Callable[[CdcRow], list[dict]]:
+    """Mapper factory for TYPED tables: CdcRow → normalized rows whose
+    value columns keep their decoded Python types (Decimal, date,
+    datetime, list, …) so the spool's parquet schema is the table's
+    real schema.
+
+    Semantics mirror `default_rows` on the full DML surface — key
+    change splits into tombstone + new row, TRUNCATE is a relation
+    marker — generalized to N value columns: a TOAST-UNCHANGED column
+    resolves from the REPLICA IDENTITY FULL old tuple per column (the
+    only place the unsent value exists on the wire); without RI FULL
+    the event is unresolvable and fails LOUDLY, never lands NULL over
+    real data. ``key_col`` names the replicated table's key column as
+    it appears in the wire Relation (and becomes the spool's key
+    column); ``columns`` maps each replicated VALUE column to its
+    Spark type (the pg2ch YAML column-map analog)."""
+
+    def to_rows(r: CdcRow) -> list[dict]:
+        def row(key, op, values: dict):
+            d = {"table": r.relation, key_col: key, "ver": r.scalar_ver, "op": op}
+            for c in columns:
+                d[c] = values.get(c)
+            return d
+
+        if r.op == "T":
+            return [row(None, "T", {})]
+        if r.op == "D":
+            return [row((r.old_key or {}).get(key_col), "D", {})]
+        key = r.values.get(key_col)
+        vals = {}
+        for c in columns:
+            v = r.values.get(c)
+            if v is UNCHANGED:
+                if not r.old_full:
+                    raise ValueError(
+                        f"TOAST-unchanged column {c!r} on relation "
+                        f"{r.relation!r} needs REPLICA IDENTITY FULL to "
+                        "resolve (old tuple kind 'K' carries NULL "
+                        "placeholders, not values)"
+                    )
+                v = (r.old_key or {}).get(c)
+                if v is UNCHANGED:
+                    raise ValueError(
+                        f"old tuple for {r.relation!r}.{c} is itself "
+                        "TOAST-unchanged — unresolvable"
+                    )
+            vals[c] = v
+        out = []
+        if r.op == "U" and r.old_key:
+            old = r.old_key.get(key_col)
+            if old is not None and old != key:
+                out.append(row(old, "D", {}))  # tombstone the vacated key
+        out.append(row(key, r.op, vals))
+        return out
+
+    return to_rows
+
+
 def spool_transactions(
     stream: Iterable[tuple[int, list[CdcRow]]],
     spool_dir: str,
     *,
     to_rows: Callable[[CdcRow], list[dict]] = default_rows,
     table: str = "cdc",
+    schema=None,
 ) -> Iterator[tuple[int, str]]:
     """Land each committed transaction as one parquet file; yield
     (commit_lsn, path) AFTER the file is durable. Driving this with
@@ -137,15 +250,29 @@ def spool_transactions(
     import pyarrow.parquet as pq
 
     os.makedirs(spool_dir, exist_ok=True)
-    schema = pa.schema(
-        [
-            ("table", pa.string()),
-            ("key", pa.int64()),
-            ("ver", pa.int64()),
-            ("op", pa.string()),
-            ("value", pa.float64()),
-        ]
-    )
+    if schema is None:
+        # the generic normalized shape (pipeline.CDC_SPOOL_SCHEMA);
+        # typed tables pass typed_spool_schema(...) + typed_rows(...)
+        schema = pa.schema(
+            [
+                ("table", pa.string()),
+                ("key", pa.int64()),
+                ("ver", pa.int64()),
+                ("op", pa.string()),
+                ("value", pa.float64()),
+            ]
+        )
+    # The stream reader recognizes flat spool entries by name; a table
+    # prefix outside its accepted alphabet would make this producer's
+    # transactions INVISIBLE to the consumer (silent data loss), so the
+    # contract is enforced here, at write time, loudly.
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_]+", table):
+        raise ValueError(
+            f"spool table prefix {table!r} must be non-empty [A-Za-z0-9_] — "
+            "the stream reader matches entries by this naming contract"
+        )
     try:
         for commit_lsn, rows in stream:
             name = f"{table}-{commit_lsn:016x}.parquet"
