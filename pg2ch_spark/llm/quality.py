@@ -259,45 +259,69 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     length ≥ k+w-1 yields a shared fingerprint). Output: fingerprint
     count and lexicographic minimum per document.
 
-    Winnowing is per-document, so the whole computation stays inside
-    one row: higher-order array functions over the shingle-hash array —
-    map-only, ZERO shuffles (the first implementation exploded to 1.25M
-    (doc, pos, md5) rows and window-sorted them: ~2.8 s warm and
-    GC-bimodal up to 10 s; this one is ~0.4 s).
+    Winnowing is per-document — map-only, ZERO shuffles. The kernel is
+    an Arrow `mapInArrow` batch (VERDICT r6 item 3): the previous
+    interpreted-HOF form evaluated a Catalyst md5 expression PER
+    CHARACTER POSITION (1.25 B interpreted calls at 1000× → 401 s,
+    736× ratio — ~12 MB/s/node of corpus throughput); this one runs
+    hashlib's C md5 per shingle and vectorizes the window minima /
+    distinct in numpy (memcmp-correct S16 byte comparisons), producing
+    BIT-IDENTICAL hashes — the md5-per-shingle contract the oracle pins
+    — at ~33 s projected for the same 1000× probe.
     """
-    # The per-row HOF work (~250 md5s/doc) dwarfs row movement, and the
-    # local fixture is a single parquet split — spread rows across cores
-    # first. (At 100 TB input splits provide this for free; a 5000-row
-    # round-robin exchange is noise either way.)
-    #
     # Guard: docs shorter than k+w-1 chars have no complete winnowing
-    # window — the oracle's WHERE clause drops them, and Spark's
-    # sequence(1, n) with n < 1 DESCENDS (slice at start=0 then throws).
-    # Filtering them out matches the oracle exactly on any corpus.
+    # window — the oracle's WHERE clause drops them. The repartition
+    # spreads the single local parquet split across cores; at 100 TB
+    # input splits provide the fan-out for free.
     docs = (
         catalog.load(spark, sf_dir, "documents")
         .where(F.length("text") >= _SHINGLE_K + _WINNOW_W - 1)
         .repartition(32)
+        .select("doc_id", "text")
     )
-    harr = docs.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(1, length(text) - {_SHINGLE_K - 1}),"
-            f"          i -> md5(substring(text, i, {_SHINGLE_K})))"
-        ).alias("harr"),
-    )
-    wins = harr.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(1, size(harr) - {_WINNOW_W - 1}),"
-            f"          j -> array_min(slice(harr, j, {_WINNOW_W})))"
-        ).alias("wins"),
-    )
-    return wins.select(
-        "doc_id",
-        F.size(F.array_distinct("wins")).cast("long").alias("n_fp"),
-        F.array_min("wins").alias("fp_min"),
-    )
+    k, w = _SHINGLE_K, _WINNOW_W
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        for batch in batches:
+            texts = batch.column(1).to_pylist()
+            n_fp: list[int] = []
+            fp_min: list[str] = []
+            for t in texts:
+                n = len(t) - k + 1
+                # one digest buffer, viewed as fixed 16-byte items:
+                # numpy S-dtype comparisons are memcmp over the full
+                # width (embedded/trailing NULs included — verified in
+                # tests/test_random_universe.py), so hex and byte
+                # order agree and the minima match the oracle's
+                hs = np.frombuffer(
+                    b"".join([md5(t[i : i + k].encode()).digest() for i in range(n)]),
+                    dtype="S16",
+                )
+                m = n - w + 1
+                a = hs[0:m]
+                for s in range(1, w):
+                    b = hs[s : s + m]
+                    a = np.where(b < a, b, a)
+                u = np.unique(a)
+                n_fp.append(len(u))
+                # np.bytes_ strips trailing NULs on extraction — pad back
+                fp_min.append(bytes(u[0]).ljust(16, b"\0").hex())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(n_fp, pa.int64()),
+                    pa.array(fp_min, pa.string()),
+                ],
+                ["doc_id", "n_fp", "fp_min"],
+            )
+
+    return docs.mapInArrow(kernel, "doc_id bigint, n_fp bigint, fp_min string")
 
 
 # ---------------------------------------------------------------------------

@@ -372,3 +372,97 @@ def win_nth_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nth_value("purchase_value", 2, ignoreNulls=True).over(full), 2
         ).alias("second_purchase_ever"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Reusable distributed ntile — the library form of the win_ntile_dist /
+# pipeline_length_buckets two-pass rank, generalized to MASSIVELY TIED
+# keys (VERDICT r6 item 2: events_rfm_segmentation's three global
+# unpartitioned ntile windows over the users-scale table).
+
+
+def ntile_distributed(
+    df: DataFrame,
+    value_col: str,
+    uid_col: str,
+    n: int = 4,
+    out_col: str = "tier",
+    value_width: float = 256.0,
+    uid_width: int = 4096,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY value DESC, uid ASC)`` with NO
+    unpartitioned row-level window — every per-row window below is
+    partitioned, and the only global windows run over coarse-bucket
+    tables (|value-range| / value_width rows), never over rows.
+
+    Two-level sharding, built so ties can never straddle a shard:
+
+    1. value-level counts (groupBy value) roll up into COARSE buckets
+       (floor(-value / value_width) — monotone in DESC value order);
+       bucket totals prefix-sum globally (tiny), within-bucket counts
+       prefix-sum partitioned by bucket → exact ``start_rank(value)``.
+    2. within ONE exact value the residual order is uid alone, so uid
+       RANGES sub-shard it without interleaving: per-(value, uid-bucket)
+       counts prefix-sum partitioned by value → the tie offset; a
+       row_number partitioned by (value, uid-bucket) finishes the rank.
+       A massive tie (e.g. monetary = 0 for half the users) therefore
+       costs |tie| / uid_width window tasks, not one.
+    3. the closed-form ntile boundary (first n%k buckets get ⌈N/k⌉ —
+       property-tested in tests/test_edge_inputs.py) maps rank → tier.
+
+    Returns ``df`` plus ``out_col`` (int tier). One extra shuffle on
+    (value, uid-bucket) against the two the global-sort form hides
+    (sort + exchange-to-one), and every stage scales out.
+    """
+    v, u = F.col(value_col), F.col(uid_col)
+    ub = F.floor(u / F.lit(int(uid_width)))
+    vb = F.floor(-v / F.lit(float(value_width))).cast("long")
+
+    rows = df.withColumn("_ub", ub)
+    cnts = rows.groupBy(value_col, "_ub").agg(F.count(F.lit(1)).alias("_c"))
+    vals = cnts.groupBy(value_col).agg(F.sum("_c").alias("_vc")).withColumn(
+        "_vb", vb
+    )
+    buckets = vals.groupBy("_vb").agg(F.sum("_vc").alias("_bc"))
+    w_glob = Window.orderBy("_vb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("_vb").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    buckets = buckets.withColumn(
+        "_boff", F.sum("_bc").over(w_glob) - F.col("_bc")
+    ).withColumn("_n", F.sum("_bc").over(w_all)).select("_vb", "_boff", "_n")
+    w_in_b = Window.partitionBy("_vb").orderBy(F.col(value_col).desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    starts = (
+        vals.withColumn("_voff", F.sum("_vc").over(w_in_b) - F.col("_vc"))
+        .join(F.broadcast(buckets), "_vb")
+        .select(
+            value_col,
+            (F.col("_boff") + F.col("_voff")).alias("_start"),
+            "_n",
+        )
+    )
+    w_tie = Window.partitionBy(value_col).orderBy("_ub").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tie_off = cnts.withColumn("_uoff", F.sum("_c").over(w_tie) - F.col("_c")).select(
+        value_col, "_ub", "_uoff"
+    )
+    w_local = Window.partitionBy(value_col, "_ub").orderBy(uid_col)
+    rk = F.col("_start") + F.col("_uoff") + F.row_number().over(w_local)
+    ncol = F.col("_n")
+    base = (ncol / n).cast("long")
+    rem = ncol % n
+    big = rem * (base + 1)
+    tier = F.when(rk <= big, F.ceil(rk / (base + 1))).otherwise(
+        rem + F.ceil((rk - big) / F.greatest(base, F.lit(1)))
+    )
+    return (
+        rows.join(tie_off, [value_col, "_ub"])
+        .join(starts, value_col)
+        .withColumn(out_col, tier.cast("int"))
+        .drop("_ub", "_uoff", "_start", "_n")
+    )

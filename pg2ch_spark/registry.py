@@ -27,204 +27,50 @@ ORACLES: dict[str, str] = {}
 
 _LOADED = False
 
-# Driver-verification priority. The external correctness harness checks
-# queries in the order ``queries()`` yields them and caps how many it
-# verifies per round (observed: 50). Rounds 1 and 3 covered 100 of the
-# 162 keys; the 62 below have never received a driver correctness row,
-# so they are pinned to the FRONT of the returned dict — most
-# semantically critical first (CDC engine semantics, then streaming,
-# then the llm/sim core, udfs, scalar-fn tail, join/window tail). The
-# first 50 entries are the round-4 window; the 12 analytics-tail keys
-# that follow are queued for round 5's window. Keys registered later
-# (new operators) append AFTER this list in plain registration order so
-# they never displace the backlog.
-_DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-4 window (50): cdc engines (7)
-    "cdc_replacing_final",
-    "cdc_collapsing_final",
-    "cdc_collapsing_signed_log",
-    "cdc_append_mergetree",
-    "cdc_snapshot_handoff",
-    "cdc_delete_tombstones",
-    "cdc_truncate",
-    # streaming (11)
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_watermark_late",
-    "stream_dedup",
-    "stream_stateful_count",
-    "stream_foreachbatch_upsert",
-    "stream_custom_state",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_topk_per_window",
-    # llm text / similarity / neardup / quality / multimodal (20)
-    "text_exact_dedup",
-    "text_token_stats",
-    "text_stats_per_source",
-    "text_tfidf_top",
-    "text_near_dedup_minhash",
-    "sim_cosine_topk",
-    "sim_knn_join",
-    "sim_centroid_classify",
-    "multimodal_join",
-    "text_near_dedup_simhash",
-    "text_near_dedup_ngram_jaccard",
-    "sim_near_dup_embedding",
-    "sim_ann_ivf",
-    "sim_ivf_recall",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count_bpe",
-    "text_fingerprint",
-    "text_lm_logprob",
-    "multimodal_extract",
-    # udfs (4)
-    "udf_pandas_scalar",
-    "udf_grouped_agg",
-    "udf_table_mapinpandas",
-    "udf_python_scalar",
-    # functions/scalar tail (6)
-    "fn_array",
-    "fn_struct_flatten",
-    "fn_bitwise",
-    "fn_regex",
-    "fn_array_setops",
-    "agg_mode_deterministic",
-    # joins/windows tail (2) — window-50 ends here
-    "join_asof_tolerance",
-    "win_nth_ignore_nulls",
-    # analytics tail (12) — superseded by the round-5 swap below,
-    # which prepends _ROUND5_PRIORITY (these 12 lead that list too)
-    "text_decontaminate",
-    "agg_hll_sketch_merge",
-    "join_salted_skew",
-    "dedup_cluster_components",
-    "query_tpch_q3",
-    "query_tpch_q18",
-    "agg_regr_linfit",
-    "events_histogram_fixed",
-    "events_anomaly_zscore",
-    "fn_cast_edge",
-    "agg_quantile_histogram_merge",
-    "agg_summap",
-)
+# Driver-verification ordering — ROTATING, derived from recorded
+# evidence age (VERDICT r6 item 4). The external correctness harness
+# checks queries in the order ``queries()`` yields them and caps how
+# many it verifies per round (observed: 50). Earlier rounds hand-curated
+# priority tuples; now that every key has at least one driver
+# CORRECTNESS row, the order derives from the committed evidence
+# artifacts themselves: keys with NO recorded row (newly added this
+# round) come first, then keys by OLDEST most-recent evidence —
+# round-robin re-verification with max staleness ceil(N/50) rounds
+# (property-tested in tests/test_correctness.py). No manual tuple to
+# forget to rotate.
+
+DRIVER_WINDOW = 50  # keys the driver verifies per round (observed cap)
 
 
-# The round-5 driver window, ACTIVE as of round 5 (prepended to
-# _DRIVER_PRIORITY below; _prioritized dedups via dict insertion,
-# first occurrence wins, so prepending is safe). Exactly 50 keys —
-# the 12 analytics-tail keys plus the 38 round-4 additions — covering
-# EVERY key that had no CORRECTNESS row after the round-4 driver run
-# except the 11 in _ROUND6_PRIORITY, which are queued for round 6's
-# window (regression-tested in
-# test_correctness.test_round5_and_6_priorities_cover_all_unchecked_keys).
-_ROUND5_PRIORITY: tuple[str, ...] = (
-    "text_decontaminate",
-    "agg_hll_sketch_merge",
-    "join_salted_skew",
-    "dedup_cluster_components",
-    "query_tpch_q3",
-    "query_tpch_q18",
-    "agg_regr_linfit",
-    "events_histogram_fixed",
-    "events_anomaly_zscore",
-    "fn_cast_edge",
-    "agg_quantile_histogram_merge",
-    "agg_summap",
-    # round-4 additions (all pre-verified green this session)
-    "pipeline_pack_sequences",
-    "cdc_bucketed_compaction",
-    "query_tpch_q2",
-    "query_tpch_q11",
-    "query_tpch_q16",
-    "query_tpch_q20",
-    "text_bpe_merge_candidates",
-    "pipeline_mix_weighted",
-    "pipeline_pref_pairs",
-    "pipeline_length_buckets",
-    "dedup_incremental_snapshot",
-    "embedding_standardize",
-    "sim_pca_power_component",
-    "corpus_mixture_entropy",
-    "events_transition_matrix",
-    "events_top_paths",
-    "events_abtest_lift",
-    "join_asof_nearest",
-    "multimodal_audio_windows",
-    "events_cohort_matrix",
-    "join_point_in_interval",
-    "events_concurrency_sweep",
-    "events_active_rollup",
-    "agg_countmin_heavy",
-    "sample_weighted_bottomk",
-    "pipeline_quality_ablation",
-    "join_interval_overlap",
-    "agg_hll_dyadic_exact",
-    "cdc_aggregating_final",
-    "sim_matryoshka_recall",
-    "events_day_streaks",
-    "multimodal_resize",
-    "pipeline_e2e_prep",
-    "events_segment_overlap",
-    "agg_kmv_intersect",
-    "text_containment_pairs",
-    "events_time_to_convert",
-    "pipeline_corpus_report",
-)
+def evidence_rounds() -> dict[str, int]:
+    """key → latest round with a committed driver CORRECTNESS row."""
+    import glob
+    import json
+    import os
+    import re
 
-# Overflow beyond the round-5 window (50 keys exactly): these register
-# behind _ROUND5_PRIORITY and are planned for ROUND 6's window — at the
-# start of round 6, prepend (_ROUND6_PRIORITY + _ROUND5_PRIORITY) the
-# same way. The coverage audit in test_correctness spans BOTH planned
-# windows, so every key stays scheduled for driver evidence.
-_ROUND6_PRIORITY: tuple[str, ...] = (
-    "sim_cluster_purity",
-    "events_rfm_segmentation",
-    "orders_market_basket",
-    "text_skipgram_pmi",
-    "orders_pareto_abc",
-    "events_cusum_drift",
-    "events_seasonality_matrix",
-    "orders_fill_rate_sla",
-    "text_zipf_fit",
-    "udf_map_in_arrow",
-    "stream_windowed_distinct",
-)
-
-# Keys ADDED during round 6 (companion/accuracy keys the round-5
-# verdict asked for). They slot directly after the 11-key backlog so
-# they earn driver evidence in the same round they are written, instead
-# of recreating a "registered but never driver-checked" backlog.
-_ROUND6_NEW: tuple[str, ...] = (
-    "agg_hll_sketch_bounds",
-    "fn_variant_shred",
-    "source_pyds_tsv",
-    "stream_pyds_spool",
-)
-
-# Keys first registered in round 7 — same-round driver evidence.
-_ROUND7_NEW: tuple[str, ...] = (
-    "cdc_typed_roundtrip",
-)
-
-# ROUND-6 SWAP (VERDICT r5 item 1, executed at the start of round 6):
-# the round-6 driver window leads with the 11 keys that have no
-# CORRECTNESS row after rounds 1/3/4/5 (_ROUND6_PRIORITY), then any
-# keys newly added this round (_ROUND6_NEW), then the already-green
-# round-5 window re-checks. Once this round's driver run lands, every
-# declared key has driver evidence and the surface can unfreeze.
-_DRIVER_PRIORITY = (
-    _ROUND7_NEW + _ROUND6_PRIORITY + _ROUND6_NEW + _ROUND5_PRIORITY + _DRIVER_PRIORITY
-)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ev: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue  # a malformed artifact must not break the registry
+        for k in data:
+            ev[k] = max(ev.get(k, -1), rnd)
+    return ev
 
 
 def _prioritized(d: dict) -> dict:
-    """Reorder a registry dict: _DRIVER_PRIORITY keys first, rest as-is."""
-    out = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
-    out.update((k, v) for k, v in d.items() if k not in out)
-    return out
+    """Reorder a registry dict: never-checked keys first, then oldest
+    evidence first (name-tiebroken for determinism)."""
+    ev = evidence_rounds()
+    return {k: d[k] for k in sorted(d, key=lambda k: (ev.get(k, -1), k))}
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -252,10 +98,10 @@ def load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    # Import order no longer dictates what the driver sees first:
-    # queries()/oracle_sql() reorder via _DRIVER_PRIORITY (above), which
-    # pins the 62 never-driver-checked keys to the front. Imports here
-    # just need to cover every module so all registrations run.
+    # Import order never dictates what the driver sees first:
+    # queries()/oracle_sql() reorder via the evidence-age rotation
+    # (_prioritized above). Imports here just need to cover every
+    # module so all registrations run.
     from pg2ch_spark.operators import tpch  # noqa: F401
     from pg2ch_spark.llm import corpus  # noqa: F401
     from pg2ch_spark.operators import reshape  # noqa: F401
@@ -280,8 +126,7 @@ def load_all() -> None:
         sorts,
         setops,
     )
-    # Round-4 additions (append after the backlog window — see
-    # _DRIVER_PRIORITY):
+    # Round-4 additions:
     from pg2ch_spark.llm import pipelineops  # noqa: F401
     from pg2ch_spark.operators import tpch_partsupp  # noqa: F401
     from pg2ch_spark.operators import behavior  # noqa: F401
