@@ -26,8 +26,13 @@ source:
     password_env: PGPASSWORD # credential comes from the environment
     sslmode: require
 clickhouse:                  # OPTIONAL: R12 sink — every merged
-  endpoint: http://ch:8123   # micro-batch delta POSTed as TabSeparated
+  endpoint: https://ch:8443  # micro-batch delta POSTed as TabSeparated
   database: analytics        # into <database>.<table>
+  user: loader               # basic auth (omit for none)
+  password: "…"
+  ca_cert: /etc/ssl/ch.pem   # private-CA TLS verification
+  max_retries: 4             # bounded exponential backoff on 5xx /
+  backoff_s: 0.5             # connection errors; 4xx fail fast
 state_root: /var/lib/pg2ch   # per-table sink state + checkpoints
 poll_interval_s: 5.0         # pause between catch-up passes
                              # (pg2ch inactivity_merge_timeout analog)
@@ -94,6 +99,25 @@ class ClickHouseSink:
 
     endpoint: str
     database: str = "default"
+    # connection hardening (sources.clickhouse.HttpOptions): basic
+    # auth, private-CA TLS (https endpoints verify against ca_cert),
+    # bounded exponential-backoff retry on 5xx/connection errors
+    user: str | None = None
+    password: str | None = None
+    ca_cert: str | None = None
+    max_retries: int = 4
+    backoff_s: float = 0.5
+
+    def http_options(self):
+        from pg2ch_spark.sources.clickhouse import HttpOptions
+
+        return HttpOptions(
+            user=self.user,
+            password=self.password,
+            ca_cert=self.ca_cert,
+            max_retries=self.max_retries,
+            backoff_s=self.backoff_s,
+        )
 
 
 @dataclass
@@ -119,7 +143,10 @@ _WALSENDER_KEYS = {
     "host", "port", "slot", "publication",
     "user", "database", "password_env", "sslmode", "retry_s",
 }
-_CLICKHOUSE_KEYS = {"endpoint", "database"}
+_CLICKHOUSE_KEYS = {
+    "endpoint", "database", "user", "password", "ca_cert",
+    "max_retries", "backoff_s",
+}
 
 
 def _reject_unknown(block: dict, allowed: set[str], where: str) -> None:

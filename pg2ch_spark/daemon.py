@@ -135,6 +135,8 @@ def run_daemon(
         from pg2ch_spark.cdc.merge_sink import truncate_horizon
         from pg2ch_spark.sources.clickhouse import clickhouse_sink, truncate_table
 
+        ch_http = cfg.clickhouse.http_options()
+
         def batch_hook(spec, batch_df) -> None:
             table = f"{cfg.clickhouse.database}.{spec.main_table}"
             # R10 remotely: pg2ch TRUNCATEs the CH table; markers are
@@ -142,10 +144,10 @@ def run_daemon(
             # non-Nullable column or linger as a ghost row forever)
             tmax = truncate_horizon(batch_df, spec.ver_col)
             if tmax is not None:
-                truncate_table(cfg.clickhouse.endpoint, table)
+                truncate_table(cfg.clickhouse.endpoint, table, ch_http)
                 batch_df = batch_df.where(F.col(spec.ver_col) > tmax)
             clickhouse_sink(
-                cfg.clickhouse.endpoint, table, batch_df.columns
+                cfg.clickhouse.endpoint, table, batch_df.columns, ch_http
             )(batch_df, epoch_id=0)
 
     n_pass = 0

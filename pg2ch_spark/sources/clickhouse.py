@@ -129,41 +129,137 @@ def quote_ident(name: str, dotted: bool = False) -> str:
     return ".".join(quoted)
 
 
-def insert_url(endpoint: str, table: str, columns: list[str]) -> str:
+class HttpOptions:
+    """Connection hardening for the CH HTTP layer (pg2ch's connection
+    config analog): basic auth, private-CA TLS, bounded retry.
+
+    Retry policy: exponential backoff (``backoff_s * 2^attempt``) on
+    TRANSIENT failures only — 5xx statuses and socket/connection errors
+    (a struggling ClickHouse must see a widening gap, not a hammer);
+    4xx are permanent (bad query/auth) and fail immediately. Re-POSTs
+    are safe: every INSERT carries an ``insert_deduplication_token``
+    derived from the body hash, so ClickHouse's insert dedup drops the
+    duplicate block even if the first attempt actually landed (the
+    5xx-after-commit case) — on top of the merge-engine convergence
+    that already makes whole-batch replays idempotent.
+    """
+
+    def __init__(
+        self,
+        user: str | None = None,
+        password: str | None = None,
+        ca_cert: str | None = None,
+        max_retries: int = 4,
+        backoff_s: float = 0.5,
+        _sleep=None,
+    ):
+        self.user, self.password = user, password
+        self.ca_cert = ca_cert
+        self.max_retries = int(max_retries)
+        self.backoff_s = float(backoff_s)
+        import time
+
+        self._sleep = _sleep or time.sleep
+
+    def headers(self) -> dict[str, str]:
+        if self.user is None:
+            return {}
+        import base64
+
+        cred = f"{self.user}:{self.password or ''}".encode()
+        return {"Authorization": "Basic " + base64.b64encode(cred).decode()}
+
+    def ssl_context(self):
+        if self.ca_cert is None:
+            return None
+        import ssl
+
+        return ssl.create_default_context(cafile=self.ca_cert)
+
+
+_DEFAULT_HTTP = HttpOptions()
+
+
+def _post(url: str, body: bytes, http: HttpOptions) -> None:
+    """One hardened POST: auth headers, optional TLS context, bounded
+    exponential-backoff retry on transient failures."""
+    import socket
+    import urllib.error
+
+    last: Exception | None = None
+    for attempt in range(http.max_retries + 1):
+        if attempt:
+            http._sleep(http.backoff_s * (2 ** (attempt - 1)))
+        req = urllib.request.Request(
+            url, data=body, method="POST", headers=http.headers()
+        )
+        try:
+            with urllib.request.urlopen(req, context=http.ssl_context()) as resp:
+                if resp.status in (200, 204):
+                    return
+                last = RuntimeError(f"clickhouse POST failed: {resp.status}")
+        except urllib.error.HTTPError as e:
+            if e.code < 500:  # permanent: bad query, auth, schema
+                raise RuntimeError(
+                    f"clickhouse POST rejected ({e.code}): {e.reason}"
+                ) from e
+            last = e
+        except (urllib.error.URLError, ConnectionError, socket.timeout) as e:
+            last = e
+    raise RuntimeError(
+        f"clickhouse POST failed after {http.max_retries + 1} attempts: {last}"
+    ) from last
+
+
+def insert_url(
+    endpoint: str, table: str, columns: list[str], dedup_token: str | None = None
+) -> str:
     cols = ", ".join(quote_ident(c) for c in columns)
     q = urllib.parse.quote(
         f"INSERT INTO {quote_ident(table, dotted=True)} ({cols}) FORMAT TabSeparated"
     )
-    return f"{endpoint.rstrip('/')}/?query={q}"
+    url = f"{endpoint.rstrip('/')}/?query={q}"
+    if dedup_token is not None:
+        url += f"&insert_deduplication_token={urllib.parse.quote(dedup_token)}"
+    return url
 
 
 def insert_partition(
-    rows: Iterator[pd.DataFrame], endpoint: str, table: str, columns: list[str]
+    rows: Iterator[pd.DataFrame],
+    endpoint: str,
+    table: str,
+    columns: list[str],
+    http: HttpOptions = _DEFAULT_HTTP,
 ) -> None:
-    """POST each Arrow batch of one partition to ClickHouse."""
-    url = insert_url(endpoint, table, columns)
+    """POST each Arrow batch of one partition to ClickHouse. The dedup
+    token is the body's own md5, so a Spark task retry (which re-POSTs
+    the identical bytes) and an HTTP-level retry both land exactly once
+    under ClickHouse insert dedup."""
+    import hashlib
+
     for pdf in rows:
         body = encode_tsv(pdf[columns])
-        req = urllib.request.Request(url, data=body, method="POST")
-        with urllib.request.urlopen(req) as resp:
-            if resp.status not in (200, 204):
-                raise RuntimeError(f"clickhouse insert failed: {resp.status}")
+        token = hashlib.md5(body).hexdigest()
+        _post(insert_url(endpoint, table, columns, token), body, http)
 
 
-def truncate_table(endpoint: str, table: str) -> None:
+def truncate_table(
+    endpoint: str, table: str, http: HttpOptions = _DEFAULT_HTTP
+) -> None:
     """R10 on the remote side: pg2ch executes TRUNCATE against
     ClickHouse when the source table truncates; the daemon's batch
-    hook calls this before inserting the post-horizon survivors."""
+    hook calls this before inserting the post-horizon survivors.
+    TRUNCATE is naturally idempotent, so the retry policy applies."""
     q = urllib.parse.quote(f"TRUNCATE TABLE {quote_ident(table, dotted=True)}")
-    req = urllib.request.Request(
-        f"{endpoint.rstrip('/')}/?query={q}", data=b"", method="POST"
-    )
-    with urllib.request.urlopen(req) as resp:
-        if resp.status not in (200, 204):
-            raise RuntimeError(f"clickhouse truncate failed: {resp.status}")
+    _post(f"{endpoint.rstrip('/')}/?query={q}", b"", http)
 
 
-def clickhouse_sink(endpoint: str, table: str, columns: list[str]):
+def clickhouse_sink(
+    endpoint: str,
+    table: str,
+    columns: list[str],
+    http: HttpOptions = _DEFAULT_HTTP,
+):
     """``foreachBatch`` function factory: stream → per-partition HTTP
     inserts. Usage::
 
@@ -177,7 +273,7 @@ def clickhouse_sink(endpoint: str, table: str, columns: list[str]):
 
     def sink(batch_df, epoch_id: int) -> None:
         def post(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            insert_partition(batches, endpoint, table, columns)
+            insert_partition(batches, endpoint, table, columns, http)
             yield pd.DataFrame({"inserted": [1]})
 
         # noop sink just drives execution; the POSTs are the effect
