@@ -71,6 +71,12 @@ class PgOutputError(ValueError):
     pass
 
 
+class SchemaDriftError(PgOutputError):
+    """The source relation was ALTERed mid-stream (column set or type
+    OIDs changed vs the announced preamble). Hard stop with a runbook —
+    see :meth:`WalDecoder._check_drift`."""
+
+
 def _cstr(buf: bytes, off: int) -> tuple[str, int]:
     end = buf.index(b"\x00", off)
     return buf[off:end].decode("utf-8"), end + 1
@@ -507,6 +513,40 @@ class WalDecoder:
         self._tx: list[CdcRow] | None = None
         self._xid = 0
 
+    def _check_drift(self, msg: Relation) -> None:
+        """SCHEMA DRIFT is a hard stop, never a silent misdecode.
+
+        pgoutput re-announces each Relation at the start of every
+        session (and after DDL). An identical re-announcement is
+        normal; a relation whose COLUMN SET or TYPE OIDs changed means
+        the source table was ALTERed — decoding subsequent tuples
+        against the old shape would write wrong columns into live
+        state. pg2ch's posture here is the same (SURVEY §1.1: schema
+        changes need manual intervention), so the stream fails with a
+        named error and the operator runbook:
+
+          1. stop the daemon (the slot retains WAL — nothing is lost);
+          2. apply the matching DDL to the target (ClickHouse) table
+             and update the TableSpec column map;
+          3. clear/resync the table state (snapshot re-bootstrap via
+             bootstrap_replication, or accept the typed-NULL backfill);
+          4. restart — the spool resumes from the acked LSN and the new
+             Relation preamble is accepted fresh.
+        """
+        prev = self.relations.get(msg.oid)
+        if prev is None:
+            return
+        old = [(c.name, c.type_oid) for c in prev.columns]
+        new = [(c.name, c.type_oid) for c in msg.columns]
+        if old != new:
+            raise SchemaDriftError(
+                f"relation {msg.namespace}.{msg.name} (oid {msg.oid}) changed "
+                f"shape mid-stream: {old} -> {new}. Source DDL requires manual "
+                "resync — stop the daemon, alter the target + TableSpec, "
+                "re-bootstrap the table, restart (see WalDecoder._check_drift "
+                "runbook). Refusing to decode against a stale shape."
+            )
+
     def _rel(self, oid: int) -> Relation:
         rel = self.relations.get(oid)
         if rel is None:
@@ -526,6 +566,7 @@ class WalDecoder:
         """Feed one frame; yields the transaction's rows at Commit."""
         msg = parse_message(frame)
         if isinstance(msg, Relation):
+            self._check_drift(msg)
             self.relations[msg.oid] = msg
         elif isinstance(msg, Begin):
             self._tx = []
@@ -599,6 +640,12 @@ def _emit_value(v):
         return UNCHANGED_MARKER
     if isinstance(v, (bytes, bytearray)):
         return "\\x" + bytes(v).hex()
+    if isinstance(v, list):
+        # typed array decode (decode_value) → back to PG text form for
+        # the string-column contract, not a Python repr
+        return "{" + ",".join(
+            "NULL" if e is None else str(_emit_value(e)) for e in v
+        ) + "}"
     return str(v)
 
 

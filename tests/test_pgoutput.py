@@ -292,10 +292,13 @@ def test_tuple_roundtrip(vals):
     assert len(rows) == 1 and len(rows[0].values) == len(vals)
 
 
-def test_relation_replacement_mid_stream():
-    """A second Relation frame for the same oid re-types the table; later
-    changes decode with the NEW column set (how pgoutput communicates
-    ADD COLUMN — the registry must not hold the stale shape)."""
+def test_relation_replacement_mid_stream_is_refused():
+    """A second Relation frame with a DIFFERENT column set is source
+    DDL: round 7 (VERDICT r6 item 6) made this a HARD STOP instead of
+    silently adopting the new shape — downstream spool schemas,
+    TableSpec column maps and CH tables are typed for the old one, so
+    continuing would land rows that no longer fit the declared
+    contract. Full drift matrix in TestSchemaDrift below."""
     rel_v1 = relation(777, "t", [(1, "id", 23)])
     rel_v2 = relation(777, "t", [(1, "id", 23), (0, "note", 25)])
     wal = [
@@ -308,9 +311,8 @@ def test_relation_replacement_mid_stream():
         insert(777, 6, "hello"),
         commit(20),
     ]
-    rows = list(pg.decode_stream(wal))
-    assert rows[0].values == {"id": 5}
-    assert rows[1].values == {"id": 6, "note": "hello"}
+    with pytest.raises(pg.SchemaDriftError, match="manual resync"):
+        list(pg.decode_stream(wal))
 
 
 def test_tuple_arity_mismatch_raises():
@@ -358,10 +360,15 @@ def test_wal_to_buffered_merge_sink_end_to_end(spark, tmp_path):
 # NUMERIC precision, binary-transfer rendering
 
 
-def test_numeric_oid_keeps_exact_text_form():
-    # float() would lose precision past ~16 significant digits
+def test_numeric_oid_decodes_exact_decimal():
+    # float() would lose precision past ~16 significant digits; round 7
+    # upgraded NUMERIC from keep-as-text to exact Decimal (typed column
+    # mapping), which _emit_value stringifies back losslessly
+    from decimal import Decimal
+
     big = "12345678901234567890.12"
-    assert pg.decode_value(big, 1700) == big
+    assert pg.decode_value(big, 1700) == Decimal(big)
+    assert pg._emit_value(pg.decode_value(big, 1700)) == big
     assert pg.decode_value("2.5", 701) == 2.5  # float8 still a float
 
 
@@ -427,3 +434,48 @@ def test_unchanged_toast_marker_and_resolution(spark):
     assert names[200] == "alice"  # marker -> prior real value
     assert names[300] is None  # genuine NULL kept
     assert names[400] is None  # marker -> prior version's NULL, not "alice"
+
+
+class TestSchemaDrift:
+    """A changed Relation mid-stream is DDL on the source — the decoder
+    must fail with the named error, never silently misdecode (VERDICT
+    r6 item 6)."""
+
+    def _decoder_with(self, cols):
+        import pg2ch_spark.sources.pgoutput as pg
+
+        dec = pg.WalDecoder()
+        list(dec.push(relation(42, "t", cols)))
+        return dec
+
+    def test_identical_reannouncement_is_normal(self):
+        cols = [(1, "id", 23), (0, "v", 701)]
+        dec = self._decoder_with(cols)
+        list(dec.push(relation(42, "t", cols)))  # session restart shape
+        list(dec.push(begin((1 << 32) | 1, xid=5)))
+        list(dec.push(insert(42, 7, 1.5)))
+        rows = list(dec.push(commit((1 << 32) | 1)))
+        assert [(r.op, r.values["id"]) for r in rows] == [("I", 7)]
+
+    def test_added_column_is_loud(self):
+        from pg2ch_spark.sources.pgoutput import SchemaDriftError
+
+        dec = self._decoder_with([(1, "id", 23), (0, "v", 701)])
+        with pytest.raises(SchemaDriftError, match="changed shape mid-stream"):
+            list(dec.push(relation(42, "t", [(1, "id", 23), (0, "v", 701),
+                                             (0, "extra", 25)])))
+
+    def test_retyped_column_is_loud(self):
+        from pg2ch_spark.sources.pgoutput import SchemaDriftError
+
+        dec = self._decoder_with([(1, "id", 23), (0, "v", 701)])
+        with pytest.raises(SchemaDriftError, match="manual resync"):
+            # v: float8 -> numeric (ALTER COLUMN TYPE)
+            list(dec.push(relation(42, "t", [(1, "id", 23), (0, "v", 1700)])))
+
+    def test_renamed_column_is_loud(self):
+        from pg2ch_spark.sources.pgoutput import SchemaDriftError
+
+        dec = self._decoder_with([(1, "id", 23), (0, "v", 701)])
+        with pytest.raises(SchemaDriftError):
+            list(dec.push(relation(42, "t", [(1, "id", 23), (0, "w", 701)])))
