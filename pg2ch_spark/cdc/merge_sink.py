@@ -23,6 +23,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 
+# Sentinel for "horizon not precomputed": run_pipeline computes the
+# per-micro-batch horizon ONCE and threads it to both the local sink
+# and the remote batch hook, so the batch is not aggregate-scanned
+# twice per consumer (ADVICE r6).
+UNSET_HORIZON = object()
+
+
 def truncate_horizon(df: DataFrame | None, ver_col: str):
     """Highest TRUNCATE-marker version in ``df`` (op == 'T'), or None.
 
@@ -80,26 +87,34 @@ class ReplacingMergeSink:
         )
 
     def _apply_truncate(
-        self, incoming: DataFrame, current: DataFrame | None
+        self, incoming: DataFrame, current: DataFrame | None,
+        tmax=UNSET_HORIZON,
     ) -> tuple[object, DataFrame, DataFrame | None]:
         """(tmax, incoming', current'): the R10 horizon from
         ``incoming``'s markers applied to both tiers (see
-        :func:`truncate_horizon` for semantics)."""
-        tmax = truncate_horizon(incoming, self.ver_col)
+        :func:`truncate_horizon` for semantics). A caller that already
+        computed the horizon passes it via ``tmax`` (None = "no
+        marker") so the batch is not aggregate-scanned again."""
+        if tmax is UNSET_HORIZON:
+            tmax = truncate_horizon(incoming, self.ver_col)
         if tmax is not None:
             incoming = incoming.where(F.col(self.ver_col) > tmax)
             if current is not None:
                 current = current.where(F.col(self.ver_col) > tmax)
         return tmax, incoming, current
 
-    def merge(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
+    def merge(
+        self, batch_df: DataFrame, epoch_id: int | None = None,
+        tmax=UNSET_HORIZON,
+    ) -> None:
         """foreachBatch entry point: union existing state + batch, keep the
         max-version row per key, commit atomically. Re-running the same
         batch (at-least-once replay) is a no-op by construction.
         TRUNCATE markers in the batch propagate (R10): state and batch
-        rows at or before the last marker's version are dropped."""
+        rows at or before the last marker's version are dropped.
+        ``tmax``: optionally precomputed horizon (see _apply_truncate)."""
         current = self.state()
-        _, batch_df, current = self._apply_truncate(batch_df, current)
+        _, batch_df, current = self._apply_truncate(batch_df, current, tmax)
         merged = batch_df if current is None else current.unionByName(batch_df)
         self._commit(self._latest_per_key(merged))
 
@@ -153,8 +168,15 @@ class BufferedMergeSink(ReplacingMergeSink):
         self._batches_buffered = 0
         self.merges_done = 0
 
-    def merge(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
-        """O(batch): append to the buffer tier; merge only at threshold."""
+    def merge(
+        self, batch_df: DataFrame, epoch_id: int | None = None,
+        tmax=UNSET_HORIZON,
+    ) -> None:
+        """O(batch): append to the buffer tier; merge only at threshold.
+        ``tmax`` is accepted for signature parity but unused — the
+        buffered tiers apply the horizon at FLUSH time over ALL batches
+        buffered since the last merge (a marker in batch 2 must also
+        filter batch 1's already-buffered rows)."""
         batch_df.write.mode("append").parquet(self.buffer_path)
         self._batches_buffered += 1
         if self._batches_buffered >= self.merge_every:

@@ -132,17 +132,17 @@ def run_daemon(
     if cfg.clickhouse is not None:
         import pyspark.sql.functions as F
 
-        from pg2ch_spark.cdc.merge_sink import truncate_horizon
         from pg2ch_spark.sources.clickhouse import clickhouse_sink, truncate_table
 
         ch_http = cfg.clickhouse.http_options()
 
-        def batch_hook(spec, batch_df) -> None:
+        def batch_hook(spec, batch_df, tmax) -> None:
             table = f"{cfg.clickhouse.database}.{spec.main_table}"
             # R10 remotely: pg2ch TRUNCATEs the CH table; markers are
             # commands, never data rows (a \\N key would either fail a
-            # non-Nullable column or linger as a ghost row forever)
-            tmax = truncate_horizon(batch_df, spec.ver_col)
+            # non-Nullable column or linger as a ghost row forever).
+            # tmax arrives precomputed from the pipeline (one horizon
+            # aggregate per micro-batch, shared with the local sink).
             if tmax is not None:
                 truncate_table(cfg.clickhouse.endpoint, table, ch_http)
                 batch_df = batch_df.where(F.col(spec.ver_col) > tmax)

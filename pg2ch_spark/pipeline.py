@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pg2ch_spark import catalog
 from pg2ch_spark.cdc.merge_sink import (
+    UNSET_HORIZON,
     BucketedMergeSink,
     BufferedMergeSink,
     ReplacingMergeSink,
@@ -121,22 +122,27 @@ class _AppendSink:
         self.spark, self.path = spark, path
         self.key_col, self.sign_col, self.ver_col = key_col, sign_col, ver_col
 
-    def _apply_truncate_wipe(self, batch_df: DataFrame) -> DataFrame:
+    def _apply_truncate_wipe(self, batch_df: DataFrame, tmax=UNSET_HORIZON) -> DataFrame:
         """R10 for log-shaped sinks: ClickHouse TRUNCATE on a MergeTree
         wipes the table, so a marker drops every already-landed epoch
         and filters this batch to the rows after the horizon. Replay of
         the same epoch re-wipes (already empty) and relands the same
-        filtered rows — idempotent."""
+        filtered rows — idempotent. ``tmax``: precomputed horizon
+        (None = "computed, no marker"); UNSET_HORIZON computes here."""
         from pg2ch_spark.cdc.merge_sink import truncate_horizon
 
-        tmax = truncate_horizon(batch_df, self.ver_col)
+        if tmax is UNSET_HORIZON:
+            tmax = truncate_horizon(batch_df, self.ver_col)
         if tmax is None:
             return batch_df
         shutil.rmtree(self.path, ignore_errors=True)
         return batch_df.where(F.col(self.ver_col) > tmax)
 
-    def merge(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
-        batch_df = self._apply_truncate_wipe(batch_df)
+    def merge(
+        self, batch_df: DataFrame, epoch_id: int | None = None,
+        tmax=UNSET_HORIZON,
+    ) -> None:
+        batch_df = self._apply_truncate_wipe(batch_df, tmax)
         out = os.path.join(self.path, f"epoch={int(epoch_id or 0)}")
         batch_df.write.mode("overwrite").parquet(out)
 
@@ -202,7 +208,10 @@ class _CollapsingSink(_AppendSink):
             return None
         return self.spark.read.parquet(self._snapshot_path(prior[-1]))
 
-    def merge(self, batch_df: DataFrame, epoch_id: int | None = None) -> None:
+    def merge(
+        self, batch_df: DataFrame, epoch_id: int | None = None,
+        tmax=UNSET_HORIZON,
+    ) -> None:
         from pyspark.sql import Window
 
         from pg2ch_spark.cdc.merge_sink import truncate_horizon
@@ -216,7 +225,8 @@ class _CollapsingSink(_AppendSink):
         # per key afterwards must see NO carry (its −1 sibling would
         # resurrect a wiped value). Replays rebuild identically: the
         # snapshots are gone on first application and stay gone.
-        tmax = truncate_horizon(batch_df, v)
+        if tmax is UNSET_HORIZON:
+            tmax = truncate_horizon(batch_df, v)
         if tmax is not None:
             shutil.rmtree(self.path, ignore_errors=True)
             shutil.rmtree(self.prev_root, ignore_errors=True)
@@ -306,10 +316,12 @@ def run_pipeline(
     shape `sources.spool.spool_transactions` lands from the live
     walsender client, closing the R2→R5 chain end-to-end.
 
-    ``batch_hook(spec, batch_df)`` runs AFTER each micro-batch's local
-    merge commits — the R12 fan-out point (the daemon posts each batch
-    delta to ClickHouse here; the spec carries the ver column name the
-    hook needs to honor TRUNCATE markers remotely). It sees the DELTA,
+    ``batch_hook(spec, batch_df, tmax)`` runs AFTER each micro-batch's
+    local merge commits — the R12 fan-out point (the daemon posts each
+    batch delta to ClickHouse here). ``tmax`` is the micro-batch's
+    truncate horizon (None = no marker), computed ONCE here and shared
+    with the local sink so the batch is not aggregate-scanned per
+    consumer. It sees the DELTA,
     not the state: at 100 TB re-shipping full state per pass is wrong,
     and replayed deltas converge on the remote merge engine exactly as
     they do on the local sink."""
@@ -418,9 +430,14 @@ def run_pipeline(
             batch_df: DataFrame, epoch_id: int, _sink=sink, _spec=spec
         ) -> None:
             nonlocal n_batches
-            _sink.merge(batch_df, epoch_id)
+            # one horizon aggregate per micro-batch, shared by the local
+            # sink AND the remote hook — not one scan per consumer
+            from pg2ch_spark.cdc.merge_sink import truncate_horizon
+
+            tmax = truncate_horizon(batch_df, _spec.ver_col)
+            _sink.merge(batch_df, epoch_id, tmax=tmax)
             if batch_hook is not None:
-                batch_hook(_spec, batch_df)
+                batch_hook(_spec, batch_df, tmax)
             n_batches += 1
 
         try:

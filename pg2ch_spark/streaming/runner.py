@@ -118,24 +118,47 @@ def scratch_dir(prefix: str) -> str:
 # invocation, and on the tmpfs scratch base that leak is RAM across a
 # bench loop. Policy: results go to REAL DISK (never the tmpfs base —
 # the fsync argument for tmpfs applies to checkpoint small-file I/O,
-# not to a result written once and read once), and every dir is
-# reclaimed at interpreter exit.
-_RESULT_DIRS: list[str] = []
+# not to a result written once and read once); a NEW result for the
+# same prefix (≙ query key) reclaims its predecessor — so a long-lived
+# process that re-runs queries holds at most ONE result copy per key,
+# not one per invocation (ADVICE r6) — and whatever remains is
+# reclaimed at interpreter exit. Callers that must keep a prior
+# result past a re-run materialize it (localCheckpoint), which every
+# registered query already does.
+_RESULT_DIRS: dict[str, str] = {}
 
 
 def _reclaim_result_dirs() -> None:
     while _RESULT_DIRS:
-        shutil.rmtree(_RESULT_DIRS.pop(), ignore_errors=True)
+        shutil.rmtree(_RESULT_DIRS.popitem()[1], ignore_errors=True)
 
 
-def result_dir(prefix: str) -> str:
+def result_dir(prefix: str, key: str | None = None) -> str:
     """Disk-backed scratch for a streaming RESULT that outlives its
-    query (see _RESULT_DIRS policy note)."""
-    d = tempfile.mkdtemp(prefix=prefix)  # tempfile default: real /tmp
+    query (see _RESULT_DIRS policy note). ``key`` identifies the QUERY
+    (distinct queries never reclaim each other, concurrent suites
+    included); a re-run of the same key reclaims its predecessor.
+    ``key=None`` tracks the dir for exit-time reclaim only."""
     if not _RESULT_DIRS:
         atexit.register(_reclaim_result_dirs)
-    _RESULT_DIRS.append(d)
+    d = tempfile.mkdtemp(prefix=prefix)  # tempfile default: real /tmp
+    if key is not None:
+        prev = _RESULT_DIRS.pop(key, None)
+        if prev is not None:
+            shutil.rmtree(prev, ignore_errors=True)
+        _RESULT_DIRS[key] = d
+    else:
+        _RESULT_DIRS[d] = d
     return d
+
+
+def release_result_dir(d: str) -> None:
+    """Explicit reclaim for callers that consumed a result and will not
+    re-run its query (bounds /tmp even without a re-run or clean exit)."""
+    for key, val in list(_RESULT_DIRS.items()):
+        if val == d:
+            del _RESULT_DIRS[key]
+    shutil.rmtree(d, ignore_errors=True)
 
 
 def _num_input_rows(progress) -> int:
@@ -238,7 +261,14 @@ def run_complete_to_df(
     """
     name = f"pg2ch_mem_{uuid.uuid4().hex[:12]}"
     ckpt = scratch_dir("pg2ch_mem_ckpt_")
-    out = result_dir("pg2ch_mem_out_") if parquet_sink else None
+    out = (
+        # keyed by the calling query (the transform closure's qualname
+        # names its enclosing query function): a long-lived process
+        # re-running the same query holds ONE result copy per query
+        result_dir("pg2ch_mem_out_", key=getattr(transform, "__qualname__", None))
+        if parquet_sink
+        else None
+    )
     src, src_dir = _stream_source_managed(spark, path, schema)
     with _few_state_partitions(spark, state_partitions, rocksdb=rocksdb):
         tdf = transform(src)

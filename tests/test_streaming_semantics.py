@@ -406,3 +406,28 @@ def test_dedup_horizon_evicts_state_and_repasses_stale_replays(spark, tmp_path):
     # id 1 appears TWICE: its day-64 replay arrives after the horizon
     # evicted its state, so it legitimately re-passes; the rest once
     assert got == [1, 1, 2, 3, 4, 5]
+
+
+def test_result_dir_rerun_reclaims_predecessor(tmp_path, monkeypatch):
+    """ADVICE r6: a long-lived process re-running the same query must
+    hold at most ONE parquet-result copy per query key — distinct keys
+    (concurrent suites) never reclaim each other."""
+    import os
+
+    from pg2ch_spark.streaming import runner
+
+    monkeypatch.setattr(runner, "_RESULT_DIRS", {})
+    a1 = runner.result_dir("t_", key="qA")
+    b1 = runner.result_dir("t_", key="qB")
+    a2 = runner.result_dir("t_", key="qA")  # re-run of qA
+    assert not os.path.exists(a1), "predecessor for the same key leaked"
+    assert os.path.exists(b1), "a different key was wrongly reclaimed"
+    assert os.path.exists(a2)
+    runner.release_result_dir(a2)
+    assert not os.path.exists(a2)
+    assert "qA" not in runner._RESULT_DIRS
+    # untracked (key=None) dirs are still registered for exit reclaim
+    c = runner.result_dir("t_")
+    assert c in runner._RESULT_DIRS
+    runner._reclaim_result_dirs()
+    assert not os.path.exists(b1) and not os.path.exists(c)
