@@ -35,7 +35,9 @@ clickhouse:                  # OPTIONAL: R12 sink — every merged
   backoff_s: 0.5             # connection errors; 4xx fail fast
 state_root: /var/lib/pg2ch   # per-table sink state + checkpoints
 poll_interval_s: 5.0         # pause between catch-up passes
-                             # (pg2ch inactivity_merge_timeout analog)
+inactivity_merge_timeout_s: 30.0  # OPTIONAL (pg2ch inactivity_merge_timeout):
+                             # passes stop force-flushing two-tier buffers;
+                             # quiet tables merge on this timer instead
 tables:                      # name -> TableSpec block (R14)
   t_replacing:
     engine: ReplacingMergeTree
@@ -127,6 +129,13 @@ class DaemonConfig:
     tables: list[TableSpec]
     max_files_per_trigger: int | None = None
     poll_interval_s: float = 5.0
+    # pg2ch's inactivity_merge_timeout as a REAL TIMER: when set, the
+    # daemon's passes stop force-flushing two-tier buffers — merges
+    # happen at merge_threshold, and a table idle for at least this
+    # many seconds gets a timed merge between passes (plus the
+    # graceful-stop flush). None = flush every pass (one-shot/batch
+    # semantics).
+    inactivity_merge_timeout_s: float | None = None
     # "events" = fixture event log (CDC derived in-stream);
     # "cdc" = a spool directory of normalized CDC parquet files, the
     # shape sources.spool lands from the live walsender client
@@ -136,7 +145,10 @@ class DaemonConfig:
     spark: SparkConfig = field(default_factory=SparkConfig)
 
 
-_TOP_KEYS = {"spark", "source", "state_root", "poll_interval_s", "tables", "clickhouse"}
+_TOP_KEYS = {
+    "spark", "source", "state_root", "poll_interval_s",
+    "inactivity_merge_timeout_s", "tables", "clickhouse",
+}
 _SPARK_KEYS = {"master", "app_name", "shuffle_partitions"}
 _SOURCE_KEYS = {"sf_dir", "max_files_per_trigger", "format", "walsender"}
 _WALSENDER_KEYS = {
@@ -235,6 +247,11 @@ def config_from_mapping(m: dict) -> DaemonConfig:
         if "endpoint" not in ch_block:
             raise ValueError("clickhouse: is missing required key 'endpoint'")
         clickhouse = ClickHouseSink(**ch_block)
+    imt = m.get("inactivity_merge_timeout_s")
+    if imt is not None and (
+        isinstance(imt, bool) or not isinstance(imt, (int, float)) or imt <= 0
+    ):
+        raise ValueError("inactivity_merge_timeout_s must be a positive number")
     poll = m.get("poll_interval_s", 5.0)
     if not isinstance(poll, (int, float)) or poll < 0:
         raise ValueError("poll_interval_s must be a non-negative number")
@@ -245,6 +262,7 @@ def config_from_mapping(m: dict) -> DaemonConfig:
         tables=specs,
         max_files_per_trigger=mft,
         poll_interval_s=float(poll),
+        inactivity_merge_timeout_s=float(imt) if imt is not None else None,
         source_format=fmt,
         walsender=walsender,
         clickhouse=clickhouse,

@@ -150,6 +150,35 @@ def run_daemon(
                 cfg.clickhouse.endpoint, table, batch_df.columns, ch_http
             )(batch_df, epoch_id=0)
 
+    # pg2ch's inactivity_merge_timeout as a real timer (SURVEY §3.1
+    # path 3): with the timeout set, passes stop force-flushing the
+    # two-tier buffers (merges happen at merge_threshold), and a table
+    # that has been QUIET for at least the timeout gets a timed merge
+    # here between passes. Sink state is disk-backed, so a fresh
+    # build_sink over the same root flushes the persisted buffer.
+    import time
+
+    from pg2ch_spark.pipeline import build_sink
+
+    timer_mode = cfg.inactivity_merge_timeout_s is not None
+    last_activity = {spec.main_table: time.monotonic() for spec in cfg.tables}
+
+    def timed_merges() -> list[str]:
+        merged = []
+        now = time.monotonic()
+        for spec in cfg.tables:
+            if now - last_activity[spec.main_table] < cfg.inactivity_merge_timeout_s:
+                continue
+            sink = build_sink(spark, spec, cfg.state_root)
+            if getattr(sink, "flush", None) is None:
+                continue
+            if not os.path.exists(getattr(sink, "buffer_path", "")):
+                continue  # nothing buffered — quiet AND merged
+            sink.flush()
+            merged.append(spec.main_table)
+            last_activity[spec.main_table] = now  # merged; re-arm
+        return merged
+
     n_pass = 0
     while True:
         res = run_pipeline(
@@ -160,21 +189,34 @@ def run_daemon(
             max_files_per_trigger=cfg.max_files_per_trigger,
             source_format=cfg.source_format,
             batch_hook=batch_hook,
+            flush_buffers=not timer_mode,
         )
         n_pass += 1
+        if timer_mode:
+            now = time.monotonic()
+            for table, n in res.batches.items():
+                if n:
+                    last_activity[table] = now
         stopping = stop.is_set() or once or (max_passes is not None and n_pass >= max_passes)
-        print(
-            json.dumps(
-                {"pass": n_pass, "batches": res.batches, "stopping": stopping}
-            ),
-            file=out,
-            flush=True,
-        )
+        if timer_mode and stopping:
+            # graceful stop flushes every buffered table (pg2ch's
+            # signal-handler flush) regardless of idle age
+            for spec in cfg.tables:
+                last_activity[spec.main_table] = float("-inf")
+        merged = timed_merges() if timer_mode else []
+        line = {"pass": n_pass, "batches": res.batches, "stopping": stopping}
+        if merged:
+            line["inactivity_merge"] = merged
+        print(json.dumps(line), file=out, flush=True)
         if stopping:
             return _shutdown(stop, spool_thread)
         # interruptible sleep: a signal during the pause exits promptly
         # (the pass just committed, nothing is in flight)
         if stop.wait(cfg.poll_interval_s):
+            if timer_mode:
+                for spec in cfg.tables:
+                    last_activity[spec.main_table] = float("-inf")
+                timed_merges()
             print(
                 json.dumps({"pass": n_pass, "batches": {}, "stopping": True}),
                 file=out,

@@ -293,6 +293,40 @@ class _CollapsingSink(_AppendSink):
 CDC_SPOOL_SCHEMA = "table string, key bigint, ver bigint, op string, value double"
 
 
+def build_sink(spark: SparkSession, spec: TableSpec, state_root: str):
+    """The engine-appropriate sink for one TableSpec. All sink state is
+    DISK-backed under ``<state_root>/<table>/state`` — a fresh instance
+    over the same root resumes the same buffers/state, which is what
+    lets the daemon's inactivity timer flush a table outside a pass."""
+    state_path = os.path.join(state_root, spec.main_table, "state")
+    if spec.engine == "ReplacingMergeTree":
+        if spec.n_buckets:
+            return BucketedMergeSink(
+                spark,
+                state_path,
+                spec.key_col,
+                spec.ver_col,
+                merge_every=spec.merge_threshold,
+                n_buckets=spec.n_buckets,
+            )
+        if spec.merge_threshold == 1:
+            return ReplacingMergeSink(spark, state_path, spec.key_col, spec.ver_col)
+        return BufferedMergeSink(
+            spark,
+            state_path,
+            spec.key_col,
+            spec.ver_col,
+            merge_every=spec.merge_threshold,
+        )
+    if spec.engine == "CollapsingMergeTree":
+        return _CollapsingSink(
+            spark, state_path, spec.key_col, spec.sign_col, spec.ver_col
+        )
+    return _AppendSink(
+        spark, state_path, spec.key_col, spec.sign_col, spec.ver_col
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     specs: list[TableSpec],
@@ -301,6 +335,7 @@ def run_pipeline(
     max_files_per_trigger: int | None = None,
     source_format: str = "events",
     batch_hook=None,
+    flush_buffers: bool = True,
 ) -> PipelineResult:
     """Replicate every configured table, availableNow (≙ catch-up run
     of a continuous daemon; rerunning resumes from each checkpoint).
@@ -345,37 +380,7 @@ def run_pipeline(
     for spec in specs:
         table_dir = os.path.join(state_root, spec.main_table)
         ckpt = os.path.join(table_dir, "_checkpoint")
-        state_path = os.path.join(table_dir, "state")
-        if spec.engine == "ReplacingMergeTree":
-            if spec.n_buckets:
-                sink = BucketedMergeSink(
-                    spark,
-                    state_path,
-                    spec.key_col,
-                    spec.ver_col,
-                    merge_every=spec.merge_threshold,
-                    n_buckets=spec.n_buckets,
-                )
-            elif spec.merge_threshold == 1:
-                sink = ReplacingMergeSink(
-                    spark, state_path, spec.key_col, spec.ver_col
-                )
-            else:
-                sink = BufferedMergeSink(
-                    spark,
-                    state_path,
-                    spec.key_col,
-                    spec.ver_col,
-                    merge_every=spec.merge_threshold,
-                )
-        elif spec.engine == "CollapsingMergeTree":
-            sink = _CollapsingSink(
-                spark, state_path, spec.key_col, spec.sign_col, spec.ver_col
-            )
-        else:
-            sink = _AppendSink(
-                spark, state_path, spec.key_col, spec.sign_col, spec.ver_col
-            )
+        sink = build_sink(spark, spec, state_root)
 
         spec_schema = schema
         if spec.columns is not None:
@@ -454,8 +459,17 @@ def run_pipeline(
             # source is per-invocation scratch — reclaim it
             if _src_dir is not None:
                 shutil.rmtree(_src_dir, ignore_errors=True)
+        if not flush_buffers:
+            # daemon timer mode (``inactivity_merge_timeout_s``): the
+            # two-tier buffers PERSIST across passes — merges happen at
+            # merge_threshold or by the daemon's inactivity timer, not
+            # unconditionally per pass (pg2ch's actual topology). No
+            # state read either: reading a Buffered sink forces the
+            # flush this mode exists to defer.
+            result.batches[spec.main_table] = n_batches
+            continue
         if isinstance(sink, BufferedMergeSink):
-            sink.flush()  # ≙ pg2ch's inactivity_merge_timeout final merge
+            sink.flush()  # ≙ pg2ch's graceful-stop final merge
         final = sink.final() if hasattr(sink, "final") else sink.state()
         if final is None:
             # zero-batch stream: the sink path was never created; hand
