@@ -53,7 +53,8 @@ def install_signal_handlers(stop: threading.Event) -> None:
 
 
 def start_walsender_spool(
-    ws: WalSenderSource, spool_dir: str, stop: threading.Event, out=None
+    ws: WalSenderSource, spool_dir: str, stop: threading.Event, out=None,
+    specs=None,
 ) -> threading.Thread:
     """The live R2 consumer as a daemon thread: protocol client →
     LSN-named spool files (`sources.spool`), flush-then-ack all the way
@@ -61,9 +62,18 @@ def start_walsender_spool(
     Reconnects with backoff on any socket/protocol error — a restart
     replays from the last acked LSN into the same file names, which the
     passes' streaming offset log dedups. One connection per slot by
-    protocol; the Spark side fans out from the files."""
+    protocol; the Spark side fans out from the files.
+
+    With ``specs`` (the daemon's table list) the spool is ROUTED: one
+    subdirectory per configured table in that table's own schema —
+    typed when the spec declares ``columns`` — which is what lets the
+    live path replicate decimal/date/timestamp/uuid/array columns as
+    real types end to end."""
     from pg2ch_spark.sources.pgoutput import replication_stream
-    from pg2ch_spark.sources.spool import spool_transactions
+    from pg2ch_spark.sources.spool import (
+        spool_transactions,
+        spool_transactions_routed,
+    )
 
     out = out or sys.stdout
     password = os.environ.get(ws.password_env) if ws.password_env else None
@@ -81,7 +91,11 @@ def start_walsender_spool(
                     password=password,
                     sslmode=ws.sslmode,
                 )
-                for lsn, _path in spool_transactions(stream, spool_dir):
+                if specs is not None:
+                    spooled = spool_transactions_routed(stream, spool_dir, specs)
+                else:
+                    spooled = spool_transactions(stream, spool_dir)
+                for lsn, _path in spooled:
                     if stop.is_set():
                         return
                 # clean CopyDone from the server: fall through to retry
@@ -126,7 +140,9 @@ def run_daemon(
     spool_thread = None
     if cfg.walsender is not None:
         os.makedirs(cfg.source_dir, exist_ok=True)
-        spool_thread = start_walsender_spool(cfg.walsender, cfg.source_dir, stop, out=out)
+        spool_thread = start_walsender_spool(
+            cfg.walsender, cfg.source_dir, stop, out=out, specs=cfg.tables
+        )
 
     batch_hook = None
     if cfg.clickhouse is not None:

@@ -383,6 +383,15 @@ def run_pipeline(
         sink = build_sink(spark, spec, state_root)
 
         spec_schema = schema
+        spec_path = path
+        if source_format == "cdc":
+            # ROUTED-SPOOL convention (sources.spool.
+            # spool_transactions_routed): a subdirectory named after the
+            # table holds that table's own files in its own schema —
+            # required for typed tables, transparent for flat spools
+            routed = os.path.join(path, spec.main_table)
+            if os.path.isdir(routed):
+                spec_path = routed
         if spec.columns is not None:
             if source_format != "cdc":
                 raise ValueError("typed columns require source_format='cdc'")
@@ -390,11 +399,11 @@ def run_pipeline(
 
             spec_schema = typed_spool_ddl(spec.key_col, spec.key_type, spec.columns)
         if max_files_per_trigger is None:
-            src, _src_dir = _stream_source_managed(spark, path, spec_schema)
+            src, _src_dir = _stream_source_managed(spark, spec_path, spec_schema)
         else:
             # multi-batch replay: one file per micro-batch (the shape a
             # continuous daemon sees), exercising cross-batch carry
-            src_path = path
+            src_path = spec_path
             _src_dir = None
             if os.path.isfile(src_path):
                 _src_dir = scratch_dir("pg2ch_pipe_src_")

@@ -232,6 +232,113 @@ def typed_rows(
     return to_rows
 
 
+def _default_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("table", pa.string()),
+            ("key", pa.int64()),
+            ("ver", pa.int64()),
+            ("op", pa.string()),
+            ("value", pa.float64()),
+        ]
+    )
+
+
+def _validate_prefix(table: str) -> None:
+    """The stream reader recognizes flat spool entries by name; a table
+    prefix outside its accepted alphabet would make the producer's
+    transactions INVISIBLE to the consumer (silent data loss), so the
+    contract is enforced at write time, loudly."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_]+", table):
+        raise ValueError(
+            f"spool table prefix {table!r} must be non-empty [A-Za-z0-9_] — "
+            "the stream reader matches entries by this naming contract"
+        )
+
+
+def _write_entry(spool_dir: str, name: str, rows: list[dict], schema) -> str:
+    """Atomically publish one parquet spool entry (temp + rename)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(spool_dir, name)
+    tmp = os.path.join(spool_dir, f".{name}.tmp")
+    pdf = pd.DataFrame(rows, columns=[f.name for f in schema])
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), tmp
+    )
+    os.replace(tmp, path)  # atomic: readers never list a partial file
+    return path
+
+
+def spool_transactions_routed(
+    stream: Iterable[tuple[int, list[CdcRow]]],
+    spool_dir: str,
+    specs,
+) -> Iterator[tuple[int, list[str]]]:
+    """Multi-table spool with PER-RELATION schemas: each configured
+    TableSpec gets its own subdirectory ``<spool_dir>/<table>/`` of
+    LSN-named files in that table's own shape — typed when the spec
+    declares ``columns`` (the pg2ch per-table YAML column map), the
+    generic (key, value) shape otherwise.
+
+    This is the daemon's R4 route applied AT THE LANDING ZONE: the
+    flat single-schema spool cannot carry heterogeneous typed tables
+    in one parquet file. Consumers read their own subdir (the
+    pipeline's routed-spool convention), so a typed table's stream
+    schema always matches its files. Relations NOT configured are
+    skipped — the publication should match the table list, exactly as
+    pg2ch replicates only its configured tables.
+
+    Delivery contract is unchanged from `spool_transactions`: one
+    yield per committed transaction AFTER every one of its files is
+    durable (flush-then-ack through the spool); a replay rewrites the
+    SAME names with the SAME bytes, and each table's streaming offset
+    log dedups independently."""
+    from pg2ch_spark.sources.pgoutput import CdcRow as _CdcRow  # noqa: F401
+
+    mappers: dict[str, tuple[Callable[[CdcRow], list[dict]], object]] = {}
+    for spec in specs:
+        _validate_prefix(spec.main_table)
+        if getattr(spec, "columns", None):
+            mappers[spec.main_table] = (
+                typed_rows(spec.key_col, spec.columns),
+                typed_spool_schema(spec.key_col, spec.key_type, spec.columns),
+            )
+        else:
+            mappers[spec.main_table] = (default_rows, _default_schema())
+        os.makedirs(os.path.join(spool_dir, spec.main_table), exist_ok=True)
+
+    try:
+        for commit_lsn, rows in stream:
+            by_rel: dict[str, list[dict]] = {}
+            for r in rows:
+                m = mappers.get(r.relation)
+                if m is None:
+                    continue  # unconfigured relation (see docstring)
+                by_rel.setdefault(r.relation, []).extend(m[0](r))
+            paths = []
+            for rel, out_rows in by_rel.items():
+                paths.append(
+                    _write_entry(
+                        os.path.join(spool_dir, rel),
+                        f"{rel}-{commit_lsn:016x}.parquet",
+                        out_rows,
+                        mappers[rel][1],
+                    )
+                )
+            yield commit_lsn, paths
+    finally:
+        close = getattr(stream, "close", None)
+        if close is not None:
+            close()
+
+
 def spool_transactions(
     stream: Iterable[tuple[int, list[CdcRow]]],
     spool_dir: str,
@@ -245,47 +352,20 @@ def spool_transactions(
     ``replication_stream`` gives flush-then-ack through the spool:
     the inner generator acks an LSN only when this one is resumed,
     i.e. only after its file was atomically published."""
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     os.makedirs(spool_dir, exist_ok=True)
     if schema is None:
         # the generic normalized shape (pipeline.CDC_SPOOL_SCHEMA);
         # typed tables pass typed_spool_schema(...) + typed_rows(...)
-        schema = pa.schema(
-            [
-                ("table", pa.string()),
-                ("key", pa.int64()),
-                ("ver", pa.int64()),
-                ("op", pa.string()),
-                ("value", pa.float64()),
-            ]
-        )
-    # The stream reader recognizes flat spool entries by name; a table
-    # prefix outside its accepted alphabet would make this producer's
-    # transactions INVISIBLE to the consumer (silent data loss), so the
-    # contract is enforced here, at write time, loudly.
-    import re
-
-    if not re.fullmatch(r"[A-Za-z0-9_]+", table):
-        raise ValueError(
-            f"spool table prefix {table!r} must be non-empty [A-Za-z0-9_] — "
-            "the stream reader matches entries by this naming contract"
-        )
+        schema = _default_schema()
+    _validate_prefix(table)
     try:
         for commit_lsn, rows in stream:
-            name = f"{table}-{commit_lsn:016x}.parquet"
-            path = os.path.join(spool_dir, name)
-            tmp = os.path.join(spool_dir, f".{name}.tmp")
-            pdf = pd.DataFrame(
+            path = _write_entry(
+                spool_dir,
+                f"{table}-{commit_lsn:016x}.parquet",
                 [d for r in rows for d in to_rows(r)],
-                columns=[f.name for f in schema],
+                schema,
             )
-            pq.write_table(
-                pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), tmp
-            )
-            os.replace(tmp, path)  # atomic: readers never list a partial file
             yield commit_lsn, path
     finally:
         # tear the protocol client down WITH the spool (a dying spool

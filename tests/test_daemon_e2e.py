@@ -421,3 +421,89 @@ def test_inactivity_timer_merges_quiet_table(spark, tmp_path):
     assert final and final[-1].get("inactivity_merge") == ["t"], lines2
     rows = sorted(tuple(r) for r in spark.read.parquet(state_path).collect())
     assert rows == [(1, 1, "I", 10.0), (2, 2, "I", 20.0), (3, 3, "I", 30.0)]
+
+
+def test_live_walsender_replicates_typed_columns(spark, tmp_path):
+    """The FULL typed live chain (round 7): a walsender script carrying
+    NUMERIC/DATE/TIMESTAMP/UUID/ARRAY wire text → protocol client →
+    typed decode → ROUTED typed spool (one subdir per configured table,
+    that table's own schema) → pipeline → ReplacingMergeTree state with
+    REAL Spark types. The second transaction updates with a
+    TOAST-unchanged balance (RI FULL old tuple carries it), exercising
+    the per-column resolution on the live path."""
+    import io
+    import json
+    import os
+
+    from pyspark.sql import types as T
+    from tests.test_pgoutput import begin, commit, insert, relation, update
+    from pg2ch_spark.sources.pgoutput import UNCHANGED
+    from pg2ch_spark.config import config_from_mapping
+    from pg2ch_spark.daemon import run_daemon
+
+    lsn1, lsn2 = (1 << 32) | 0x10, (1 << 32) | 0x20
+    cols = [(1, "id", 20), (0, "balance", 1700), (0, "opened", 1082),
+            (0, "tags", 1016)]
+    script = [
+        begin(lsn1, xid=3),
+        relation(91, "wallets", cols),
+        insert(91, 7, "1234567890123.45", "2024-02-29", "{7,49}"),
+        commit(lsn1),
+        begin(lsn2, xid=4),
+        # balance TOAST-unchanged; RI FULL old tuple resolves it
+        update(91, (7, UNCHANGED, "2024-03-01", "{7,77}"),
+               old=(7, "1234567890123.45", "2024-02-29", "{7,49}"),
+               old_kind=b"O"),
+        commit(lsn2),
+    ]
+
+    server = socketserver.TCPServer(("127.0.0.1", 0), FakeWalSender)
+    server.log = {}
+    server.done = threading.Event()
+    server.script = script
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    host, port = server.server_address
+    try:
+        cfg = config_from_mapping({
+            "source": {
+                "sf_dir": str(tmp_path / "spool"),
+                "walsender": {
+                    "host": host, "port": port,
+                    "slot": "s", "publication": "p", "retry_s": 0.2,
+                },
+            },
+            "state_root": str(tmp_path / "state"),
+            "poll_interval_s": 0.3,
+            "tables": {"wallets": {
+                "engine": "ReplacingMergeTree",
+                "key_col": "id",
+                "columns": {"balance": "decimal(18,2)", "opened": "date",
+                            "tags": "array<bigint>"},
+            }},
+        })
+        out = io.StringIO()
+        assert run_daemon(cfg, spark, max_passes=6, out=out) == 0
+    finally:
+        server.shutdown()
+        server.server_close()
+
+    # routed spool: the table's own subdir, its own typed schema
+    subdir = os.path.join(cfg.source_dir, "wallets")
+    assert os.path.isdir(subdir)
+    assert sorted(os.listdir(subdir)) == [
+        f"wallets-{lsn1:016x}.parquet", f"wallets-{lsn2:016x}.parquet",
+    ]
+
+    state = spark.read.parquet(os.path.join(cfg.state_root, "wallets", "state"))
+    sch = {f.name: f.dataType for f in state.schema.fields}
+    assert sch["balance"] == T.DecimalType(18, 2)
+    assert sch["opened"] == T.DateType()
+    assert sch["tags"] == T.ArrayType(T.LongType(), True)
+    [row] = state.collect()
+    import datetime as dt
+    from decimal import Decimal
+
+    assert row.id == 7
+    assert row.balance == Decimal("1234567890123.45")  # resolved, exact
+    assert row.opened == dt.date(2024, 3, 1)
+    assert row.tags == [7, 77]

@@ -167,7 +167,7 @@ class FakeWalSender(socketserver.BaseRequestHandler):
         self.request.sendall(_msg(b"W", struct.pack(">bh", 0, 0)))
         out = [_keepalive(0, reply=True)]  # ping before any data
         pos = 0x100
-        for frame in WAL_SCRIPT:
+        for frame in getattr(self.server, "script", WAL_SCRIPT):
             out.append(_xlogdata(frame, pos))
             pos += len(frame)
         out.append(_keepalive(pos, reply=True))  # final ping
