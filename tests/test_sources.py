@@ -432,3 +432,53 @@ def test_every_registered_key_is_documented_in_survey():
     assert m and int(m.group(1)) == len(keys), (
         f"SURVEY totals line says {m and m.group(1)}, registry has {len(keys)}"
     )
+
+
+def test_routed_spool_per_table_schemas(tmp_path):
+    """spool_transactions_routed: each configured table gets its own
+    subdir in its own schema; unconfigured relations are skipped; a
+    transaction acks only after ALL its files are durable (the yield
+    carries every path)."""
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq
+
+    from pg2ch_spark.pipeline import TableSpec
+    from pg2ch_spark.sources import pgoutput as pg
+    from pg2ch_spark.sources.spool import spool_transactions_routed
+    from tests.test_pgoutput import begin, commit, insert, relation
+
+    lsn = (1 << 32) | 0x30
+    frames = [
+        begin(lsn, xid=5),
+        relation(1, "plain", [(1, "id", 23), (0, "v", 701)]),
+        relation(2, "typed", [(1, "id", 20), (0, "price", 1700)]),
+        relation(3, "ignored", [(1, "id", 23)]),
+        insert(1, 4, 1.5),
+        insert(2, 9, "10.25"),
+        insert(3, 99),  # not configured: must be skipped, not crash
+        commit(lsn),
+    ]
+
+    def stream():
+        dec = pg.WalDecoder()
+        rows = []
+        for f in frames:
+            rows.extend(dec.push(f))
+        yield lsn, rows
+
+    specs = [
+        TableSpec(main_table="plain"),
+        TableSpec(main_table="typed", key_col="id",
+                  columns={"price": "decimal(18,2)"}),
+    ]
+    [(got, paths)] = list(spool_transactions_routed(stream(), str(tmp_path), specs))
+    assert got == lsn and len(paths) == 2
+    plain = pq.read_table(str(tmp_path / "plain" / f"plain-{lsn:016x}.parquet"))
+    assert plain.to_pylist() == [
+        {"table": "plain", "key": 4, "ver": lsn << 20, "op": "I", "value": 1.5}
+    ]
+    typed = pq.read_table(str(tmp_path / "typed" / f"typed-{lsn:016x}.parquet"))
+    [trow] = typed.to_pylist()
+    assert trow["id"] == 9 and trow["price"] == Decimal("10.25")
+    assert not (tmp_path / "ignored").exists()
