@@ -280,3 +280,58 @@ def test_array_literal_escaping():
     # a string element containing a TAB must still be row-safe: the
     # array literal passes through the field-level escaping
     assert "\t" not in escape_value(["a\tb"])
+
+
+def test_typed_spool_through_custom_streaming_source(spark, tmp_path):
+    """The pg2ch_spool Python DataSource must carry TYPED columns
+    (decimal/date/timestamp/array) — the plugin path a live deployment
+    streams its landing zone with must not be limited to the generic
+    (key, value) shape."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg2ch_spark.sources import pyds
+    from pg2ch_spark.sources.spool import typed_spool_ddl, typed_spool_schema
+    from pg2ch_spark.streaming.runner import _few_state_partitions
+
+    cols = {"price": "decimal(18,2)", "d": "date", "tags": "array<bigint>"}
+    schema = typed_spool_schema("id", "bigint", cols)
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    table = pa.Table.from_pylist(
+        [
+            {"table": "t", "id": 1, "ver": 10, "op": "I",
+             "price": Decimal("19.99"), "d": dt.date(2024, 2, 29),
+             "tags": [1, 7]},
+            {"table": "t", "id": 2, "ver": 11, "op": "I",
+             "price": None, "d": None, "tags": None},
+        ],
+        schema=schema,
+    )
+    pq.write_table(table, str(spool / f"t-{0x40:016x}.parquet"))
+
+    pyds.register(spark)
+    src = (
+        spark.readStream.format("pg2ch_spool")
+        .schema(typed_spool_ddl("id", "bigint", cols))
+        .option("path", str(spool))
+        .load()
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with _few_state_partitions(spark):
+        q = (
+            src.writeStream.foreachBatch(
+                lambda b, _e: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    back = {r.id: r for r in spark.read.parquet(out).collect()}
+    assert back[1].price == Decimal("19.99")
+    assert back[1].d == dt.date(2024, 2, 29)
+    assert back[1].tags == [1, 7]
+    assert back[2].price is None and back[2].tags is None
