@@ -229,13 +229,18 @@ def test_streaming_queries_reclaim_scratch(spark):
     # DISK (not the tmpfs base) and be registered for exit reclaim.
     from pg2ch_spark.streaming import runner
 
-    results_before = list(runner._RESULT_DIRS)
+    # _RESULT_DIRS maps query key -> CURRENT dir (a re-run replaces
+    # its predecessor), so "new" means the VALUE changed for a key —
+    # an earlier suite test may already have registered these keys
+    results_before = dict(runner._RESULT_DIRS)
     for key in ("stream_foreachbatch_upsert", "stream_stream_join",
                 "stream_session", "stream_custom_state"):
         qs[key](spark, "/root/testdata/sf0.001").collect()
     leaked = set(glob.glob(os.path.join(base, "pg2ch_*"))) - before
     assert not leaked, f"tmpfs scratch dirs leaked: {sorted(leaked)}"
-    new_results = [d for d in runner._RESULT_DIRS if d not in results_before]
+    new_results = [
+        d for k, d in runner._RESULT_DIRS.items() if results_before.get(k) != d
+    ]
     assert new_results, "parquet-sink queries must register their result dirs"
     for d in new_results:
         assert not d.startswith("/dev/shm"), f"result dir on tmpfs: {d}"
