@@ -75,10 +75,16 @@ class TableSpec:
         if self.n_buckets and self.engine != "ReplacingMergeTree":
             raise ValueError("bucketed state requires engine=ReplacingMergeTree")
         if self.columns is not None:
-            if self.engine != "ReplacingMergeTree":
-                # the collapsing/append sinks carry single-value carry
-                # logic; typed N-column state is a Replacing feature
-                raise ValueError("typed columns require engine=ReplacingMergeTree")
+            if self.engine == "CollapsingMergeTree":
+                # the collapsing sink derives −1 rows from a per-key
+                # single-value carry; N-column typed carry is not
+                # implemented — Replacing and append logs are
+                # schema-agnostic and take typed columns as-is
+                raise ValueError(
+                    "typed columns are not supported with "
+                    "engine=CollapsingMergeTree (single-value carry); "
+                    "use ReplacingMergeTree or MergeTree"
+                )
             reserved = {self.key_col, self.ver_col, "op", "table"}
             clash = reserved & set(self.columns)
             if clash:

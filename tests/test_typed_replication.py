@@ -156,11 +156,16 @@ class TestTypedMapper:
 
 
 class TestTypedSpec:
-    def test_columns_require_replacing(self):
+    def test_columns_reject_collapsing_only(self):
         from pg2ch_spark.pipeline import TableSpec
 
-        with pytest.raises(ValueError, match="ReplacingMergeTree"):
-            TableSpec(main_table="t", engine="MergeTree", columns=_COLS)
+        # Replacing and append logs are schema-agnostic: typed OK
+        TableSpec(main_table="t", engine="MergeTree", columns=_COLS)
+        TableSpec(main_table="t", engine="ReplacingMergeTree", columns=_COLS)
+        # the collapsing single-value carry is not (documented restriction)
+        with pytest.raises(ValueError, match="single-value carry"):
+            TableSpec(main_table="t", engine="CollapsingMergeTree",
+                      columns=_COLS)
 
     def test_columns_clash_with_envelope(self):
         from pg2ch_spark.pipeline import TableSpec
@@ -335,3 +340,47 @@ def test_typed_spool_through_custom_streaming_source(spark, tmp_path):
     assert back[1].d == dt.date(2024, 2, 29)
     assert back[1].tags == [1, 7]
     assert back[2].price is None and back[2].tags is None
+
+
+def test_typed_append_log(spark, tmp_path):
+    """MergeTree (append log) with typed columns: every change lands
+    typed in the log — duplicates preserved, schema real."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from pg2ch_spark.pipeline import TableSpec, run_pipeline
+    from pg2ch_spark.sources.spool import typed_spool_schema
+
+    cols = {"price": "decimal(18,2)"}
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"table": "t", "id": 1, "ver": 1, "op": "I",
+                 "price": Decimal("1.00")},
+                {"table": "t", "id": 1, "ver": 2, "op": "U",
+                 "price": Decimal("2.50")},
+            ],
+            schema=typed_spool_schema("id", "bigint", cols),
+        ),
+        str(spool / f"t-{0x50:016x}.parquet"),
+    )
+    res = run_pipeline(
+        spark,
+        [TableSpec(main_table="t", engine="MergeTree", key_col="id",
+                   columns=cols)],
+        str(spool),
+        str(tmp_path / "state"),
+        source_format="cdc",
+    )
+    log = res.states["t"]
+    assert {f.name: f.dataType for f in log.schema.fields}["price"] == (
+        T.DecimalType(18, 2)
+    )
+    assert sorted((r.id, r.ver, str(r.price)) for r in log.collect()) == [
+        (1, 1, "1.00"), (1, 2, "2.50"),
+    ]
