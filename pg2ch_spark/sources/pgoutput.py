@@ -322,6 +322,7 @@ _DATE_OID = 1082
 _TIMESTAMP_OID = 1114
 _TIMESTAMPTZ_OID = 1184
 _UUID_OID = 2950
+_BYTEA_OID = 17
 # array OID → element OID (the common replicated types; PG array text
 # format is uniform, so adding an element type is one dict entry)
 _ARRAY_ELEM_OIDS = {
@@ -338,6 +339,7 @@ _ARRAY_ELEM_OIDS = {
     1115: 1114,  # _timestamp
     1185: 1184,  # _timestamptz
     2951: 2950,  # _uuid
+    1001: 17,    # _bytea
 }
 
 
@@ -458,6 +460,15 @@ def decode_value(raw, type_oid: int):
         import uuid as _uuid
 
         return str(_uuid.UUID(raw))  # canonical lowercase form
+    if type_oid == _BYTEA_OID:
+        # text-format bytea: hex form "\x<digits>" (PG default since
+        # 9.0); the legacy escape format is rejected loudly
+        if not raw.startswith("\\x"):
+            raise PgOutputError(
+                f"bytea value not in hex format: {raw[:20]!r} "
+                "(set bytea_output=hex on the source)"
+            )
+        return bytes.fromhex(raw[2:])
     if type_oid in _ARRAY_ELEM_OIDS:
         return _parse_pg_array(raw, _ARRAY_ELEM_OIDS[type_oid])
     if type_oid == _BOOL_OID:

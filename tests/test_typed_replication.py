@@ -384,3 +384,12 @@ def test_typed_append_log(spark, tmp_path):
     assert sorted((r.id, r.ver, str(r.price)) for r in log.collect()) == [
         (1, 1, "1.00"), (1, 2, "2.50"),
     ]
+
+
+def test_bytea_decodes_hex(self=None):
+    from pg2ch_spark.sources.pgoutput import PgOutputError, decode_value
+
+    assert decode_value("\\x01ab", 17) == b"\x01\xab"
+    assert decode_value('{"\\\\x01ab",NULL}', 1001) == [b"\x01\xab", None]
+    with pytest.raises(PgOutputError, match="bytea_output=hex"):
+        decode_value("abc\\000def", 17)  # legacy escape format
