@@ -655,15 +655,25 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         ).alias("monetary"),
     )
+    # The three quartiles are INDEPENDENT rankings of the same table:
+    # compute each from the persisted per-user aggregate (every
+    # ntile_distributed scans its input ~3×; chaining them would
+    # re-run the upstream joins multiplicatively) and join the slim
+    # (user_id, tier) results back — four co-partitioned user_id joins.
+    from pg2ch_spark.caching import eager_persist
+
+    per_user = eager_persist(per_user)
     tiered = per_user
     for col, out, width in (
         ("recency_day", "r_tier", 32.0),
         ("frequency", "f_tier", 32.0),
         ("monetary", "m_tier", 256.0),
     ):
-        tiered = ntile_distributed(
-            tiered, col, "user_id", n=4, out_col=out, value_width=width
-        )
+        tiers = ntile_distributed(
+            per_user.select("user_id", col), col, "user_id",
+            n=4, out_col=out, value_width=width,
+        ).select("user_id", out)
+        tiered = tiered.join(tiers, "user_id")
     return (
         tiered.groupBy("r_tier", "f_tier", "m_tier")
         .agg(
