@@ -708,3 +708,110 @@ def stream_pyds_spool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return res
+
+
+@register(
+    "stream_typed_spool",
+    oracle="""
+    WITH sel AS (
+        SELECT o_orderkey AS k, o_orderdate AS d,
+               CAST((o_orderkey * 123) % 10000000 AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 89 = 1
+    )
+    SELECT k AS key,
+           printf('%d.%02d', cents // 100, cents % 100) AS price,
+           strftime(CAST(d AS DATE), '%Y-%m-%d') AS odate,
+           CAST(k AS VARCHAR) || ',' || CAST((k * 11) % 1000 AS VARCHAR)
+             AS tags
+    FROM sel
+    """,
+)
+def stream_typed_spool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPED columns through the CUSTOM STREAMING SOURCE: a
+    distributed (hive-layout) spool of decimal/date/array rows, read
+    back with `pg2ch_spool` under a typed declared schema and folded
+    to latest-per-key. Complements `cdc_typed_roundtrip` (which
+    drives the native parquet stream path from wire frames): this key
+    pins that the Spark-4 Python DataSource plugin path — the one a
+    live deployment streams its landing zone with — carries real
+    Spark types, not strings.
+
+    Two LSN batches per key (v2 changes the array) exercise the
+    cross-batch replacing fold; both engines derive the same typed
+    values from the same orders columns (D5: decimal/date/array
+    projected to strings for cross-engine hashing; the STREAMED
+    schema is typed, asserted in tests/test_typed_replication.py).
+
+    Scale: the spool write is a distributed partitionBy job; each LSN
+    batch is one InputPartition (Arrow-batched Python read); offsets
+    are single-integer commit LSNs."""
+    import shutil
+
+    from pg2ch_spark.sources import pyds
+    from pg2ch_spark.streaming.runner import _few_state_partitions, scratch_dir
+
+    o = catalog.load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 89 == 1)
+    cents = (F.col("o_orderkey") * 123) % 10_000_000
+    base = scratch_dir("pg2ch_typedspoolq_")
+    spool, out, ckpt = base + "/spool", base + "/out", base + "/ckpt"
+    typed = o.select(
+        F.lit("t").alias("table"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+        # integer-cents → decimal division (exact at scale 2); a
+        # double intermediate would round-trip through binary and can
+        # disagree with printf on half-cent values
+        (cents.cast("decimal(18,0)") / F.lit(100).cast("decimal(4,0)"))
+        .cast("decimal(18,2)")
+        .alias("price"),
+    )
+    v1 = typed.select(
+        "table", "key", (F.col("key") * 2).alias("ver"), F.lit("I").alias("op"),
+        "price", "odate",
+        F.array(F.col("key"), (F.col("key") * 7) % 1000).alias("tags"),
+        F.lit(1).alias("lsn"),
+    )
+    v2 = typed.select(
+        "table", "key", (F.col("key") * 2 + 1).alias("ver"), F.lit("U").alias("op"),
+        "price", "odate",
+        F.array(F.col("key"), (F.col("key") * 11) % 1000).alias("tags"),
+        F.lit(2).alias("lsn"),
+    )
+    v1.unionByName(v2).write.mode("overwrite").partitionBy("lsn").parquet(spool)
+    pyds.register(spark)
+    ddl = (
+        "table string, key bigint, ver bigint, op string, "
+        "price decimal(18,2), odate date, tags array<bigint>"
+    )
+    src = (
+        spark.readStream.format("pg2ch_spool")
+        .schema(ddl)
+        .option("path", spool)
+        .load()
+    )
+    with _few_state_partitions(spark):
+        q = (
+            src.writeStream.foreachBatch(
+                lambda b, _e: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    back = spark.read.parquet(out)
+    w = Window.partitionBy("key").orderBy(F.desc("ver"))
+    latest = (
+        back.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    res = latest.select(
+        "key",
+        F.col("price").cast("string").alias("price"),
+        F.date_format("odate", "yyyy-MM-dd").alias("odate"),
+        F.array_join(F.transform("tags", lambda x: x.cast("string")), ",").alias(
+            "tags"
+        ),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return res
