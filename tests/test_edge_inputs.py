@@ -1078,3 +1078,47 @@ def test_overflow_norm_vectors_pair_with_nothing(spark, overflow_emb_dir, key):
     pairs = {(int(a), int(b)) for a, b in zip(out["vec_a"], out["vec_b"])}
     assert (1, 4) in pairs
     assert float(out.set_index(["vec_a", "vec_b"]).loc[(1, 4), "cos_sim"]) == 1.0
+
+
+@pytest.mark.parametrize("dist", ["massive_ties", "all_equal", "unique_floats",
+                                  "negative_mix"])
+def test_ntile_distributed_matches_global_ntile(spark, dist):
+    """windows.ntile_distributed (the RFM two-pass rank) must agree
+    with the built-in global ntile on every ordering shape the sharding
+    has to survive: a value tied across half the rows (monetary = 0),
+    ALL rows equal (one shard carries everything through uid
+    sub-buckets), unique floats (every value its own tie group), and
+    negatives straddling the coarse-bucket sign boundary."""
+    import random
+
+    from pyspark.sql import Window
+
+    from pg2ch_spark.operators.windows import ntile_distributed
+
+    rng = random.Random(hash(dist) & 0xFFFF)
+    n = 3000
+    if dist == "massive_ties":
+        vals = [0.0 if rng.random() < 0.5 else rng.choice([1.5, 2.0, 7.25])
+                for _ in range(n)]
+    elif dist == "all_equal":
+        vals = [42.0] * n
+    elif dist == "unique_floats":
+        vals = [rng.random() * 1e6 for _ in range(n)]
+    else:
+        vals = [rng.uniform(-500, 500) for _ in range(n)]
+    df = spark.createDataFrame(
+        [(i * 17 % 10_000, v) for i, v in enumerate(vals)], "uid bigint, v double"
+    ).where(F.col("uid") >= 0)
+    got = {
+        r.uid: r.t
+        for r in ntile_distributed(
+            df, "v", "uid", n=4, out_col="t", value_width=97.0, uid_width=128
+        ).collect()
+    }
+    exp = {
+        r.uid: r.t
+        for r in df.withColumn(
+            "t", F.ntile(4).over(Window.orderBy(F.col("v").desc(), "uid"))
+        ).collect()
+    }
+    assert got == exp
