@@ -393,3 +393,91 @@ def test_bytea_decodes_hex(self=None):
     assert decode_value('{"\\\\x01ab",NULL}', 1001) == [b"\x01\xab", None]
     with pytest.raises(PgOutputError, match="bytea_output=hex"):
         decode_value("abc\\000def", 17)  # legacy escape format
+
+
+def test_typed_bucketed_buffered_state(spark, tmp_path):
+    """Typed columns compose with the two-tier buffer AND the
+    bucket-pruned compaction (the production sink shape): the hash
+    bucketing keys on key_col and never inspects value columns, so the
+    typed schema rides through untouched."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from pg2ch_spark.pipeline import TableSpec, run_pipeline
+    from pg2ch_spark.sources.spool import typed_spool_schema
+
+    cols = {"price": "decimal(18,2)", "tags": "array<bigint>"}
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    schema = typed_spool_schema("id", "bigint", cols)
+    for lsn, rows in (
+        (0x60, [(1, 1, "I", Decimal("1.00"), [1]), (2, 2, "I", Decimal("2.00"), [2])]),
+        (0x61, [(1, 3, "U", Decimal("9.75"), [1, 9])]),
+    ):
+        pq.write_table(
+            pa.Table.from_pylist(
+                [
+                    {"table": "t", "id": i, "ver": v, "op": op,
+                     "price": p, "tags": tg}
+                    for i, v, op, p, tg in rows
+                ],
+                schema=schema,
+            ),
+            str(spool / f"t-{lsn:016x}.parquet"),
+        )
+    res = run_pipeline(
+        spark,
+        [TableSpec(main_table="t", key_col="id", columns=cols,
+                   merge_threshold=2, n_buckets=4)],
+        str(spool),
+        str(tmp_path / "state"),
+        source_format="cdc",
+        max_files_per_trigger=1,  # two micro-batches, cross-batch merge
+    )
+    state = res.states["t"]
+    assert {f.name: f.dataType for f in state.schema.fields}["price"] == (
+        T.DecimalType(18, 2)
+    )
+    got = {r.id: (str(r.price), r.tags) for r in state.collect()}
+    assert got == {1: ("9.75", [1, 9]), 2: ("2.00", [2])}
+
+
+def test_typed_string_key(spark, tmp_path):
+    """key_type is part of the column map: a STRING primary key (a
+    natural key, a uuid) replicates typed end to end."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg2ch_spark.pipeline import TableSpec, run_pipeline
+    from pg2ch_spark.sources.spool import typed_spool_schema
+
+    cols = {"price": "decimal(18,2)"}
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"table": "t", "id": "a0eebc99", "ver": 1, "op": "I",
+                 "price": Decimal("5.00")},
+                {"table": "t", "id": "a0eebc99", "ver": 2, "op": "U",
+                 "price": Decimal("6.25")},
+            ],
+            schema=typed_spool_schema("id", "string", cols),
+        ),
+        str(spool / f"t-{0x70:016x}.parquet"),
+    )
+    res = run_pipeline(
+        spark,
+        [TableSpec(main_table="t", key_col="id", key_type="string",
+                   columns=cols)],
+        str(spool),
+        str(tmp_path / "state"),
+        source_format="cdc",
+    )
+    [row] = res.states["t"].collect()
+    assert (row.id, str(row.price), row.op) == ("a0eebc99", "6.25", "U")
