@@ -29,7 +29,7 @@ clickhouse:                  # OPTIONAL: R12 sink — every merged
   endpoint: https://ch:8443  # micro-batch delta POSTed as TabSeparated
   database: analytics        # into <database>.<table>
   user: loader               # basic auth (omit for none)
-  password: "…"
+  password_env: CH_PASSWORD  # from the environment (or a raw password:)
   ca_cert: /etc/ssl/ch.pem   # private-CA TLS verification
   max_retries: 4             # bounded exponential backoff on 5xx /
   backoff_s: 0.5             # connection errors; 4xx fail fast
@@ -105,17 +105,26 @@ class ClickHouseSink:
     # auth, private-CA TLS (https endpoints verify against ca_cert),
     # bounded exponential-backoff retry on 5xx/connection errors
     user: str | None = None
+    # password_env (preferred) names an environment variable — the same
+    # credentials-never-in-YAML posture as the walsender block; a raw
+    # password key is accepted for parity with pg2ch's config files
     password: str | None = None
+    password_env: str | None = None
     ca_cert: str | None = None
     max_retries: int = 4
     backoff_s: float = 0.5
 
     def http_options(self):
+        import os
+
         from pg2ch_spark.sources.clickhouse import HttpOptions
 
+        password = self.password
+        if password is None and self.password_env:
+            password = os.environ.get(self.password_env)
         return HttpOptions(
             user=self.user,
-            password=self.password,
+            password=password,
             ca_cert=self.ca_cert,
             max_retries=self.max_retries,
             backoff_s=self.backoff_s,
@@ -156,7 +165,7 @@ _WALSENDER_KEYS = {
     "user", "database", "password_env", "sslmode", "retry_s",
 }
 _CLICKHOUSE_KEYS = {
-    "endpoint", "database", "user", "password", "ca_cert",
+    "endpoint", "database", "user", "password", "password_env", "ca_cert",
     "max_retries", "backoff_s",
 }
 

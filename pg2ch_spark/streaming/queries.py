@@ -777,7 +777,17 @@ def stream_typed_spool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.col("key"), (F.col("key") * 11) % 1000).alias("tags"),
         F.lit(2).alias("lsn"),
     )
-    v1.unionByName(v2).write.mode("overwrite").partitionBy("lsn").parquet(spool)
+    # one part file per LSN batch: the custom source Arrow-reads each
+    # batch in one InputPartition anyway, and 2 files beat 64 shards of
+    # a keys-scale table (at real WAL volume the producer is the
+    # protocol client writing one file per transaction)
+    (
+        v1.unionByName(v2)
+        .repartition(2, "lsn")
+        .write.mode("overwrite")
+        .partitionBy("lsn")
+        .parquet(spool)
+    )
     pyds.register(spark)
     ddl = (
         "table string, key bigint, ver bigint, op string, "
