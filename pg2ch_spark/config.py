@@ -145,6 +145,10 @@ class DaemonConfig:
     # graceful-stop flush). None = flush every pass (one-shot/batch
     # semantics).
     inactivity_merge_timeout_s: float | None = None
+    # >1 catches tables up CONCURRENTLY per pass (independent streams,
+    # pooled threads) — serial latency is additive across a 100-table
+    # deployment for no reason; 1 = strictly serial (default)
+    max_concurrent_tables: int = 1
     # "events" = fixture event log (CDC derived in-stream);
     # "cdc" = a spool directory of normalized CDC parquet files, the
     # shape sources.spool lands from the live walsender client
@@ -156,7 +160,8 @@ class DaemonConfig:
 
 _TOP_KEYS = {
     "spark", "source", "state_root", "poll_interval_s",
-    "inactivity_merge_timeout_s", "tables", "clickhouse",
+    "inactivity_merge_timeout_s", "max_concurrent_tables",
+    "tables", "clickhouse",
 }
 _SPARK_KEYS = {"master", "app_name", "shuffle_partitions"}
 _SOURCE_KEYS = {"sf_dir", "max_files_per_trigger", "format", "walsender"}
@@ -256,6 +261,9 @@ def config_from_mapping(m: dict) -> DaemonConfig:
         if "endpoint" not in ch_block:
             raise ValueError("clickhouse: is missing required key 'endpoint'")
         clickhouse = ClickHouseSink(**ch_block)
+    mct = m.get("max_concurrent_tables", 1)
+    if isinstance(mct, bool) or not isinstance(mct, int) or mct < 1:
+        raise ValueError("max_concurrent_tables must be a positive int")
     imt = m.get("inactivity_merge_timeout_s")
     if imt is not None and (
         isinstance(imt, bool) or not isinstance(imt, (int, float)) or imt <= 0
@@ -272,6 +280,7 @@ def config_from_mapping(m: dict) -> DaemonConfig:
         max_files_per_trigger=mft,
         poll_interval_s=float(poll),
         inactivity_merge_timeout_s=float(imt) if imt is not None else None,
+        max_concurrent_tables=mct,
         source_format=fmt,
         walsender=walsender,
         clickhouse=clickhouse,

@@ -206,6 +206,7 @@ def run_daemon(
             source_format=cfg.source_format,
             batch_hook=batch_hook,
             flush_buffers=not timer_mode,
+            max_concurrent_tables=cfg.max_concurrent_tables,
         )
         n_pass += 1
         if timer_mode:

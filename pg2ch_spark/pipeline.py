@@ -342,6 +342,7 @@ def run_pipeline(
     source_format: str = "events",
     batch_hook=None,
     flush_buffers: bool = True,
+    max_concurrent_tables: int = 1,
 ) -> PipelineResult:
     """Replicate every configured table, availableNow (≙ catch-up run
     of a continuous daemon; rerunning resumes from each checkpoint).
@@ -365,7 +366,16 @@ def run_pipeline(
     consumer. It sees the DELTA,
     not the state: at 100 TB re-shipping full state per pass is wrong,
     and replayed deltas converge on the remote merge engine exactly as
-    they do on the local sink."""
+    they do on the local sink.
+
+    ``max_concurrent_tables``: >1 runs that many tables' catch-up
+    streams CONCURRENTLY (a thread pool over independent streaming
+    queries — Spark schedules their jobs side by side). Tables are
+    already fully independent (own source path/filter, checkpoint,
+    sink state), so at a 100-table deployment serial catch-up latency
+    is additive for no reason; pg2ch interleaves tables within one WAL
+    stream for the same effect. Default 1 preserves strictly serial
+    behavior."""
     from pg2ch_spark.streaming.queries import _events_schema
     from pg2ch_spark.streaming.runner import (
         _few_state_partitions,
@@ -383,7 +393,7 @@ def run_pipeline(
         path = catalog.table_path(sf_dir, "events")
         schema = _events_schema(spark, sf_dir)
 
-    for spec in specs:
+    def replicate_one(spec: TableSpec, manage_confs: bool = True):
         table_dir = os.path.join(state_root, spec.main_table)
         ckpt = os.path.join(table_dir, "_checkpoint")
         sink = build_sink(spark, spec, state_root)
@@ -461,7 +471,13 @@ def run_pipeline(
             n_batches += 1
 
         try:
-            with _few_state_partitions(spark):
+            # concurrent mode: the (identical) session confs are set
+            # once around the whole pool — per-thread enter/exit of the
+            # same context would race on the save/restore bookkeeping
+            from contextlib import nullcontext
+
+            ctx = _few_state_partitions(spark) if manage_confs else nullcontext()
+            with ctx:
                 q = (
                     cdc.writeStream.foreachBatch(sink_batch)
                     .option("checkpointLocation", ckpt)
@@ -481,8 +497,7 @@ def run_pipeline(
             # unconditionally per pass (pg2ch's actual topology). No
             # state read either: reading a Buffered sink forces the
             # flush this mode exists to defer.
-            result.batches[spec.main_table] = n_batches
-            continue
+            return None, n_batches
         if isinstance(sink, BufferedMergeSink):
             sink.flush()  # ≙ pg2ch's graceful-stop final merge
         final = sink.final() if hasattr(sink, "final") else sink.state()
@@ -507,8 +522,30 @@ def run_pipeline(
                 )
         else:
             final = final.localCheckpoint(eager=True)
-        result.states[spec.main_table] = final
-        result.batches[spec.main_table] = n_batches
+        return final, n_batches
+
+    if max_concurrent_tables <= 1 or len(specs) <= 1:
+        for spec in specs:
+            final, n = replicate_one(spec)
+            if final is not None:
+                result.states[spec.main_table] = final
+            result.batches[spec.main_table] = n
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pg2ch_spark.streaming.runner import _few_state_partitions as _fsp
+
+        with _fsp(spark):
+            with ThreadPoolExecutor(max_workers=max_concurrent_tables) as ex:
+                futures = {
+                    spec.main_table: ex.submit(replicate_one, spec, False)
+                    for spec in specs
+                }
+            for name, fut in futures.items():
+                final, n = fut.result()  # re-raises a table's failure
+                if final is not None:
+                    result.states[name] = final
+                result.batches[name] = n
     return result
 
 

@@ -583,3 +583,50 @@ def test_truncate_wipes_collapsing_and_append_sinks(spark, tmp_path):
     cs.merge(_cdc_batch(spark, batches[1]), epoch_id=1)
     assert [(r.key, r.op) for r in ap.final().collect()] == [(1, "I")]
     assert {r.key: r.net for r in cs.final().collect()} == {1: 1}
+
+
+def test_concurrent_tables_match_serial(spark, tmp_path):
+    """max_concurrent_tables > 1 runs independent table streams side by
+    side; the replicated states must be IDENTICAL to the serial run —
+    per-table checkpoints, sinks and route filters share nothing."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg2ch_spark.pipeline import TableSpec, run_pipeline
+
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    rows = []
+    for t in ("a", "b", "c"):
+        for k in range(1, 6):
+            rows.append((t, k, k, "I", float(k) * 1.5))
+            rows.append((t, k, k + 100, "U", float(k) * 2.5))
+    pq.write_table(
+        pa.table({
+            "table": pa.array([r[0] for r in rows], pa.string()),
+            "key": pa.array([r[1] for r in rows], pa.int64()),
+            "ver": pa.array([r[2] for r in rows], pa.int64()),
+            "op": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }),
+        str(spool / f"cdc-{0x90:016x}.parquet"),
+    )
+    specs = lambda: [  # noqa: E731 — fresh specs per run
+        TableSpec(main_table="a"),
+        TableSpec(main_table="b", merge_threshold=2),
+        TableSpec(main_table="c", engine="MergeTree"),
+    ]
+    serial = run_pipeline(
+        spark, specs(), str(spool), str(tmp_path / "s1"), source_format="cdc"
+    )
+    conc = run_pipeline(
+        spark, specs(), str(spool), str(tmp_path / "s2"),
+        source_format="cdc", max_concurrent_tables=3,
+    )
+    assert serial.batches == conc.batches
+    for t in ("a", "b", "c"):
+        s = sorted(tuple(r) for r in serial.states[t].collect())
+        c = sorted(tuple(r) for r in conc.states[t].collect())
+        assert s == c, t
