@@ -201,8 +201,24 @@ def typed_rows(
         if r.op == "T":
             return [row(None, "T", {})]
         if r.op == "D":
-            return [row((r.old_key or {}).get(key_col), "D", {})]
+            old = (r.old_key or {}).get(key_col)
+            if old is None:
+                raise ValueError(
+                    f"typed mapper: key column {key_col!r} not in the "
+                    f"DELETE's replica-identity tuple for {r.relation!r} "
+                    f"(wire columns: {sorted(r.old_key or {})}) — "
+                    "check TableSpec.key_col against the source table"
+                )
+            return [row(old, "D", {})]
         key = r.values.get(key_col)
+        if key is None:
+            # a typo'd key_col would otherwise land NULL-key rows that
+            # merge into one garbage key — fail at the first change
+            raise ValueError(
+                f"typed mapper: key column {key_col!r} absent or NULL in "
+                f"{r.relation!r} (wire columns: {sorted(r.values)}) — "
+                "check TableSpec.key_col against the source table"
+            )
         vals = {}
         for c in columns:
             v = r.values.get(c)
@@ -300,7 +316,6 @@ def spool_transactions_routed(
     durable (flush-then-ack through the spool); a replay rewrites the
     SAME names with the SAME bytes, and each table's streaming offset
     log dedups independently."""
-    from pg2ch_spark.sources.pgoutput import CdcRow as _CdcRow  # noqa: F401
 
     mappers: dict[str, tuple[Callable[[CdcRow], list[dict]], object]] = {}
     for spec in specs:
