@@ -652,11 +652,24 @@ def _emit_value(v):
     if isinstance(v, (bytes, bytearray)):
         return "\\x" + bytes(v).hex()
     if isinstance(v, list):
-        # typed array decode (decode_value) → back to PG text form for
-        # the string-column contract, not a Python repr
-        return "{" + ",".join(
-            "NULL" if e is None else str(_emit_value(e)) for e in v
-        ) + "}"
+        # typed array decode (decode_value) → back to PG ARRAY TEXT form
+        # (not a Python repr), quoting per PostgreSQL's output rules so
+        # the rendering re-parses: elements containing the delimiter,
+        # braces, quotes, backslashes or whitespace — or equal to the
+        # bare NULL token, or empty — are double-quoted with \" and \\.
+        def elem(e) -> str:
+            if e is None:
+                return "NULL"
+            s = str(_emit_value(e))
+            if isinstance(e, str) and (
+                s == ""
+                or s.upper() == "NULL"
+                or any(c in '{},"\\' or c.isspace() for c in s)
+            ):
+                return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+            return s
+
+        return "{" + ",".join(elem(e) for e in v) + "}"
     return str(v)
 
 

@@ -481,3 +481,15 @@ def test_typed_string_key(spark, tmp_path):
     )
     [row] = res.states["t"].collect()
     assert (row.id, str(row.price), row.op) == ("a0eebc99", "6.25", "U")
+
+
+def test_emit_value_array_rendering_reparses():
+    """_emit_value renders typed arrays in PG's OWN text grammar (with
+    element quoting) — decode_value must re-parse the rendering to the
+    original list, specials included."""
+    from pg2ch_spark.sources.pgoutput import _emit_value, decode_value
+
+    hostile = ["a,b", 'c"d', None, "plain", "", "NULL", "x\\y", "sp ace",
+               "{brace}"]
+    assert decode_value(_emit_value(hostile), 1009) == hostile
+    assert decode_value(_emit_value([1, None, 3]), 1016) == [1, None, 3]
