@@ -165,8 +165,31 @@ class BufferedMergeSink(ReplacingMergeSink):
         super().__init__(spark, path, key_col, ver_col)
         self.buffer_path = path + ".buffer"
         self.merge_every = merge_every
-        self._batches_buffered = 0
+        # The pending-batch count is DISK-backed (a dot-file inside the
+        # buffer dir — invisible to Spark's listing): the daemon builds
+        # a FRESH sink per pass, and an in-memory counter would reset to
+        # 0 every pass, so a continuously-active table below
+        # merge_every batches PER PASS would never reach the threshold
+        # and its buffer would grow without bound. Worst case of a
+        # crash between parquet append and counter write is one
+        # undercounted batch — the next merge or the inactivity timer
+        # still collapses it (argmax is count-insensitive).
+        self._counter_path = os.path.join(self.buffer_path, ".batches")
+        self._batches_buffered = self._read_counter()
         self.merges_done = 0
+
+    def _read_counter(self) -> int:
+        try:
+            with open(self._counter_path) as f:
+                return int(f.read().strip() or 0)
+        except (OSError, ValueError):
+            return 0
+
+    def _write_counter(self, n: int) -> None:
+        tmp = self._counter_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(n))
+        os.replace(tmp, self._counter_path)
 
     def merge(
         self, batch_df: DataFrame, epoch_id: int | None = None,
@@ -179,6 +202,7 @@ class BufferedMergeSink(ReplacingMergeSink):
         filter batch 1's already-buffered rows)."""
         batch_df.write.mode("append").parquet(self.buffer_path)
         self._batches_buffered += 1
+        self._write_counter(self._batches_buffered)
         if self._batches_buffered >= self.merge_every:
             self.flush()
 

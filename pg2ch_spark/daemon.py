@@ -69,7 +69,7 @@ def start_walsender_spool(
     typed when the spec declares ``columns`` — which is what lets the
     live path replicate decimal/date/timestamp/uuid/array columns as
     real types end to end."""
-    from pg2ch_spark.sources.pgoutput import replication_stream
+    from pg2ch_spark.sources.pgoutput import SchemaDriftError, replication_stream
     from pg2ch_spark.sources.spool import (
         spool_transactions,
         spool_transactions_routed,
@@ -99,7 +99,20 @@ def start_walsender_spool(
                     if stop.is_set():
                         return
                 # clean CopyDone from the server: fall through to retry
-            except Exception as e:  # noqa: BLE001 — daemon thread must survive
+            except (SchemaDriftError, ValueError) as e:
+                # PERMANENT data-shape errors (source DDL drift, an
+                # unresolvable typed/RI mapping): a reconnect replays
+                # from the acked LSN straight into the same boundary —
+                # retrying forever is the worst outcome. Honor the
+                # runbook: report fatally and STOP THE DAEMON.
+                print(
+                    json.dumps({"walsender_fatal": str(e)[:400]}),
+                    file=out,
+                    flush=True,
+                )
+                stop.set()
+                return
+            except Exception as e:  # noqa: BLE001 — transient: reconnect
                 print(
                     json.dumps({"walsender_error": str(e)[:200]}),
                     file=out,

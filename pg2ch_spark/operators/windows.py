@@ -410,13 +410,23 @@ def ntile_distributed(
     3. the closed-form ntile boundary (first n%k buckets get ⌈N/k⌉ —
        property-tested in tests/test_edge_inputs.py) maps rank → tier.
 
+    NULL values rank LAST (matching ``DESC`` + default NULLS LAST in
+    both engines): they carry a sentinel coarse bucket beyond any real
+    one, groupBy keeps them as one value class, and the joins back are
+    NULL-SAFE — a NULL-valued row is tiered, never silently dropped.
+
     Returns ``df`` plus ``out_col`` (int tier). One extra shuffle on
     (value, uid-bucket) against the two the global-sort form hides
     (sort + exchange-to-one), and every stage scales out.
     """
     v, u = F.col(value_col), F.col(uid_col)
     ub = F.floor(u / F.lit(int(uid_width)))
-    vb = F.floor(-v / F.lit(float(value_width))).cast("long")
+    # sentinel bucket for NULLs: beyond every real floor(-v/width)
+    # value, so the global bucket order puts the NULL class last —
+    # exactly where DESC NULLS LAST ranks it
+    vb = F.when(v.isNull(), F.lit((1 << 62))).otherwise(
+        F.floor(-v / F.lit(float(value_width)))
+    ).cast("long")
 
     rows = df.withColumn("_ub", ub)
     cnts = rows.groupBy(value_col, "_ub").agg(F.count(F.lit(1)).alias("_c"))
@@ -460,9 +470,18 @@ def ntile_distributed(
     tier = F.when(rk <= big, F.ceil(rk / (base + 1))).otherwise(
         rem + F.ceil((rk - big) / F.greatest(base, F.lit(1)))
     )
+    # NULL-SAFE equi-joins: plain `=` drops NULL-valued rows
+    tie_off = tie_off.select(
+        F.col(value_col).alias("_tv"), F.col("_ub").alias("_tub"), "_uoff"
+    )
+    starts = starts.select(F.col(value_col).alias("_sv"), "_start", "_n")
     return (
-        rows.join(tie_off, [value_col, "_ub"])
-        .join(starts, value_col)
+        rows.join(
+            tie_off,
+            F.col(value_col).eqNullSafe(F.col("_tv"))
+            & (F.col("_ub") == F.col("_tub")),
+        )
+        .join(starts, F.col(value_col).eqNullSafe(F.col("_sv")))
         .withColumn(out_col, tier.cast("int"))
-        .drop("_ub", "_uoff", "_start", "_n")
+        .drop("_ub", "_uoff", "_start", "_n", "_tv", "_tub", "_sv")
     )

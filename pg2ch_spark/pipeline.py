@@ -85,7 +85,17 @@ class TableSpec:
                     "engine=CollapsingMergeTree (single-value carry); "
                     "use ReplacingMergeTree or MergeTree"
                 )
-            reserved = {self.key_col, self.ver_col, "op", "table"}
+            if self.ver_col != "ver":
+                # the typed spool's envelope hardcodes its version
+                # column name (typed_spool_schema/typed_spool_ddl emit
+                # "ver"); a renamed ver_col would declare a stream
+                # schema the spool files don't have — refuse at
+                # declaration time, not at stream start
+                raise ValueError(
+                    "typed columns require ver_col='ver' (the typed "
+                    "spool envelope's version column)"
+                )
+            reserved = {self.key_col, "ver", "op", "table"}
             clash = reserved & set(self.columns)
             if clash:
                 raise ValueError(f"typed columns clash with envelope: {sorted(clash)}")
@@ -456,15 +466,24 @@ def run_pipeline(
 
         n_batches = 0
 
+        # The horizon aggregate is computed at most ONCE per micro-batch
+        # and shared by every consumer that wants it. Buffered/Bucketed
+        # sinks apply horizons at FLUSH time over all buffered batches,
+        # so with no remote hook their hot path stays a pure O(batch)
+        # append — zero aggregate scans.
+        sink_needs_tmax = not isinstance(sink, BufferedMergeSink)
+
         def sink_batch(
-            batch_df: DataFrame, epoch_id: int, _sink=sink, _spec=spec
+            batch_df: DataFrame, epoch_id: int, _sink=sink, _spec=spec,
+            _needs=sink_needs_tmax,
         ) -> None:
             nonlocal n_batches
-            # one horizon aggregate per micro-batch, shared by the local
-            # sink AND the remote hook — not one scan per consumer
             from pg2ch_spark.cdc.merge_sink import truncate_horizon
 
-            tmax = truncate_horizon(batch_df, _spec.ver_col)
+            if _needs or batch_hook is not None:
+                tmax = truncate_horizon(batch_df, _spec.ver_col)
+            else:
+                tmax = UNSET_HORIZON  # nobody consumes it this batch
             _sink.merge(batch_df, epoch_id, tmax=tmax)
             if batch_hook is not None:
                 batch_hook(_spec, batch_df, tmax)

@@ -46,13 +46,19 @@ def _array_literal(v) -> str:
     ``\\'``/``\\\\`` escapes; NULL elements as NULL)."""
     parts = []
     for e in v:
+        # pandas/Arrow batches carry list columns as numpy arrays of
+        # numpy SCALARS (np.int64, np.bool_, np.float32): unbox them
+        # first or integers would render quoted and ClickHouse would
+        # reject the Array(Int64) insert
+        if type(e).__module__ == "numpy" and hasattr(e, "item"):
+            e = e.item()
         if e is None:
             parts.append("NULL")
         elif isinstance(e, bool):
             parts.append("1" if e else "0")
         elif isinstance(e, (int, float)):
             parts.append(str(e))
-        elif isinstance(e, (list, tuple)):
+        elif isinstance(e, (list, tuple)) or type(e).__name__ == "ndarray":
             parts.append(_array_literal(e))
         else:  # strings, dates, datetimes, Decimals render quoted
             s = str(e).replace("\\", "\\\\").replace("'", "\\'")

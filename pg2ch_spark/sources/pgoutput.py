@@ -392,7 +392,8 @@ def _parse_pg_array(raw: str, elem_oid: int) -> list:
 
     def parse_items(i: int) -> tuple[list, int]:
         out: list = []
-        assert s[i] == "{"
+        if s[i] != "{":
+            raise PgOutputError(f"malformed array literal {raw!r}")
         i += 1
         if s[i] == "}":
             return out, i + 1
@@ -424,7 +425,12 @@ def _parse_pg_array(raw: str, elem_oid: int) -> list:
                 return out, i + 1
             raise PgOutputError(f"malformed array literal {raw!r}")
 
-    items, end = parse_items(0)
+    try:
+        items, end = parse_items(0)
+    except IndexError:
+        # a truncated literal runs the scanner off the end — surface
+        # the module's typed error, not an anonymous IndexError
+        raise PgOutputError(f"truncated array literal {raw!r}") from None
     if end != len(s):
         raise PgOutputError(f"trailing garbage in array literal {raw!r}")
     return items

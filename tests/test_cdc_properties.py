@@ -280,3 +280,30 @@ def test_random_op_streams_with_truncates_converge(spark):
         for s in sinks:
             got = {(r.key, r.ver, r.op, r.value) for r in s.state().collect()}
             assert got == expected, (seed, type(s).__name__)
+
+
+def test_buffered_batch_counter_survives_reconstruction(spark, tmp_path):
+    """The daemon builds a FRESH sink every pass: the pending-batch
+    count must be disk-backed or merge_threshold would never trigger
+    for a table receiving fewer batches per pass than the threshold
+    (code-review r7 finding)."""
+    from pg2ch_spark.cdc.merge_sink import BufferedMergeSink
+
+    path = str(tmp_path / "state")
+    df = spark.createDataFrame(
+        [(1, 1, "I", 1.0)], "key bigint, ver bigint, op string, value double"
+    )
+    args = (spark, path, "key", "ver")
+    s1 = BufferedMergeSink(*args, merge_every=3)
+    s1.merge(df, 0)
+    s2 = BufferedMergeSink(*args, merge_every=3)  # new pass, new sink
+    assert s2._batches_buffered == 1  # read back from disk
+    s2.merge(df.withColumn("ver", df.ver + 1), 1)
+    s3 = BufferedMergeSink(*args, merge_every=3)
+    s3.merge(df.withColumn("ver", df.ver + 2), 2)  # third batch: threshold
+    assert s3.merges_done == 1, "threshold merge never fired across passes"
+    import os
+
+    assert not os.path.exists(path + ".buffer")  # buffer consumed
+    [row] = spark.read.parquet(path).collect()
+    assert row.ver == 3  # latest version won

@@ -507,3 +507,50 @@ def test_live_walsender_replicates_typed_columns(spark, tmp_path):
     assert row.balance == Decimal("1234567890123.45")  # resolved, exact
     assert row.opened == dt.date(2024, 3, 1)
     assert row.tags == [7, 77]
+
+
+def test_walsender_thread_stops_on_schema_drift(tmp_path):
+    """Source DDL mid-stream is PERMANENT: the spool thread must report
+    it fatally and STOP THE DAEMON, not reconnect-and-replay into the
+    same boundary forever (code-review r7 finding; the runbook lives on
+    SchemaDriftError)."""
+    import io
+    import json
+
+    from tests.test_pgoutput import begin, commit, insert, relation
+    from pg2ch_spark.config import WalSenderSource
+    from pg2ch_spark.daemon import start_walsender_spool
+
+    lsn = (1 << 32) | 0x10
+    script = [
+        begin(lsn, xid=1),
+        relation(7, "t", [(1, "id", 23)]),
+        insert(7, 1),
+        commit(lsn),
+        begin(lsn + 1, xid=2),
+        relation(7, "t", [(1, "id", 23), (0, "added", 25)]),  # DDL!
+        insert(7, 2, "x"),
+        commit(lsn + 1),
+    ]
+    server = socketserver.TCPServer(("127.0.0.1", 0), FakeWalSender)
+    server.log = {}
+    server.done = threading.Event()
+    server.script = script
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    host, port = server.server_address
+    try:
+        ws = WalSenderSource(host=host, port=port, slot="s",
+                             publication="p", retry_s=0.1)
+        stop = threading.Event()
+        out = io.StringIO()
+        t = start_walsender_spool(ws, str(tmp_path / "spool"), stop, out=out)
+        assert stop.wait(timeout=15), "drift did not stop the daemon"
+        t.join(timeout=5)
+        lines = [json.loads(line) for line in out.getvalue().splitlines()]
+        fatals = [ln for ln in lines if "walsender_fatal" in ln]
+        assert fatals and "changed shape mid-stream" in fatals[0]["walsender_fatal"]
+        # no reconnect loop: exactly one fatal, zero transient retries after
+        assert len(fatals) == 1
+    finally:
+        server.shutdown()
+        server.server_close()

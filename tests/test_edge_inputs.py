@@ -1081,7 +1081,7 @@ def test_overflow_norm_vectors_pair_with_nothing(spark, overflow_emb_dir, key):
 
 
 @pytest.mark.parametrize("dist", ["massive_ties", "all_equal", "unique_floats",
-                                  "negative_mix"])
+                                  "negative_mix", "with_nulls"])
 def test_ntile_distributed_matches_global_ntile(spark, dist):
     """windows.ntile_distributed (the RFM two-pass rank) must agree
     with the built-in global ntile on every ordering shape the sharding
@@ -1104,8 +1104,11 @@ def test_ntile_distributed_matches_global_ntile(spark, dist):
         vals = [42.0] * n
     elif dist == "unique_floats":
         vals = [rng.random() * 1e6 for _ in range(n)]
-    else:
+    elif dist == "negative_mix":
         vals = [rng.uniform(-500, 500) for _ in range(n)]
+    else:  # with_nulls: NULLs rank LAST (DESC NULLS LAST), never dropped
+        vals = [None if rng.random() < 0.3 else rng.choice([0.0, 5.5, 9.0])
+                for _ in range(n)]
     df = spark.createDataFrame(
         [(i * 17 % 10_000, v) for i, v in enumerate(vals)], "uid bigint, v double"
     ).where(F.col("uid") >= 0)

@@ -493,3 +493,28 @@ def test_emit_value_array_rendering_reparses():
                "{brace}"]
     assert decode_value(_emit_value(hostile), 1009) == hostile
     assert decode_value(_emit_value([1, None, 3]), 1016) == [1, None, 3]
+
+
+def test_typed_ver_col_must_be_ver():
+    """The typed spool envelope hardcodes its version column name; a
+    renamed ver_col would declare a stream schema the files don't have
+    (code-review r7 finding) — refused at declaration time."""
+    from pg2ch_spark.pipeline import TableSpec
+
+    with pytest.raises(ValueError, match="ver_col='ver'"):
+        TableSpec(main_table="t", ver_col="version", columns=_COLS)
+    with pytest.raises(ValueError, match="clash"):
+        TableSpec(main_table="t", columns={"ver": "bigint", **_COLS})
+
+
+def test_numpy_array_elements_render_unquoted():
+    """pandas/Arrow batches carry array columns as numpy arrays of
+    numpy scalars: integers must render as ClickHouse Array(Int64)
+    literals, not quoted strings (code-review r7 finding)."""
+    import numpy as np
+
+    from pg2ch_spark.sources.clickhouse import escape_value
+
+    assert escape_value(np.array([1, 7], dtype=np.int64)) == "[1,7]"
+    assert escape_value(np.array([True, False])) == "[1,0]"
+    assert escape_value([np.int64(3), None]) == "[3,NULL]"
