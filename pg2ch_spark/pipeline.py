@@ -75,16 +75,10 @@ class TableSpec:
         if self.n_buckets and self.engine != "ReplacingMergeTree":
             raise ValueError("bucketed state requires engine=ReplacingMergeTree")
         if self.columns is not None:
-            if self.engine == "CollapsingMergeTree":
-                # the collapsing sink derives −1 rows from a per-key
-                # single-value carry; N-column typed carry is not
-                # implemented — Replacing and append logs are
-                # schema-agnostic and take typed columns as-is
-                raise ValueError(
-                    "typed columns are not supported with "
-                    "engine=CollapsingMergeTree (single-value carry); "
-                    "use ReplacingMergeTree or MergeTree"
-                )
+            # Typed CollapsingMergeTree consumes a PRE-SIGNED spool
+            # (sources.spool.typed_rows_signed): the −1/+1 pair is
+            # derived from the wire's RI FULL old tuple — the
+            # reference's own design, no sink-side carry state at all.
             if self.ver_col != "ver":
                 # the typed spool's envelope hardcodes its version
                 # column name (typed_spool_schema/typed_spool_ddl emit
@@ -303,6 +297,34 @@ class _CollapsingSink(_AppendSink):
         )
 
 
+class _SignedTypedSink(_AppendSink):
+    """Typed CollapsingMergeTree over a PRE-SIGNED spool: the −1/+1
+    rows were derived from the wire (typed_rows_signed), so the sink is
+    a plain epoch-keyed append — the reference's own topology (pg2ch
+    emits signed rows; ClickHouse nets them at merge/FINAL). No per-key
+    carry snapshots exist, unlike the derived-log _CollapsingSink.
+
+    ``final()`` = CollapsingMergeTree FINAL: per key, the latest +1 row
+    survives iff the key's net sign is positive."""
+
+    def final(self) -> DataFrame | None:
+        from pyspark.sql import Window
+
+        log = self.state()
+        if log is None:
+            return None
+        k, v = self.key_col, self.ver_col
+        net = F.sum(self.sign_col).over(Window.partitionBy(k))
+        w_latest = Window.partitionBy(k).orderBy(F.desc(v))
+        return (
+            log.withColumn("_net", net)
+            .where(F.col(self.sign_col) == 1)
+            .withColumn("_rn", F.row_number().over(w_latest))
+            .where((F.col("_rn") == 1) & (F.col("_net") > 0))
+            .drop("_rn", "_net")
+        )
+
+
 # The spool's normalized CDC shape. ``table`` is the R4 routing key:
 # each configured TableSpec consumes only its own relation's rows, so
 # a TRUNCATE of one replicated table can never wipe another's state.
@@ -335,6 +357,10 @@ def build_sink(spark: SparkSession, spec: TableSpec, state_root: str):
             merge_every=spec.merge_threshold,
         )
     if spec.engine == "CollapsingMergeTree":
+        if spec.columns is not None:
+            return _SignedTypedSink(
+                spark, state_path, spec.key_col, spec.sign_col, spec.ver_col
+            )
         return _CollapsingSink(
             spark, state_path, spec.key_col, spec.sign_col, spec.ver_col
         )
@@ -421,9 +447,19 @@ def run_pipeline(
         if spec.columns is not None:
             if source_format != "cdc":
                 raise ValueError("typed columns require source_format='cdc'")
-            from pg2ch_spark.sources.spool import typed_spool_ddl
+            from pg2ch_spark.sources.spool import (
+                typed_signed_spool_ddl,
+                typed_spool_ddl,
+            )
 
-            spec_schema = typed_spool_ddl(spec.key_col, spec.key_type, spec.columns)
+            if spec.engine == "CollapsingMergeTree":
+                spec_schema = typed_signed_spool_ddl(
+                    spec.key_col, spec.key_type, spec.columns
+                )
+            else:
+                spec_schema = typed_spool_ddl(
+                    spec.key_col, spec.key_type, spec.columns
+                )
         if max_files_per_trigger is None:
             src, _src_dir = _stream_source_managed(spark, spec_path, spec_schema)
         else:
@@ -452,9 +488,11 @@ def run_pipeline(
         if spec.columns is not None:
             # typed spool: key/ver columns already carry the spec's
             # names (typed_spool_ddl emits them), value columns are the
-            # declared map — pass everything through typed
+            # declared map — pass everything through typed (plus the
+            # pre-derived sign column for collapsing)
+            extra = ["sign"] if spec.engine == "CollapsingMergeTree" else []
             cdc = normalized.select(
-                spec.key_col, spec.ver_col, "op", *spec.columns
+                spec.key_col, spec.ver_col, "op", *extra, *spec.columns
             )
         else:
             cdc = normalized.select(
@@ -524,14 +562,17 @@ def run_pipeline(
             # zero-batch stream: the sink path was never created; hand
             # back an empty frame with the engine's declared schema so
             # downstream .select/.join never see None
-            if spec.engine == "CollapsingMergeTree":
+            if spec.engine == "CollapsingMergeTree" and spec.columns is None:
                 final = spark.createDataFrame([], f"{spec.key_col} bigint, net bigint")
             elif spec.columns is not None:
+                sign = (
+                    "sign int, " if spec.engine == "CollapsingMergeTree" else ""
+                )
                 cols = ", ".join(f"{n} {t}" for n, t in spec.columns.items())
                 final = spark.createDataFrame(
                     [],
                     f"{spec.key_col} {spec.key_type}, {spec.ver_col} bigint, "
-                    f"op string, {cols}",
+                    f"op string, {sign}{cols}",
                 )
             else:
                 final = spark.createDataFrame(

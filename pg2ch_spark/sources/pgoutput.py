@@ -159,6 +159,9 @@ class Update:
 class Delete:
     rel_oid: int
     old: tuple
+    # wire kind: b"O" = full old row (REPLICA IDENTITY FULL), b"K" =
+    # key columns only — same semantics as Update.old_kind
+    old_kind: bytes = b"K"
 
 
 @dataclass(frozen=True)
@@ -290,7 +293,7 @@ def parse_message(buf: bytes):
         if marker not in (b"K", b"O"):
             raise PgOutputError(f"Delete expects 'K'/'O' tuple, got {marker!r}")
         old, off = _tuple_data(buf, off)
-        return Delete(oid, old)
+        return Delete(oid, old, marker)
     if tag == b"T":
         nrels, off = _i32(buf, off)
         options, off = _i8(buf, off)
@@ -611,6 +614,7 @@ class WalDecoder:
                     CdcRow(
                         rel.name, "D", 0, seq, self._xid,
                         {}, old_key=self._decode_tuple(rel, msg.old),
+                        old_full=msg.old_kind == b"O",
                     )
                 )
         elif isinstance(msg, Truncate):

@@ -321,10 +321,20 @@ def spool_transactions_routed(
     for spec in specs:
         _validate_prefix(spec.main_table)
         if getattr(spec, "columns", None):
-            mappers[spec.main_table] = (
-                typed_rows(spec.key_col, spec.columns),
-                typed_spool_schema(spec.key_col, spec.key_type, spec.columns),
-            )
+            if getattr(spec, "engine", "") == "CollapsingMergeTree":
+                # typed collapsing: PRE-SIGNED rows off the wire (the
+                # reference's design — see typed_rows_signed)
+                mappers[spec.main_table] = (
+                    typed_rows_signed(spec.key_col, spec.columns),
+                    typed_signed_spool_schema(
+                        spec.key_col, spec.key_type, spec.columns
+                    ),
+                )
+            else:
+                mappers[spec.main_table] = (
+                    typed_rows(spec.key_col, spec.columns),
+                    typed_spool_schema(spec.key_col, spec.key_type, spec.columns),
+                )
         else:
             mappers[spec.main_table] = (default_rows, _default_schema())
         os.makedirs(os.path.join(spool_dir, spec.main_table), exist_ok=True)
@@ -389,3 +399,82 @@ def spool_transactions(
         close = getattr(stream, "close", None)
         if close is not None:
             close()
+
+
+def typed_rows_signed(
+    key_col: str, columns: dict[str, str]
+) -> Callable[[CdcRow], list[dict]]:
+    """Mapper factory for TYPED CollapsingMergeTree tables: CdcRow →
+    PRE-SIGNED rows, the reference's own collapsing design — pg2ch
+    derives the −1/+1 pair straight from the wire (REPLICA IDENTITY
+    FULL ships the old tuple), and ClickHouse does the netting; no
+    sink-side per-key carry state exists anywhere.
+
+    - INSERT  → (+1, new values)
+    - UPDATE  → (−1, OLD values at the old key) + (+1, new values) —
+      key changes need no special case: the −1 row already lands on
+      the old key
+    - DELETE  → (−1, OLD values)
+    - TRUNCATE → relation marker ('T', sign 0)
+
+    Old values come ONLY from an RI FULL old tuple; without it the −1
+    row cannot be built and the mapper fails LOUDLY (the same
+    requirement pg2ch's collapsing engine documents). TOAST-unchanged
+    columns in the NEW image resolve from the same old tuple."""
+
+    def to_rows(r: CdcRow) -> list[dict]:
+        def row(key, op, sign, values: dict):
+            d = {
+                "table": r.relation, key_col: key, "ver": r.scalar_ver,
+                "op": op, "sign": sign,
+            }
+            for c in columns:
+                d[c] = values.get(c)
+            return d
+
+        def need_full(what: str) -> dict:
+            if not r.old_full:
+                raise ValueError(
+                    f"typed collapsing needs REPLICA IDENTITY FULL to "
+                    f"build the -1 row for a {what} on {r.relation!r} "
+                    "(old tuple kind 'K' carries NULL placeholders)"
+                )
+            return r.old_key or {}
+
+        if r.op == "T":
+            return [row(None, "T", 0, {})]
+        if r.op == "D":
+            old = need_full("DELETE")
+            return [row(old.get(key_col), "D", -1, old)]
+        new_vals = dict(r.values)
+        if any(v is UNCHANGED for v in new_vals.values()):
+            old = need_full("TOAST-unchanged UPDATE")
+            for c, v in new_vals.items():
+                if v is UNCHANGED:
+                    new_vals[c] = old.get(c)
+        if r.op == "I":
+            return [row(new_vals.get(key_col), "I", 1, new_vals)]
+        old = need_full("UPDATE")
+        return [
+            row(old.get(key_col), "U", -1, old),
+            row(new_vals.get(key_col), "U", 1, new_vals),
+        ]
+
+    return to_rows
+
+
+def typed_signed_spool_schema(key_col: str, key_type: str, columns: dict[str, str]):
+    """Schema of a typed SIGNED spool: the typed envelope plus the
+    collapsing sign column."""
+    import pyarrow as pa
+
+    base = typed_spool_schema(key_col, key_type, columns)
+    return base.insert(4, pa.field("sign", pa.int32()))
+
+
+def typed_signed_spool_ddl(key_col: str, key_type: str, columns: dict[str, str]) -> str:
+    cols = ", ".join(f"{n} {t}" for n, t in columns.items())
+    return (
+        f"table string, {key_col} {key_type}, ver bigint, op string, "
+        f"sign int, {cols}"
+    )

@@ -554,3 +554,75 @@ def test_walsender_thread_stops_on_schema_drift(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_live_walsender_typed_collapsing(spark, tmp_path):
+    """Typed CollapsingMergeTree over the LIVE path: the spool thread
+    derives ±sign rows from the wire's RI FULL old tuples (the
+    reference's collapsing topology — zero sink-side carry state) and
+    FINAL nets them: an updated key survives with its new image, a
+    deleted key vanishes."""
+    import io
+    import os
+
+    from pyspark.sql import types as T
+    from tests.test_pgoutput import begin, commit, delete, insert, relation, update
+    from pg2ch_spark.config import config_from_mapping
+    from pg2ch_spark.daemon import run_daemon
+
+    lsn = (1 << 32) | 0x10
+    cols = [(1, "id", 20), (0, "balance", 1700)]
+    script = [
+        begin(lsn, xid=1),
+        relation(93, "ledg", cols),
+        insert(93, 1, "10.00"),
+        insert(93, 2, "20.00"),
+        commit(lsn),
+        begin(lsn + 1, xid=2),
+        update(93, (1, "15.50"), old=(1, "10.00"), old_kind=b"O"),
+        delete(93, 2, "20.00", kind=b"O"),
+        commit(lsn + 1),
+    ]
+    server = socketserver.TCPServer(("127.0.0.1", 0), FakeWalSender)
+    server.log = {}
+    server.done = threading.Event()
+    server.script = script
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    host, port = server.server_address
+    try:
+        cfg = config_from_mapping({
+            "source": {
+                "sf_dir": str(tmp_path / "spool"),
+                "walsender": {"host": host, "port": port, "slot": "s",
+                              "publication": "p", "retry_s": 0.2},
+            },
+            "state_root": str(tmp_path / "state"),
+            "poll_interval_s": 0.3,
+            "tables": {"ledg": {
+                "engine": "CollapsingMergeTree",
+                "key_col": "id",
+                "columns": {"balance": "decimal(18,2)"},
+            }},
+        })
+        out = io.StringIO()
+        assert run_daemon(cfg, spark, max_passes=6, out=out) == 0
+    finally:
+        server.shutdown()
+        server.server_close()
+
+    # the signed spool landed in the table's routed subdir
+    assert os.path.isdir(os.path.join(cfg.source_dir, "ledg"))
+    log = spark.read.parquet(os.path.join(cfg.state_root, "ledg", "state"))
+    assert "sign" in log.columns
+    from pg2ch_spark.pipeline import _SignedTypedSink
+
+    final = _SignedTypedSink(
+        spark, os.path.join(cfg.state_root, "ledg", "state"), "id", "sign"
+    ).final()
+    assert {f.name: f.dataType for f in final.schema.fields}["balance"] == (
+        T.DecimalType(18, 2)
+    )
+    from decimal import Decimal
+
+    got = [(r.id, r.balance) for r in final.collect()]
+    assert got == [(1, Decimal("15.50"))]  # key 2 collapsed away

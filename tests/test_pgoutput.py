@@ -66,8 +66,8 @@ def update(oid: int, new: tuple, old: tuple | None = None, old_kind: bytes = b"K
     return b"U" + body + b"N" + _tuple(*new)
 
 
-def delete(oid: int, *key_vals) -> bytes:
-    return b"D" + struct.pack(">I", oid) + b"K" + _tuple(*key_vals)
+def delete(oid: int, *key_vals, kind: bytes = b"K") -> bytes:
+    return b"D" + struct.pack(">I", oid) + kind + _tuple(*key_vals)
 
 
 def truncate(*oids, options: int = 0) -> bytes:

@@ -156,16 +156,14 @@ class TestTypedMapper:
 
 
 class TestTypedSpec:
-    def test_columns_reject_collapsing_only(self):
+    def test_columns_supported_on_every_engine(self):
         from pg2ch_spark.pipeline import TableSpec
 
-        # Replacing and append logs are schema-agnostic: typed OK
+        # Replacing and append logs are schema-agnostic; typed
+        # collapsing consumes the PRE-SIGNED spool (TestTypedCollapsing)
         TableSpec(main_table="t", engine="MergeTree", columns=_COLS)
         TableSpec(main_table="t", engine="ReplacingMergeTree", columns=_COLS)
-        # the collapsing single-value carry is not (documented restriction)
-        with pytest.raises(ValueError, match="single-value carry"):
-            TableSpec(main_table="t", engine="CollapsingMergeTree",
-                      columns=_COLS)
+        TableSpec(main_table="t", engine="CollapsingMergeTree", columns=_COLS)
 
     def test_columns_clash_with_envelope(self):
         from pg2ch_spark.pipeline import TableSpec
@@ -518,3 +516,98 @@ def test_numpy_array_elements_render_unquoted():
     assert escape_value(np.array([1, 7], dtype=np.int64)) == "[1,7]"
     assert escape_value(np.array([True, False])) == "[1,0]"
     assert escape_value([np.int64(3), None]) == "[3,NULL]"
+
+
+class TestTypedCollapsing:
+    """Typed CollapsingMergeTree: PRE-SIGNED rows derived from the
+    wire's RI FULL old tuple (the reference's own topology — no
+    sink-side carry state), netted at FINAL."""
+
+    def _m(self):
+        from pg2ch_spark.sources.spool import typed_rows_signed
+
+        return typed_rows_signed("id", {"price": "decimal(18,2)"})
+
+    def test_insert_update_delete_signs(self):
+        m = self._m()
+        [ins] = m(_row("I", {"id": 1, "price": Decimal("5")}))
+        assert (ins["sign"], ins["price"]) == (1, Decimal("5"))
+        upd = m(_row("U", {"id": 1, "price": Decimal("7")},
+                     old_key={"id": 1, "price": Decimal("5")}, old_full=True))
+        assert [(r["sign"], r["price"]) for r in upd] == [
+            (-1, Decimal("5")), (1, Decimal("7")),
+        ]
+        [d] = m(_row("D", {}, old_key={"id": 1, "price": Decimal("7")},
+                     old_full=True))
+        assert (d["sign"], d["id"], d["price"]) == (-1, 1, Decimal("7"))
+
+    def test_key_change_needs_no_special_case(self):
+        m = self._m()
+        rows = m(_row("U", {"id": 9, "price": Decimal("7")},
+                      old_key={"id": 1, "price": Decimal("5")}, old_full=True))
+        # the -1 row already lands on the OLD key
+        assert [(r["id"], r["sign"]) for r in rows] == [(1, -1), (9, 1)]
+
+    def test_toast_unchanged_resolves(self):
+        m = self._m()
+        rows = m(_row("U", {"id": 1, "price": UNCHANGED},
+                      old_key={"id": 1, "price": Decimal("5")}, old_full=True))
+        assert [(r["sign"], r["price"]) for r in rows] == [
+            (-1, Decimal("5")), (1, Decimal("5")),
+        ]
+
+    def test_without_ri_full_is_loud(self):
+        m = self._m()
+        with pytest.raises(ValueError, match="REPLICA IDENTITY FULL"):
+            m(_row("U", {"id": 1, "price": Decimal("7")},
+                   old_key={"id": 1, "price": None}, old_full=False))
+        with pytest.raises(ValueError, match="REPLICA IDENTITY FULL"):
+            m(_row("D", {}, old_key={"id": 1, "price": None}, old_full=False))
+
+    def test_pipeline_final_nets_signed_log(self, spark, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import types as T
+
+        from pg2ch_spark.pipeline import TableSpec, run_pipeline
+        from pg2ch_spark.sources.spool import typed_signed_spool_schema
+
+        cols = {"price": "decimal(18,2)"}
+        spool = tmp_path / "spool"
+        os.makedirs(spool)
+        # key 1: I(5) then U(5->7): survives with 7
+        # key 2: I(3) then D: net 0, absent from FINAL
+        rows = [
+            {"table": "t", "id": 1, "ver": 1, "op": "I", "sign": 1,
+             "price": Decimal("5.00")},
+            {"table": "t", "id": 2, "ver": 2, "op": "I", "sign": 1,
+             "price": Decimal("3.00")},
+            {"table": "t", "id": 1, "ver": 3, "op": "U", "sign": -1,
+             "price": Decimal("5.00")},
+            {"table": "t", "id": 1, "ver": 4, "op": "U", "sign": 1,
+             "price": Decimal("7.00")},
+            {"table": "t", "id": 2, "ver": 5, "op": "D", "sign": -1,
+             "price": Decimal("3.00")},
+        ]
+        pq.write_table(
+            pa.Table.from_pylist(
+                rows, schema=typed_signed_spool_schema("id", "bigint", cols)
+            ),
+            str(spool / f"t-{0xA0:016x}.parquet"),
+        )
+        res = run_pipeline(
+            spark,
+            [TableSpec(main_table="t", engine="CollapsingMergeTree",
+                       key_col="id", columns=cols)],
+            str(spool),
+            str(tmp_path / "state"),
+            source_format="cdc",
+        )
+        final = res.states["t"]
+        assert {f.name: f.dataType for f in final.schema.fields}["price"] == (
+            T.DecimalType(18, 2)
+        )
+        got = [(r.id, str(r.price), r.sign) for r in final.collect()]
+        assert got == [(1, "7.00", 1)]
