@@ -267,3 +267,84 @@ def cdc_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "cdc_typed_collapsing",
+    oracle="""
+    SELECT o_orderkey AS key,
+           printf('%d.%02d',
+                  CAST((o_orderkey * 57) % 10000000 AS BIGINT) // 100,
+                  CAST((o_orderkey * 57) % 10000000 AS BIGINT) % 100) AS price
+    FROM orders
+    WHERE o_orderkey % 83 = 1 AND o_orderkey % 7 <> 0
+    """,
+)
+def cdc_typed_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed CollapsingMergeTree end to end: a PRE-SIGNED typed log
+    (the −1/+1 pairs the live mapper `typed_rows_signed` derives from
+    RI FULL old tuples) streamed through the pipeline into the
+    epoch-keyed signed sink, whose FINAL nets signs per key — the
+    reference's own collapsing topology, zero sink-side carry state.
+
+    Per sampled order key: INSERT (+1, price v1), UPDATE (−1 v1 /
+    +1 v2), and for every 7th key a DELETE (−1 v2) that collapses the
+    key to net zero. Expected FINAL: the update image for surviving
+    keys only — recomputed independently by the oracle. Decimal
+    projected to string for cross-engine hashing (D5); the state
+    column is DecimalType (tests/test_typed_replication.py).
+
+    Scale: the signed log is a distributed write; netting is one
+    groupBy-window pass per key partition."""
+    from pg2ch_spark.pipeline import TableSpec, run_pipeline
+    from pg2ch_spark.streaming.runner import scratch_dir
+
+    o = catalog.load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 83 == 1)
+    k = F.col("o_orderkey")
+
+    def price(mult: int):
+        cents = (k * mult) % 10_000_000
+        return (
+            cents.cast("decimal(18,0)") / F.lit(100).cast("decimal(4,0)")
+        ).cast("decimal(18,2)")
+
+    def rows(op: str, sign: int, ver, p, where=None):
+        d = o.where(where) if where is not None else o
+        return d.select(
+            F.lit("t").alias("table"),
+            k.alias("key"),
+            ver.alias("ver"),
+            F.lit(op).alias("op"),
+            F.lit(sign).cast("int").alias("sign"),
+            p.alias("price"),
+        )
+
+    signed = (
+        rows("I", 1, k * 4, price(123))
+        .unionByName(rows("U", -1, k * 4 + 1, price(123)))
+        .unionByName(rows("U", 1, k * 4 + 1, price(57)))
+        .unionByName(rows("D", -1, k * 4 + 2, price(57), where=k % 7 == 0))
+    )
+    base = scratch_dir("pg2ch_typedcolq_")
+    spool, root = base + "/spool", base + "/state"
+    try:
+        signed.repartition(2).write.mode("overwrite").parquet(spool)
+        res = run_pipeline(
+            spark,
+            [
+                TableSpec(
+                    main_table="t",
+                    engine="CollapsingMergeTree",
+                    key_col="key",
+                    columns={"price": "decimal(18,2)"},
+                )
+            ],
+            spool,
+            root,
+            source_format="cdc",
+        )
+        return res.states["t"].select(
+            "key", F.col("price").cast("string").alias("price")
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
