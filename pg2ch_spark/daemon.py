@@ -153,6 +153,17 @@ def run_daemon(
     spool_thread = None
     if cfg.walsender is not None:
         os.makedirs(cfg.source_dir, exist_ok=True)
+        # Pre-create every spec's routed subdir SYNCHRONOUSLY, before
+        # either the spool thread or the first pipeline pass starts:
+        # spool_transactions_routed mkdirs them too, but only after the
+        # walsender connects, and run_pipeline's routed-spool detection
+        # (os.path.isdir) must not race that — a table whose stream binds
+        # to the flat root on pass 1 would see its source path change
+        # under the same checkpoint on pass 2 (ADVICE r7).
+        for spec in cfg.tables:
+            os.makedirs(
+                os.path.join(cfg.source_dir, spec.main_table), exist_ok=True
+            )
         spool_thread = start_walsender_spool(
             cfg.walsender, cfg.source_dir, stop, out=out, specs=cfg.tables
         )

@@ -61,7 +61,13 @@ def evidence_rounds() -> dict[str, int]:
                 data = json.load(f)
         except (OSError, ValueError):
             continue  # a malformed artifact must not break the registry
-        for k in data:
+        for k, row in data.items():
+            # Only a row that was actually VERIFIED counts as evidence:
+            # a null rows_match (errored run, or a no-oracle key the
+            # harness can only execute) must rotate back to the front of
+            # the window, not to the back as if freshly proven (ADVICE r7).
+            if not (isinstance(row, dict) and row.get("rows_match") is not None):
+                continue
             ev[k] = max(ev.get(k, -1), rnd)
     return ev
 

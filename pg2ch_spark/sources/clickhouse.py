@@ -70,21 +70,24 @@ def escape_value(v: object) -> str:
     """One value → one ClickHouse TabSeparated literal."""
     if v is None:
         return "\\N"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        # Arrays are never field-level NULL, and must be branched BEFORE
+        # the pd.isna probe: isna on a length-1 array returns a length-1
+        # bool array that is truthy/falsy without raising, so [None] or
+        # [nan] would silently encode as \N instead of [NULL].
+        # Field-level escape still applies: an element containing a raw
+        # tab/newline must not break row framing.
+        return "".join(_ESCAPES.get(ch, ch) for ch in _array_literal(v))
     try:
         # pd.isna covers float nan, pd.NaT and pd.NA (for which `v != v`
         # raises: NA propagates through comparisons and is ambiguous in
-        # bool context). Array-likes make isna return an array — not a
-        # null, fall through to the string path.
+        # bool context).
         if pd.isna(v):
             return "\\N"
     except (TypeError, ValueError):
         pass
     if isinstance(v, bool):
         return "1" if v else "0"
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        # field-level escape still applies: an element containing a raw
-        # tab/newline must not break row framing
-        return "".join(_ESCAPES.get(ch, ch) for ch in _array_literal(v))
     if isinstance(v, bytes):
         v = v.decode("utf-8", errors="replace")
     if isinstance(v, pd.Timestamp):
@@ -236,16 +239,29 @@ def insert_partition(
     table: str,
     columns: list[str],
     http: HttpOptions = _DEFAULT_HTTP,
+    token_salt: str = "",
 ) -> None:
     """POST each Arrow batch of one partition to ClickHouse. The dedup
-    token is the body's own md5, so a Spark task retry (which re-POSTs
-    the identical bytes) and an HTTP-level retry both land exactly once
-    under ClickHouse insert dedup."""
+    token is md5(salt | body), so a Spark task retry (which re-POSTs
+    the identical bytes under the same salt) and an HTTP-level retry
+    both land exactly once under ClickHouse insert dedup, while two
+    legitimately DISTINCT batches whose bodies happen to be
+    byte-identical (same rows in two epochs of an append stream) get
+    distinct tokens and are never dropped — the caller must salt with
+    the batch identity (epoch id / partition id) for that guarantee.
+
+    Server requirement: ``insert_deduplication_token`` is honored on
+    Replicated* engines by default; on non-replicated MergeTree the
+    target table needs ``non_replicated_deduplication_window > 0`` or
+    the token is ignored and delivery degrades to at-least-once +
+    merge-engine convergence (still correct for the Replacing/
+    Collapsing engines this sink targets, documented in
+    examples/replication_live.yaml)."""
     import hashlib
 
     for pdf in rows:
         body = encode_tsv(pdf[columns])
-        token = hashlib.md5(body).hexdigest()
+        token = hashlib.md5(token_salt.encode() + body).hexdigest()
         _post(insert_url(endpoint, table, columns, token), body, http)
 
 
@@ -279,7 +295,17 @@ def clickhouse_sink(
 
     def sink(batch_df, epoch_id: int) -> None:
         def post(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            insert_partition(batches, endpoint, table, columns, http)
+            # Salt the dedup token with (epoch, partition): stable across
+            # task/HTTP retries of the SAME batch, distinct across epochs
+            # even when two epochs serialize byte-identical bodies.
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else -1
+            insert_partition(
+                batches, endpoint, table, columns, http,
+                token_salt=f"{epoch_id}:{pid}:",
+            )
             yield pd.DataFrame({"inserted": [1]})
 
         # noop sink just drives execution; the POSTs are the effect

@@ -160,6 +160,34 @@ def test_retry_lands_batch_exactly_once_with_stable_dedup_token(flaky_stub):
     assert token == hashlib.md5(body).hexdigest()
 
 
+def test_token_salt_distinguishes_identical_bodies(http_stub):
+    """ADVICE r7: two legitimately distinct micro-batches with
+    byte-identical bodies (same rows in two epochs of an append
+    stream) must carry DISTINCT dedup tokens or ClickHouse insert
+    dedup silently drops the second within its window; a retry of the
+    SAME batch (same salt, same body) must keep the SAME token."""
+    import hashlib
+    import urllib.parse as up
+
+    import pandas as pd
+
+    endpoint, received = http_stub
+    pdf = pd.DataFrame({"k": [1, 2], "v": ["a", "b"]})
+    for epoch in (7, 7, 8):  # epoch 7 twice = retry; epoch 8 = new batch
+        ch.insert_partition(
+            iter([pdf.copy()]), endpoint, "db.t", ["k", "v"],
+            token_salt=f"{epoch}:0:",
+        )
+    tokens = [
+        up.parse_qs(up.urlparse(path).query)["insert_deduplication_token"][0]
+        for path, _body in received[-3:]
+    ]
+    assert tokens[0] == tokens[1]  # retry of the same batch: stable
+    assert tokens[0] != tokens[2]  # distinct epoch, same bytes: distinct
+    body = received[-1][1]
+    assert tokens[2] == hashlib.md5(b"8:0:" + body).hexdigest()
+
+
 def test_4xx_is_permanent_no_retry(http_stub):
     """Bad query/auth (4xx) must fail immediately — retrying a
     permanent rejection hammers the server for nothing."""
