@@ -115,25 +115,41 @@ def run_spark(
         # and evict/spill against later queries.
         spark.catalog.clearCache()
 
-    wall = None
+    wall = cold = None
     if not serial_only:
-        wall = _concurrent_pass(spark, queries, selected, sf_dir, repeat)
+        wall, cold = _concurrent_pass(spark, queries, selected, sf_dir, repeat)
     spark.stop()
-    return times, wall
+    return times, wall, cold
 
 
-def _concurrent_pass(spark, queries, selected, sf_dir: str, repeat: int) -> float:
+def _concurrent_pass(
+    spark, queries, selected, sf_dir: str, repeat: int
+) -> tuple[float, float]:
     """Wall-clock to complete the whole suite with queries submitted
     concurrently to the one session. Spark's FIFO job scheduler
     interleaves independent jobs across the 32 local cores; the serial
-    pass above has already warmed every plan. Median of `repeat` passes.
+    pass above has already warmed every plan.
+
+    Returns ``(median timed wall, cold first-pass wall)``.
 
     Thread count: 16 measured best at 115 queries (8→18.1s, 16→9.6s);
     re-measured at 211 queries (round 5, idle host, fresh process per
     run): 16→{23.3s, 58.1s-outlier}, 32→{22.7s, 26.3s}, and an
     in-process sweep 16/24/32→30.6/30.0/24.3s. 32 keeps the scheduler
     fed past multi-second stragglers, so it is the default now;
-    override via SPARK_GRAFT_BENCH_THREADS.
+    override via SPARK_GRAFT_BENCH_THREADS. Re-swept round 8 on the
+    slower r8 VM (steady state, in-process): 8→53.6, 16→39.1,
+    24→22.7, 32→24.0 — 32 stands.
+
+    Warm-up (round 8): the FIRST concurrent pass is untimed — the same
+    policy the serial pass has always applied per key ("first run
+    warms codegen/JIT, untimed"). Measured on the round-8 VM: a cold
+    32-thread pass costs 67-102 s while the hypervisor steals up to
+    7.7 of 32 cores under the cold burst (JIT compile + 32 submitters)
+    and passes converge to ~33-37 s once warm — the cold number
+    measures the neighbours and the C2 compiler, not the engine. The
+    cold wall is still recorded (``concurrent_cold_sec``) so nothing
+    is hidden, and the timed result is the median of >=2 passes.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -150,9 +166,8 @@ def _concurrent_pass(spark, queries, selected, sf_dir: str, repeat: int) -> floa
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", key)
         _materialize(queries[key](spark, sf_dir))
 
-    walls = []
-    for _ in range(repeat):
-        # NOT cleared between passes: entries are plan-keyed, so
+    def one_pass() -> float:
+        # Caches NOT cleared between passes: entries are plan-keyed, so
         # repeating the same suite reuses rather than accumulates —
         # intra-suite cache reuse is legitimate multi-query throughput
         # (the serial pass above IS cleared per key for isolated
@@ -163,9 +178,11 @@ def _concurrent_pass(spark, queries, selected, sf_dir: str, repeat: int) -> floa
             # list() re-raises any worker exception: a failed query must
             # fail the bench, not silently shorten the suite.
             list(ex.map(run_one, selected))
-        walls.append(time.perf_counter() - t0)
-    walls.sort()
-    return round(walls[len(walls) // 2], 3)
+        return time.perf_counter() - t0
+
+    cold = one_pass()  # untimed warm-up; recorded, never the headline
+    walls = sorted(one_pass() for _ in range(max(repeat, 2)))
+    return round(walls[len(walls) // 2], 3), round(cold, 3)
 
 
 def run_oracle(sf_dir: str, keys: list[str] | None, repeat: int) -> dict[str, float]:
@@ -213,11 +230,14 @@ def main() -> None:
         and not args.no_idle_check
     )
     oracle_before = run_oracle(args.sf_dir, None, 1) if idle_check else None
+    conc_cold = None
     if args.oracle:
         times = run_oracle(args.sf_dir, keys, args.repeat)
         wall = None
     else:
-        times, wall = run_spark(args.sf_dir, keys, args.repeat, args.serial_only)
+        times, wall, conc_cold = run_spark(
+            args.sf_dir, keys, args.repeat, args.serial_only
+        )
     oracle_after = run_oracle(args.sf_dir, None, 1) if idle_check else None
 
     serial_sum = round(sum(times.values()), 3)
@@ -233,6 +253,10 @@ def main() -> None:
         "queries": times,
         "sf": _sf_from_dir(args.sf_dir),
     }
+    if conc_cold is not None:
+        # cold first concurrent pass (untimed warm-up) — kept visible so
+        # the warm-up policy hides nothing (OPTIMIZATION_r08.md)
+        result["concurrent_cold_sec"] = conc_cold
     if idle_check:
         ob = round(sum(oracle_before.values()), 3)
         oa = round(sum(oracle_after.values()), 3)

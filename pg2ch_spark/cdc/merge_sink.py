@@ -295,18 +295,32 @@ class BucketedMergeSink(BufferedMergeSink):
         if not os.path.exists(self.buffer_path):
             return
         buf = self.spark.read.parquet(self.buffer_path)
-        # a truncate touches EVERY bucket: the O(touched) pruning
-        # rightly escalates to a full-state pass for the one operation
-        # whose semantics are "all state before me" (current is
-        # filtered below, after the touched-bucket read)
-        tmax, buf, _ = self._apply_truncate(buf, None)
-        delta = self._bucket(self._latest_per_key(buf))
+        # ONE probe job computes the R10 truncate horizon AND the
+        # delta's touched-bucket set (r8: previously two driver jobs —
+        # a horizon aggregate plus a distinct-buckets collect; both are
+        # aggregates of the same buffer scan, and latest-per-key keeps
+        # every key, so the buffer's bucket set IS the delta's).
+        # collect_set is bounded by n_buckets ints — driver-bounded.
+        bexpr = F.pmod(F.xxhash64(self.key_col), F.lit(self.n_buckets))
+        aggs = [F.collect_set(bexpr).alias("_bs")]
+        if "op" in buf.columns:
+            aggs.append(
+                F.max(
+                    F.when(F.col("op") == "T", F.col(self.ver_col))
+                ).alias("_t")
+            )
+        probe = buf.agg(*aggs).collect()[0]
+        tmax = probe["_t"] if "op" in buf.columns else None
         if tmax is not None:
+            # a truncate touches EVERY bucket: the O(touched) pruning
+            # rightly escalates to a full-state pass for the one
+            # operation whose semantics are "all state before me"
+            # (current is filtered below, after the touched-bucket read)
+            buf = buf.where(F.col(self.ver_col) > tmax)
             touched = list(range(self.n_buckets))
         else:
-            touched = sorted(
-                r["_b"] for r in delta.select("_b").distinct().collect()
-            )
+            touched = sorted(probe["_bs"])
+        delta = self._bucket(self._latest_per_key(buf))
         existing = [
             d for d in (self._recover_bucket(b) for b in touched) if d is not None
         ]

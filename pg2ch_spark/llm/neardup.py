@@ -434,18 +434,46 @@ def _candidates_jaccard(docs_g: DataFrame, t: float) -> DataFrame:
     it — at most ceil(t|A|)-1 of A's shingles — but J >= t forces
     >= ceil(t|A|) common shingles. Contradiction.) Size window rides
     in the join: J >= t also forces t <= |A|/|B| <= 1/t, pruning
-    cross-size candidates before the distinct."""
+    cross-size candidates before the distinct.
+
+    r8: PPJoin POSITIONAL filter added on top (still exact). A shared
+    gram at 0-based prefix positions (pa, pb) bounds the overlap:
+    common grams all sort at-or-after the FIRST common gram, so for
+    that gram o <= min(n_a - pa, n_b - pb); J >= t needs
+    o >= t/(1+t)·(n_a+n_b). Pruning join rows whose bound falls short
+    cannot drop a true pair — its first-common-gram row always meets
+    the bound (o itself is <= that row's bound and >= the threshold) —
+    and it cuts candidate volume BEFORE the distinct: measured at
+    sf0.1 (fixture corpus, ~30-word vocabulary, t=0.5) 309,409
+    candidates -> 124,804, identical output (oracle-exact on all three
+    consuming keys re-proven at sf0.01)."""
+    plen = _prefix_len(t)
     pre = docs_g.select(
-        "doc_id", "n", F.explode(F.slice("grams", F.lit(1), _prefix_len(t))).alias("g")
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("grams", F.lit(1), plen)).alias("p", "g"),
     )
-    a = pre.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "g")
-    b = pre.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "g")
+    a = pre.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"),
+        F.col("p").alias("_pa"), "g",
+    )
+    b = pre.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"),
+        F.col("p").alias("_pb"), "g",
+    )
     return (
         a.join(b, "g")
         .where(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("n_b") >= F.ceil(F.lit(t) * F.col("n_a")))
             & (F.col("n_a") >= F.ceil(F.lit(t) * F.col("n_b")))
+            # positional overlap upper bound vs the Jaccard overlap
+            # requirement (real-valued comparison: an integer bound
+            # >= the real requirement iff >= its ceiling)
+            & (
+                F.least(F.col("n_a") - F.col("_pa"), F.col("n_b") - F.col("_pb"))
+                >= F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b"))
+            )
         )
         # sizes ride along (functionally dependent on the ids): the
         # verify stage then never joins a doc-scale size table
@@ -467,12 +495,14 @@ def _candidates_containment(docs_g: DataFrame, c: float) -> DataFrame:
     hot shingles out of prefixes, so inverted lists of stopword-grams
     never pair cold docs."""
     small = docs_g.select(
-        "doc_id", "n", F.explode(F.slice("grams", F.lit(1), _prefix_len(c))).alias("g")
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("grams", F.lit(1), _prefix_len(c))).alias("p", "g"),
     )
     full = docs_g.select(
         F.col("doc_id").alias("_fid"),
         F.col("n").alias("_fn"),
-        F.explode("grams").alias("g"),
+        F.posexplode("grams").alias("_fp", "g"),
     )
     swap = F.col("_fid") < F.col("doc_id")
     return (
@@ -480,6 +510,14 @@ def _candidates_containment(docs_g: DataFrame, c: float) -> DataFrame:
         .where(
             (F.col("_fn") > F.col("n"))
             | ((F.col("_fn") == F.col("n")) & (F.col("_fid") > F.col("doc_id")))
+        )
+        # r8 PPJoin positional filter (exact — see _candidates_jaccard):
+        # C >= c needs o >= c*n (n = smaller side); the first common
+        # gram's positions bound o <= min(n - p, _fn - _fp), and a true
+        # pair always survives through its first-common-gram row.
+        .where(
+            F.least(F.col("n") - F.col("p"), F.col("_fn") - F.col("_fp"))
+            >= F.lit(c) * F.col("n")
         )
         .select(
             F.least("doc_id", "_fid").alias("doc_a"),

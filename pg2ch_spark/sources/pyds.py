@@ -92,6 +92,28 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _arrow_type(type_name: str):
+    """Declared Spark type → pyarrow type for the batched read path."""
+    import pyarrow as pa
+
+    mapping = {
+        "tinyint": pa.int8(), "smallint": pa.int16(),
+        "int": pa.int32(), "integer": pa.int32(),
+        "bigint": pa.int64(), "long": pa.int64(),
+        "float": pa.float32(), "double": pa.float64(),
+        "boolean": pa.bool_(), "string": pa.string(),
+        "date": pa.date32(),
+    }
+    if type_name in mapping:
+        return mapping[type_name]
+    if type_name.startswith("timestamp"):
+        return pa.timestamp("us")
+    raise ValueError(f"clickhouse_tsv: unsupported declared type {type_name!r}")
+
+
+_TSV_BATCH_ROWS = 8192  # rows per Arrow batch out of the line parser
+
+
 class _TsvReader(DataSourceReader):
     def __init__(self, schema, options):
         path = options.get("path")
@@ -106,6 +128,8 @@ class _TsvReader(DataSourceReader):
         else:
             self._files = [path]
         self._convs = [_converter(f.dataType.simpleString()) for f in schema.fields]
+        self._names = [f.name for f in schema.fields]
+        self._types = [f.dataType.simpleString() for f in schema.fields]
 
     def partitions(self):
         # one partition per part file — the distributed sink wrote many
@@ -113,21 +137,45 @@ class _TsvReader(DataSourceReader):
         return [_FilePartition(p) for p in self._files]
 
     def read(self, partition):
+        """Parse the dialect line by line (escapes force that), but hand
+        rows to the engine as Arrow RecordBatches: the Python→JVM hop is
+        columnar instead of one pickled tuple per row (same parse, far
+        cheaper transfer)."""
+        import pyarrow as pa
+
         convs = self._convs
+        ncols = len(convs)
+        pa_schema = pa.schema(
+            [(n, _arrow_type(t)) for n, t in zip(self._names, self._types)]
+        )
+        cols: list[list] = [[] for _ in range(ncols)]
+        n_buf = 0
         with open(partition.path, encoding="utf-8") as fh:
             for line in fh:
                 # raw tabs/newlines never occur inside a field (the
                 # dialect escapes them), so str.split IS the parser
                 fields = line.rstrip("\n").split("\t")
-                if len(fields) != len(convs):
+                if len(fields) != ncols:
                     raise ValueError(
                         f"{partition.path}: row has {len(fields)} fields, "
-                        f"schema declares {len(convs)}"
+                        f"schema declares {ncols}"
                     )
-                yield tuple(
-                    None if (u := unescape_field(f)) is None else conv(u)
-                    for conv, f in zip(convs, fields)
-                )
+                for i in range(ncols):
+                    u = unescape_field(fields[i])
+                    cols[i].append(None if u is None else convs[i](u))
+                n_buf += 1
+                if n_buf >= _TSV_BATCH_ROWS:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(c, type=f.type) for c, f in zip(cols, pa_schema)],
+                        schema=pa_schema,
+                    )
+                    cols = [[] for _ in range(ncols)]
+                    n_buf = 0
+        if n_buf:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(cols, pa_schema)],
+                schema=pa_schema,
+            )
 
 
 class TabSeparatedDataSource(DataSource):
@@ -255,9 +303,11 @@ class SpoolStreamReader(DataSourceStreamReader):
             files = [partition.entry]
         for f in files:
             table = pq.read_table(f, columns=self._fields)
-            for batch in table.to_batches():
-                cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
-                yield from zip(*cols)
+            # Yield Arrow RecordBatches directly (the plugin API accepts
+            # them since Spark 4): the batch crosses the Python→JVM
+            # boundary columnar, instead of to_pylist()+zip row tuples
+            # pickled one by one — same rows, no per-row Python loop.
+            yield from table.to_batches()
 
     def commit(self, end):
         # nothing to do: progress durability lives in the engine's
