@@ -26,6 +26,16 @@ from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 
+def fanout_partitions(df: DataFrame) -> int:
+    """Partition count for a compute-fanout ``repartition`` ahead of a
+    Python/kernel-heavy map stage: the session's actual parallelism
+    (cores in local mode, total executor cores on a cluster), never a
+    constant tuned to one machine shape (r8 — these sites were
+    hard-coded 32, wrong both for the driver's lower-core scaling
+    bench and for any real cluster)."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def eager_persist(df: DataFrame) -> DataFrame:
     """Spillable columnar cache, materialized NOW (see module docstring
     for why eager and why persist — not localCheckpoint, not lazy).

@@ -31,6 +31,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from pg2ch_spark.caching import fanout_partitions
 from pg2ch_spark.registry import register
 from pyspark.sql.types import (
     BinaryType,
@@ -287,7 +288,7 @@ def multimodal_audio_windows(spark, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return media.repartition(32).mapInPandas(
+    return media.repartition(fanout_partitions(media)).mapInPandas(
         windows,
         "media_id long, win_idx int, start_ms long, end_ms long, win_hash string",
     )
@@ -401,7 +402,7 @@ def multimodal_resize(spark, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return (
-        media.repartition(32)
+        media.repartition(fanout_partitions(media))
         .mapInPandas(
             resize,
             "media_id long, width int, height int, new_w int, new_h int, "

@@ -42,7 +42,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.storagelevel import StorageLevel
 
 from pg2ch_spark import catalog
-from pg2ch_spark.caching import eager_persist
+from pg2ch_spark.caching import eager_persist, fanout_partitions
 from pg2ch_spark.llm.similarity import cosine, _cos_sql
 from pg2ch_spark.registry import register
 
@@ -68,7 +68,7 @@ def _shingles(docs: DataFrame) -> DataFrame:
     before the per-row hot loop (free via input splits at real scale).
     """
     return (
-        docs.repartition(32)
+        docs.repartition(fanout_partitions(docs))
         .select("doc_id", F.split("text", " ").alias("a"))
         .where(F.size("a") >= 3)
         .select(

@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pg2ch_spark import catalog
+from pg2ch_spark.caching import fanout_partitions
 from pg2ch_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -76,11 +77,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition: the fixture is one input split; the per-row bigram
     # generation below is the hot loop and must run on all cores (at
     # 100 TB the input splits provide this for free).
-    docs = (
-        catalog.load(spark, sf_dir, "documents")
-        .where(F.length("text") >= 2)
-        .repartition(32)
-    )
+    base = catalog.load(spark, sf_dir, "documents")
+    docs = base.where(F.length("text") >= 2).repartition(fanout_partitions(base))
 
     train = docs.where(F.col("doc_id") % _TRAIN_MOD != 0).select(
         "lang",
@@ -273,10 +271,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window — the oracle's WHERE clause drops them. The repartition
     # spreads the single local parquet split across cores; at 100 TB
     # input splits provide the fan-out for free.
+    base = catalog.load(spark, sf_dir, "documents")
     docs = (
-        catalog.load(spark, sf_dir, "documents")
-        .where(F.length("text") >= _SHINGLE_K + _WINNOW_W - 1)
-        .repartition(32)
+        base.where(F.length("text") >= _SHINGLE_K + _WINNOW_W - 1)
+        .repartition(fanout_partitions(base))
         .select("doc_id", "text")
     )
     k, w = _SHINGLE_K, _WINNOW_W

@@ -302,19 +302,39 @@ def text_near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
-    common = (
-        candidates.join(ta, "doc_a").join(tb, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Exact verify through per-doc shingle-HASH arrays (r8 — the same
+    # shape `_rep_pair_scores` uses): ONE groupBy over toks builds
+    # (doc, sorted-hash-array, n), and each candidate pair intersects
+    # two arrays in-row. The previous form shuffled the shingle-scale
+    # toks table through the candidate join twice and then joined a
+    # size table twice more — 3 shingle-scale shuffles and 4 joins vs
+    # 1 + 2 now. n_common = |hash-set intersection| is exact up to a
+    # cross-doc xxhash64 collision WITHIN one candidate pair
+    # (P ≈ n²/2⁶⁴ ≈ 1e-17/pair — the bound already accepted for the
+    # exact-jaccard siblings); toks rows are distinct per doc, so the
+    # collected list is the shingle set.
+    hashed_sets = toks.groupBy("doc_id").agg(
+        F.collect_list(F.xxhash64("token")).alias("_h"),
+        F.count(F.lit(1)).alias("n_tok"),
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    ga = hashed_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("_h").alias("_ha"),
+        F.col("n_tok").alias("n_a"),
+    )
+    gb = hashed_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("_h").alias("_hb"),
+        F.col("n_tok").alias("n_b"),
+    )
     jac = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_ha", "_hb")).alias("n_common"),
+            "n_a",
+            "n_b",
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -638,15 +638,21 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc", F.col("doc").alias("label"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     for _ in range(20):  # >= any fixture diameter; loop exits at fixpoint
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc)
             .groupBy(edges.doc_a.alias("doc"))
             .agg(F.min("label").alias("nlabel"))
         )
-        # Carry the changed flag through the SAME join that computes the
-        # update: the stop probe then scans the (checkpointed) label
-        # table instead of paying a second labels⋈labels join per round.
+        # The changed-count rides the checkpoint job itself via
+        # observe() (r8): the eager localCheckpoint is the round's one
+        # action, and the observation aggregates `chg` as the rows
+        # stream through it — no second stop-probe job per round (the
+        # previous limit(1).count() was a full scan of the label table
+        # per round at scale).
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, "doc", "left")
             .select(
@@ -654,11 +660,11 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
                 (F.coalesce("nlabel", "label") < F.col("label")).alias("chg"),
             )
+            .observe(obs, F.sum(F.col("chg").cast("long")).alias("n_chg"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.where("chg").limit(1).count()
         labels = new_labels.drop("chg")
-        if changed == 0:
+        if not (obs.get["n_chg"] or 0):
             break
     return labels.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_docs"),

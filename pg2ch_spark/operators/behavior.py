@@ -655,25 +655,54 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         ).alias("monetary"),
     )
-    # The three quartiles are INDEPENDENT rankings of the same table:
-    # compute each from the persisted per-user aggregate (every
-    # ntile_distributed scans its input ~3×; chaining them would
-    # re-run the upstream joins multiplicatively) and join the slim
-    # (user_id, tier) results back — four co-partitioned user_id joins.
+    # The three quartiles are INDEPENDENT rankings of the same table.
+    # r8: MELT to (user_id, metric, value) rows — all three numeric
+    # columns are exactly representable as double (day counts, event
+    # counts, a 2-dp decimal-mediated sum), and long→double is
+    # order-preserving below 2^53, so each partition ranks identically
+    # to its typed column — and run ONE partition-aware
+    # ntile_distributed over 3N thin rows instead of three pipelines
+    # over N rows: same shuffled bytes, a third of the stages, one
+    # slim pivot+join back instead of three user_id joins (the r7 form
+    # ran the whole groupBy/window/join family three times).
     from pg2ch_spark.caching import eager_persist
 
     per_user = eager_persist(per_user)
-    tiered = per_user
-    for col, out, width in (
-        ("recency_day", "r_tier", 32.0),
-        ("frequency", "f_tier", 32.0),
-        ("monetary", "m_tier", 256.0),
-    ):
-        tiers = ntile_distributed(
-            per_user.select("user_id", col), col, "user_id",
-            n=4, out_col=out, value_width=width,
-        ).select("user_id", out)
-        tiered = tiered.join(tiers, "user_id")
+    melted = per_user.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    F.col("recency_day").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("f").alias("metric"),
+                    F.col("frequency").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("m").alias("metric"),
+                    F.col("monetary").cast("double").alias("value"),
+                ),
+            )
+        ).alias("mv"),
+    ).select("user_id", F.col("mv.metric").alias("metric"), F.col("mv.value").alias("value"))
+    tiers = ntile_distributed(
+        melted, "value", "user_id",
+        n=4, out_col="tier", value_width=256.0, part_col="metric",
+    )
+    pivoted = (
+        tiers.groupBy("user_id")
+        .pivot("metric", ["r", "f", "m"])
+        .agg(F.first("tier"))
+        .select(
+            "user_id",
+            F.col("r").alias("r_tier"),
+            F.col("f").alias("f_tier"),
+            F.col("m").alias("m_tier"),
+        )
+    )
+    tiered = per_user.join(pivoted, "user_id")
     return (
         tiered.groupBy("r_tier", "f_tier", "m_tier")
         .agg(

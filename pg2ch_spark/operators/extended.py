@@ -15,6 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pg2ch_spark import catalog
+from pg2ch_spark.caching import fanout_partitions
 from pg2ch_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -151,7 +152,7 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 16 sign folds are interpreted HOFs (~1k lambda evals/row),
     # the per-row hot loop here (input splits provide the spread for
     # free at real scale).
-    sig = e.repartition(32).select("vec_id", "embedding", *band_exprs)
+    sig = e.repartition(fanout_partitions(e)).select("vec_id", "embedding", *band_exprs)
 
     # Verification happens INSIDE each (band, value) bucket with the
     # same bit-exact numpy tile kernel as sim_near_dup_embedding —
@@ -465,7 +466,7 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     hashes.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_hash": hashes})
 
-    return media.repartition(32).mapInPandas(
+    return media.repartition(fanout_partitions(media)).mapInPandas(
         sample, "media_id long, frame_idx int, frame_hash string"
     )
 

@@ -389,6 +389,7 @@ def ntile_distributed(
     out_col: str = "tier",
     value_width: float = 256.0,
     uid_width: int = 4096,
+    part_col: str | None = None,
 ) -> DataFrame:
     """Exact ``ntile(n) OVER (ORDER BY value DESC, uid ASC)`` with NO
     unpartitioned row-level window — every per-row window below is
@@ -415,11 +416,22 @@ def ntile_distributed(
     one, groupBy keeps them as one value class, and the joins back are
     NULL-SAFE — a NULL-valued row is tiered, never silently dropped.
 
+    ``part_col`` (r8): rank WITHIN each value of ``part_col``
+    independently — every aggregation and window below gains it as a
+    leading key, and the per-partition total ``_n`` drives each
+    partition's own ntile boundary. This lets a caller that needs K
+    independent rankings of the same table (RFM's three quartiles)
+    melt to (id, part, value) rows and pay ONE pipeline of shuffles
+    over 3N thin rows instead of K pipelines over N rows — same bytes,
+    a third of the stages/jobs. ``None`` (default) is the original
+    single global ranking.
+
     Returns ``df`` plus ``out_col`` (int tier). One extra shuffle on
     (value, uid-bucket) against the two the global-sort form hides
     (sort + exchange-to-one), and every stage scales out.
     """
     v, u = F.col(value_col), F.col(uid_col)
+    pg = [part_col] if part_col is not None else []  # grouping keys
     ub = F.floor(u / F.lit(int(uid_width)))
     # sentinel bucket for NULLs: beyond every real floor(-v/width)
     # value, so the global bucket order puts the NULL class last —
@@ -429,39 +441,40 @@ def ntile_distributed(
     ).cast("long")
 
     rows = df.withColumn("_ub", ub)
-    cnts = rows.groupBy(value_col, "_ub").agg(F.count(F.lit(1)).alias("_c"))
-    vals = cnts.groupBy(value_col).agg(F.sum("_c").alias("_vc")).withColumn(
+    cnts = rows.groupBy(*pg, value_col, "_ub").agg(F.count(F.lit(1)).alias("_c"))
+    vals = cnts.groupBy(*pg, value_col).agg(F.sum("_c").alias("_vc")).withColumn(
         "_vb", vb
     )
-    buckets = vals.groupBy("_vb").agg(F.sum("_vc").alias("_bc"))
-    w_glob = Window.orderBy("_vb").rowsBetween(
+    buckets = vals.groupBy(*pg, "_vb").agg(F.sum("_vc").alias("_bc"))
+    w_glob = Window.partitionBy(*pg).orderBy("_vb").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_all = Window.orderBy("_vb").rowsBetween(
+    w_all = Window.partitionBy(*pg).orderBy("_vb").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     buckets = buckets.withColumn(
         "_boff", F.sum("_bc").over(w_glob) - F.col("_bc")
-    ).withColumn("_n", F.sum("_bc").over(w_all)).select("_vb", "_boff", "_n")
-    w_in_b = Window.partitionBy("_vb").orderBy(F.col(value_col).desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    ).withColumn("_n", F.sum("_bc").over(w_all)).select(*pg, "_vb", "_boff", "_n")
+    w_in_b = Window.partitionBy(*pg, "_vb").orderBy(
+        F.col(value_col).desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     starts = (
         vals.withColumn("_voff", F.sum("_vc").over(w_in_b) - F.col("_vc"))
-        .join(F.broadcast(buckets), "_vb")
+        .join(F.broadcast(buckets), [*pg, "_vb"])
         .select(
+            *pg,
             value_col,
             (F.col("_boff") + F.col("_voff")).alias("_start"),
             "_n",
         )
     )
-    w_tie = Window.partitionBy(value_col).orderBy("_ub").rowsBetween(
+    w_tie = Window.partitionBy(*pg, value_col).orderBy("_ub").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     tie_off = cnts.withColumn("_uoff", F.sum("_c").over(w_tie) - F.col("_c")).select(
-        value_col, "_ub", "_uoff"
+        *pg, value_col, "_ub", "_uoff"
     )
-    w_local = Window.partitionBy(value_col, "_ub").orderBy(uid_col)
+    w_local = Window.partitionBy(*pg, value_col, "_ub").orderBy(uid_col)
     rk = F.col("_start") + F.col("_uoff") + F.row_number().over(w_local)
     ncol = F.col("_n")
     base = (ncol / n).cast("long")
@@ -471,17 +484,25 @@ def ntile_distributed(
         rem + F.ceil((rk - big) / F.greatest(base, F.lit(1)))
     )
     # NULL-SAFE equi-joins: plain `=` drops NULL-valued rows
+    pj_t = [F.col(c).alias(f"_tp{i}") for i, c in enumerate(pg)]
+    pj_s = [F.col(c).alias(f"_sp{i}") for i, c in enumerate(pg)]
     tie_off = tie_off.select(
-        F.col(value_col).alias("_tv"), F.col("_ub").alias("_tub"), "_uoff"
+        *pj_t, F.col(value_col).alias("_tv"), F.col("_ub").alias("_tub"), "_uoff"
     )
-    starts = starts.select(F.col(value_col).alias("_sv"), "_start", "_n")
+    starts = starts.select(*pj_s, F.col(value_col).alias("_sv"), "_start", "_n")
+    tie_cond = F.col(value_col).eqNullSafe(F.col("_tv")) & (
+        F.col("_ub") == F.col("_tub")
+    )
+    start_cond = F.col(value_col).eqNullSafe(F.col("_sv"))
+    for i, c in enumerate(pg):
+        tie_cond = tie_cond & (F.col(c) == F.col(f"_tp{i}"))
+        start_cond = start_cond & (F.col(c) == F.col(f"_sp{i}"))
+    drop_cols = ["_ub", "_uoff", "_start", "_n", "_tv", "_tub", "_sv"]
+    drop_cols += [f"_tp{i}" for i in range(len(pg))]
+    drop_cols += [f"_sp{i}" for i in range(len(pg))]
     return (
-        rows.join(
-            tie_off,
-            F.col(value_col).eqNullSafe(F.col("_tv"))
-            & (F.col("_ub") == F.col("_tub")),
-        )
-        .join(starts, F.col(value_col).eqNullSafe(F.col("_sv")))
+        rows.join(tie_off, tie_cond)
+        .join(starts, start_cond)
         .withColumn(out_col, tier.cast("int"))
-        .drop("_ub", "_uoff", "_start", "_n", "_tv", "_tub", "_sv")
+        .drop(*drop_cols)
     )

@@ -1125,3 +1125,42 @@ def test_ntile_distributed_matches_global_ntile(spark, dist):
         ).collect()
     }
     assert got == exp
+
+
+def test_ntile_distributed_part_col_matches_per_partition_ntile(spark):
+    """r8 partition-aware path (the melted-RFM form): ranking with
+    part_col must equal the built-in ntile run independently per
+    partition — including a partition that is one massive tie, one
+    with NULLs, and partitions of unequal sizes (each drives its own
+    ntile boundary off its own total)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from pg2ch_spark.operators.windows import ntile_distributed
+
+    rng = random.Random(0xA5)
+    rows = []
+    for uid in range(2500):
+        rows.append((uid, "r", float(rng.randint(0, 40))))
+        rows.append((uid, "f", 0.0 if rng.random() < 0.6 else rng.random() * 9))
+        if uid % 3 == 0:  # unequal partition sizes
+            rows.append((uid, "m", None if rng.random() < 0.2 else rng.random()))
+    df = spark.createDataFrame(rows, "uid bigint, metric string, v double")
+    got = {
+        (r.uid, r.metric): r.t
+        for r in ntile_distributed(
+            df, "v", "uid", n=4, out_col="t",
+            value_width=97.0, uid_width=128, part_col="metric",
+        ).collect()
+    }
+    exp = {
+        (r.uid, r.metric): r.t
+        for r in df.withColumn(
+            "t",
+            F.ntile(4).over(
+                Window.partitionBy("metric").orderBy(F.col("v").desc(), "uid")
+            ),
+        ).collect()
+    }
+    assert got == exp
