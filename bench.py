@@ -65,6 +65,17 @@ def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _bench_threads() -> int:
+    """Concurrent-pass submitter count: tracks $SPARK_GRAFT_CPUS (the
+    driver also benches at lower core counts to measure scaling — 32
+    submitters on an 8-core master would thrash), capped at 32 where
+    the sweep data lives; $SPARK_GRAFT_BENCH_THREADS overrides."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return int(
+        os.environ.get("SPARK_GRAFT_BENCH_THREADS", str(min(32, max(4, cpus))))
+    )
+
+
 def run_spark(
     sf_dir: str, keys: list[str] | None, repeat: int, serial_only: bool = False
 ) -> tuple[dict[str, float], float | None]:
@@ -153,7 +164,7 @@ def _concurrent_pass(
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    nthreads = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "32"))
+    nthreads = _bench_threads()
 
     def run_one(key: str) -> None:
         # FAIR mode schedules fairly BETWEEN pools; jobs without a pool
@@ -249,7 +260,7 @@ def main() -> None:
         "value": wall if wall is not None else serial_sum,
         "unit": "sec",
         "serial_sum_sec": serial_sum,
-        "schedule": "serial" if wall is None else f"concurrent-{os.environ.get('SPARK_GRAFT_BENCH_THREADS', '32')}",
+        "schedule": "serial" if wall is None else f"concurrent-{_bench_threads()}",
         "queries": times,
         "sf": _sf_from_dir(args.sf_dir),
     }
