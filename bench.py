@@ -11,10 +11,12 @@ Python row transfer — the number is the engine's, not Py4J's).
 Two measurements, both reported (protocol in BASELINE.md):
 
 1. **Serial per-query pass** — each query alone on the idle machine;
-   medians land in ``queries`` and their sum in ``serial_sum_sec``.
-   At sf0.1 this sum is dominated by a fixed ~0.2-0.3 s/query
-   scheduling floor (measured: conf/GC sweeps flat — see BASELINE.md),
-   not by plan quality.
+   per-key BEST of >=2 timed runs (after an untimed warm run — r8:
+   min, not median, because interference on the shared-VM host is
+   strictly additive; see OPTIMIZATION_r08.md) lands in ``queries``
+   and the sum in ``serial_sum_sec``. At sf0.1 this sum is dominated
+   by a fixed ~0.2-0.3 s/query scheduling floor (measured: conf/GC
+   sweeps flat — see BASELINE.md), not by plan quality.
 2. **Concurrent suite pass** — all queries submitted to the same
    SparkSession through a thread pool (Spark's scheduler interleaves
    jobs; local[32] has the cores). Wall-clock to finish the whole
@@ -78,8 +80,9 @@ def _bench_threads() -> int:
 
 def run_spark(
     sf_dir: str, keys: list[str] | None, repeat: int, serial_only: bool = False
-) -> tuple[dict[str, float], float | None]:
-    """Return (serial per-query medians, concurrent suite wall-clock)."""
+) -> tuple[dict[str, float], float | None, list[float], float | None]:
+    """Return (serial per-query best times, concurrent best wall,
+    all timed concurrent walls, cold first-pass wall)."""
     # FAIR job scheduling + one pool per query for the concurrent pass —
     # the standard multi-tenant posture of a Spark SQL server. Measured
     # honestly (back-to-back A/B with per-key pools, warm host): FIFO
@@ -105,26 +108,37 @@ def run_spark(
     _materialize(queries["scan_parquet"](spark, sf_dir))
     _materialize(queries["udf_pandas_scalar"](spark, sf_dir))
 
-    times: dict[str, float] = {}
-    for key in selected:
-        runs = []
-        for i in range(repeat + 1):  # first run warms codegen/JIT, untimed
-            t0 = time.perf_counter()
-            _materialize(queries[key](spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        timed = sorted(runs[1:])
-        times[key] = round(timed[len(timed) // 2], 4)
+    # Serial measure (r8): one untimed warm PASS over every key (JIT/
+    # codegen), then >=2 timed PASSES; per-key value = MINIMUM across
+    # the timed passes. Minimum, because interference on this host is
+    # strictly additive (neighbour steal — a single sample recorded up
+    # to 5x ambient inflation in a bad window, OPTIMIZATION_r08.md);
+    # full PASSES rather than back-to-back repeats, because the slow
+    # phases last minutes — a key's two samples taken one full pass
+    # (~5 min) apart land in different phases, where adjacent repeats
+    # would both sit inside the same one.
+    def run_key(key: str) -> float:
+        t0 = time.perf_counter()
+        _materialize(queries[key](spark, sf_dir))
+        dt = time.perf_counter() - t0
         # Free localCheckpoint blocks the query may have pinned: Python
         # holds the DataFrame until GC runs, and across 147 queries the
         # accumulated blocks inflate later queries' numbers (measured:
         # single-key re-runs of late-suite outliers are 3-6x faster
-        # than their in-suite serial numbers).
+        # than their in-suite serial numbers). Drop eager_persist
+        # entries too (caching.py policy): stale entries grow storage
+        # unboundedly and evict/spill against later queries.
         gc.collect()
-        # Drop eager_persist entries too (caching.py policy): each
-        # cache-using key adds MEMORY_AND_DISK entries per input;
-        # across 211 keys the stale entries grow storage unboundedly
-        # and evict/spill against later queries.
         spark.catalog.clearCache()
+        return dt
+
+    for key in selected:  # warm pass, untimed
+        run_key(key)
+    times = {key: float("inf") for key in selected}
+    for _ in range(max(repeat, 2)):
+        for key in selected:
+            times[key] = min(times[key], run_key(key))
+    times = {k: round(v, 4) for k, v in times.items()}
 
     wall = cold = None
     walls: list[float] = []
