@@ -36,7 +36,9 @@ on a separately-recorded baseline number.
 
 Usage:
     python bench.py                  # oracle → serial + concurrent → oracle
-    python bench.py --repeat 3      # median of 3 (BASELINE.md protocol)
+    python bench.py --repeat 3      # Spark: best of 3 timed passes;
+                                    # oracle: median of 3 (r8 protocol,
+                                    # OPTIMIZATION_r08.md)
     python bench.py --keys q1,q2    # subset (skips the idle-check)
     python bench.py --serial-only   # skip the concurrent pass
     python bench.py --oracle        # time the DuckDB oracles instead
@@ -152,7 +154,7 @@ def run_spark(
 
 def _concurrent_pass(
     spark, queries, selected, sf_dir: str, repeat: int
-) -> tuple[float, float]:
+) -> tuple[float, list[float], float]:
     """Wall-clock to complete the whole suite with queries submitted
     concurrently to the one session. Spark's FIFO job scheduler
     interleaves independent jobs across the 32 local cores; the serial
@@ -225,6 +227,12 @@ def _concurrent_pass(
 
 
 def run_oracle(sf_dir: str, keys: list[str] | None, repeat: int) -> dict[str, float]:
+    """DuckDB oracle timings — deliberately still median-of-``repeat``
+    (no warm pass, no best-of): the oracle numbers serve as idle-host
+    brackets around the Spark run (``idle_check``), not as a
+    tuned-best estimate of DuckDB, and DuckDB has no per-query JIT
+    warm-up to exclude. The before/after bracket PAIR is what
+    certifies the window; disagreement between them flags the run."""
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     from pg2ch_spark import registry
     from tests.oracle import duck_con

@@ -20,7 +20,7 @@ import os
 import shutil
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 
 # Sentinel for "horizon not precomputed": run_pipeline computes the
@@ -275,10 +275,15 @@ class BucketedMergeSink(BufferedMergeSink):
         self.n_buckets = n_buckets
         self.buckets_rewritten = 0  # cumulative, for pruning assertions
 
+    def _bucket_expr(self) -> Column:
+        """THE routing hash — the probe's touched-set and the actual
+        bucket assignment must come from this one expression or they
+        silently drift (and the flush would merge against the wrong
+        existing buckets)."""
+        return F.pmod(F.xxhash64(self.key_col), F.lit(self.n_buckets))
+
     def _bucket(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "_b", F.pmod(F.xxhash64(self.key_col), F.lit(self.n_buckets))
-        )
+        return df.withColumn("_b", self._bucket_expr())
 
     def _bucket_dir(self, b: int) -> str:
         return os.path.join(self.path, f"b{b}")
@@ -301,8 +306,7 @@ class BucketedMergeSink(BufferedMergeSink):
         # aggregates of the same buffer scan, and latest-per-key keeps
         # every key, so the buffer's bucket set IS the delta's).
         # collect_set is bounded by n_buckets ints — driver-bounded.
-        bexpr = F.pmod(F.xxhash64(self.key_col), F.lit(self.n_buckets))
-        aggs = [F.collect_set(bexpr).alias("_bs")]
+        aggs = [F.collect_set(self._bucket_expr()).alias("_bs")]
         if "op" in buf.columns:
             aggs.append(
                 F.max(

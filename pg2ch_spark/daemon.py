@@ -176,7 +176,7 @@ def run_daemon(
 
         ch_http = cfg.clickhouse.http_options()
 
-        def batch_hook(spec, batch_df, tmax) -> None:
+        def batch_hook(spec, batch_df, tmax, epoch_id) -> None:
             table = f"{cfg.clickhouse.database}.{spec.main_table}"
             # R10 remotely: pg2ch TRUNCATEs the CH table; markers are
             # commands, never data rows (a \\N key would either fail a
@@ -186,9 +186,14 @@ def run_daemon(
             if tmax is not None:
                 truncate_table(cfg.clickhouse.endpoint, table, ch_http)
                 batch_df = batch_df.where(F.col(spec.ver_col) > tmax)
+            # Real checkpointed epoch id, NOT a constant: the dedup
+            # token is md5(epoch:partition: | body) and two different
+            # micro-batches CAN serialize byte-identical bodies — a
+            # constant epoch would give them the same token and CH
+            # would silently drop the second within its dedup window.
             clickhouse_sink(
                 cfg.clickhouse.endpoint, table, batch_df.columns, ch_http
-            )(batch_df, epoch_id=0)
+            )(batch_df, epoch_id=epoch_id)
 
     # pg2ch's inactivity_merge_timeout as a real timer (SURVEY §3.1
     # path 3): with the timeout set, passes stop force-flushing the

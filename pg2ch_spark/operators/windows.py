@@ -458,9 +458,21 @@ def ntile_distributed(
     w_in_b = Window.partitionBy(*pg, "_vb").orderBy(
         F.col(value_col).desc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # null-safe on the partition keys (a NULL part value is a valid
+    # group; `_vb` itself is never NULL — the sentinel bucket covers
+    # NULL values) — a name-based join here would drop NULL-part rows
+    bkt = buckets.select(
+        *[F.col(c).alias(f"_bp{i}") for i, c in enumerate(pg)],
+        F.col("_vb").alias("_bvb"),
+        "_boff",
+        "_n",
+    )
+    bkt_cond = F.col("_vb") == F.col("_bvb")
+    for i, c in enumerate(pg):
+        bkt_cond = bkt_cond & F.col(c).eqNullSafe(F.col(f"_bp{i}"))
     starts = (
         vals.withColumn("_voff", F.sum("_vc").over(w_in_b) - F.col("_vc"))
-        .join(F.broadcast(buckets), [*pg, "_vb"])
+        .join(F.broadcast(bkt), bkt_cond)
         .select(
             *pg,
             value_col,
@@ -495,8 +507,11 @@ def ntile_distributed(
     )
     start_cond = F.col(value_col).eqNullSafe(F.col("_sv"))
     for i, c in enumerate(pg):
-        tie_cond = tie_cond & (F.col(c) == F.col(f"_tp{i}"))
-        start_cond = start_cond & (F.col(c) == F.col(f"_sp{i}"))
+        # null-safe like the value column: a NULL partition key is a
+        # valid group everywhere above (groupBy/windows keep it), so a
+        # plain `=` here would silently drop those rows at the join
+        tie_cond = tie_cond & F.col(c).eqNullSafe(F.col(f"_tp{i}"))
+        start_cond = start_cond & F.col(c).eqNullSafe(F.col(f"_sp{i}"))
     drop_cols = ["_ub", "_uoff", "_start", "_n", "_tv", "_tub", "_sv"]
     drop_cols += [f"_tp{i}" for i in range(len(pg))]
     drop_cols += [f"_sp{i}" for i in range(len(pg))]

@@ -394,12 +394,15 @@ def run_pipeline(
     shape `sources.spool.spool_transactions` lands from the live
     walsender client, closing the R2→R5 chain end-to-end.
 
-    ``batch_hook(spec, batch_df, tmax)`` runs AFTER each micro-batch's
-    local merge commits — the R12 fan-out point (the daemon posts each
-    batch delta to ClickHouse here). ``tmax`` is the micro-batch's
-    truncate horizon (None = no marker), computed ONCE here and shared
-    with the local sink so the batch is not aggregate-scanned per
-    consumer. It sees the DELTA,
+    ``batch_hook(spec, batch_df, tmax, epoch_id)`` runs AFTER each
+    micro-batch's local merge commits — the R12 fan-out point (the
+    daemon posts each batch delta to ClickHouse here). ``tmax`` is the
+    micro-batch's truncate horizon (None = no marker), computed ONCE
+    here and shared with the local sink so the batch is not
+    aggregate-scanned per consumer; ``epoch_id`` is the checkpointed
+    micro-batch id, which remote sinks must fold into their dedup
+    token (two epochs can serialize byte-identical bodies). It sees
+    the DELTA,
     not the state: at 100 TB re-shipping full state per pass is wrong,
     and replayed deltas converge on the remote merge engine exactly as
     they do on the local sink.
@@ -524,7 +527,7 @@ def run_pipeline(
                 tmax = UNSET_HORIZON  # nobody consumes it this batch
             _sink.merge(batch_df, epoch_id, tmax=tmax)
             if batch_hook is not None:
-                batch_hook(_spec, batch_df, tmax)
+                batch_hook(_spec, batch_df, tmax, epoch_id)
             n_batches += 1
 
         try:

@@ -263,6 +263,67 @@ def test_daemon_posts_remote_truncate(spark, tmp_path, http_stub):  # noqa: F811
     assert {r.key: r.value for r in spark.read.parquet(state).collect()} == {3: 30.0}
 
 
+def test_daemon_ch_tokens_distinct_across_epochs(spark, tmp_path, http_stub):  # noqa: F811
+    """The insert-dedup token must differ across MICRO-BATCHES even
+    when two batches serialize byte-identical TSV bodies — the token
+    is md5(epoch:partition: | body) and the daemon must feed the REAL
+    checkpointed epoch id through the fan-out hook (a constant would
+    let ClickHouse silently drop the later batch as a duplicate)."""
+    import io
+    import os
+    import urllib.parse
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg2ch_spark.config import config_from_mapping
+    from pg2ch_spark.daemon import run_daemon
+
+    endpoint, received = http_stub
+    spool = tmp_path / "spool"
+    os.makedirs(spool)
+    # two spool files with IDENTICAL rows -> with max_files_per_trigger
+    # 1, two micro-batches whose posted bodies are byte-identical
+    for i in range(2):
+        pq.write_table(
+            pa.table(
+                {
+                    "table": pa.array(["accounts"], pa.string()),
+                    "key": pa.array([1], pa.int64()),
+                    "ver": pa.array([1], pa.int64()),
+                    "op": pa.array(["I"], pa.string()),
+                    "value": pa.array([10.0], pa.float64()),
+                }
+            ),
+            str(spool / f"cdc-{0x100 + i:016x}.parquet"),
+        )
+    cfg = config_from_mapping(
+        {
+            "source": {
+                "sf_dir": str(spool),
+                "format": "cdc",
+                "max_files_per_trigger": 1,
+            },
+            "state_root": str(tmp_path / "state"),
+            "tables": {"accounts": {}},
+            "clickhouse": {"endpoint": endpoint, "database": "db"},
+        }
+    )
+    assert run_daemon(cfg, spark, once=True, out=io.StringIO()) == 0
+
+    inserts = [
+        (urllib.parse.parse_qs(urllib.parse.urlparse(path).query), body)
+        for path, body in received
+        if "INSERT" in urllib.parse.unquote(path)
+    ]
+    assert len(inserts) == 2, f"expected 2 micro-batch posts, got {len(inserts)}"
+    (qs_a, body_a), (qs_b, body_b) = inserts
+    assert body_a == body_b  # the hazard: byte-identical bodies
+    tok_a = qs_a["insert_deduplication_token"][0]
+    tok_b = qs_b["insert_deduplication_token"][0]
+    assert tok_a != tok_b, "distinct epochs must never share a dedup token"
+
+
 def test_daemon_resumes_through_walsender_crash(spark, tmp_path):
     """VERDICT r5 item 5 — the full chain with a mid-transaction kill:
     live walsender protocol → WalSenderClient → spool landing zone →

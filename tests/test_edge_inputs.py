@@ -1146,6 +1146,8 @@ def test_ntile_distributed_part_col_matches_per_partition_ntile(spark):
         rows.append((uid, "f", 0.0 if rng.random() < 0.6 else rng.random() * 9))
         if uid % 3 == 0:  # unequal partition sizes
             rows.append((uid, "m", None if rng.random() < 0.2 else rng.random()))
+        if uid % 5 == 0:  # NULL partition KEY: its own group, never dropped
+            rows.append((uid, None, rng.random() * 3))
     df = spark.createDataFrame(rows, "uid bigint, metric string, v double")
     got = {
         (r.uid, r.metric): r.t
