@@ -32,7 +32,10 @@ immediately before and after the Spark suite on the same host, and the
 output carries both Spark/oracle ratios (``idle_check``). Host noise
 during the window shows up as before/after disagreement, so a recorded
 artifact certifies its own measurement conditions instead of relying
-on a separately-recorded baseline number.
+on a separately-recorded baseline number. r9: each bracket uses the
+SAME estimator as the Spark headline (warm pass untimed, min of >=2
+timed full passes, every wall recorded) so the ratio is min-to-min —
+the r8 warm-min-Spark vs cold-median-oracle asymmetry is gone.
 
 Usage:
     python bench.py                  # oracle → serial + concurrent → oracle
@@ -227,12 +230,11 @@ def _concurrent_pass(
 
 
 def run_oracle(sf_dir: str, keys: list[str] | None, repeat: int) -> dict[str, float]:
-    """DuckDB oracle timings — deliberately still median-of-``repeat``
-    (no warm pass, no best-of): the oracle numbers serve as idle-host
-    brackets around the Spark run (``idle_check``), not as a
-    tuned-best estimate of DuckDB, and DuckDB has no per-query JIT
-    warm-up to exclude. The before/after bracket PAIR is what
-    certifies the window; disagreement between them flags the run."""
+    """DuckDB per-key oracle timings (``--oracle`` artifact): median of
+    ``repeat`` per key. The idle-check BRACKETS no longer use this —
+    see ``_oracle_bracket`` (r9: the Spark headline is min-of-warm-
+    passes, so the brackets get the identical estimator; VERDICT r8
+    flagged the warm-min-vs-cold-median asymmetry)."""
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     from pg2ch_spark import registry
     from tests.oracle import duck_con
@@ -253,6 +255,35 @@ def run_oracle(sf_dir: str, keys: list[str] | None, repeat: int) -> dict[str, fl
         runs.sort()
         times[key] = round(runs[len(runs) // 2], 4)
     return times
+
+
+def _oracle_bracket(sf_dir: str, passes: int = 2) -> tuple[float, list[float]]:
+    """One idle-check bracket: the DuckDB oracle suite under the SAME
+    estimator as the Spark headline (r9, VERDICT r8 item 2) — one
+    untimed warm pass over every key, then ``passes`` timed full
+    passes; value = MINIMUM pass wall, every wall recorded so the
+    spread is visible. Min-to-min makes the suite-vs-oracle ratio
+    like-for-like: both sides now exclude first-pass warm-up (page
+    cache on the oracle side, JIT on the Spark side) and both take the
+    additive-noise-robust minimum."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from pg2ch_spark import registry
+    from tests.oracle import duck_con
+
+    registry.load_all()
+    con = duck_con(sf_dir)
+    selected = sorted(registry.ORACLES)
+
+    def one_pass() -> float:
+        t0 = time.perf_counter()
+        for key in selected:
+            con.execute(registry.ORACLES[key]).fetchall()
+        return time.perf_counter() - t0
+
+    one_pass()  # warm, untimed
+    walls = sorted(round(one_pass(), 3) for _ in range(max(passes, 2)))
+    con.close()
+    return walls[0], walls
 
 
 def main() -> None:
@@ -276,7 +307,7 @@ def main() -> None:
         and keys is None
         and not args.no_idle_check
     )
-    oracle_before = run_oracle(args.sf_dir, None, 1) if idle_check else None
+    oracle_before = _oracle_bracket(args.sf_dir) if idle_check else None
     conc_cold = None
     conc_walls: list[float] = []
     if args.oracle:
@@ -286,7 +317,7 @@ def main() -> None:
         times, wall, conc_walls, conc_cold = run_spark(
             args.sf_dir, keys, args.repeat, args.serial_only
         )
-    oracle_after = run_oracle(args.sf_dir, None, 1) if idle_check else None
+    oracle_after = _oracle_bracket(args.sf_dir) if idle_check else None
 
     serial_sum = round(sum(times.values()), 3)
     result = {
@@ -308,15 +339,19 @@ def main() -> None:
         result["concurrent_cold_sec"] = conc_cold
         result["concurrent_walls_sec"] = conc_walls
     if idle_check:
-        ob = round(sum(oracle_before.values()), 3)
-        oa = round(sum(oracle_after.values()), 3)
+        ob, ob_walls = oracle_before
+        oa, oa_walls = oracle_after
         headline = result["value"]
         result["idle_check"] = {
-            # oracle suite serial sums bracketing the Spark run (DuckDB
+            # oracle suite walls bracketing the Spark run (DuckDB
             # already saturates all cores per query — serial IS its best
-            # schedule, the BASELINE.md protocol)
+            # schedule, the BASELINE.md protocol). r9: SAME estimator
+            # as the Spark headline — warm pass excluded, min of >=2
+            # timed passes, all walls recorded (_oracle_bracket).
             "oracle_before_sec": ob,
             "oracle_after_sec": oa,
+            "oracle_before_walls_sec": ob_walls,
+            "oracle_after_walls_sec": oa_walls,
             "ratio_vs_before": round(headline / ob, 3),
             "ratio_vs_after": round(headline / oa, 3),
         }

@@ -425,7 +425,9 @@ def _prefix_len(threshold: float):
     ).cast("int")
 
 
-def _candidates_jaccard(docs_g: DataFrame, t: float) -> DataFrame:
+def _candidates_jaccard(
+    docs_g: DataFrame, t: float, positional: bool = True
+) -> DataFrame:
     """Two-sided prefix-filtered candidates for Jaccard >= t — EXACT
     (zero recall loss), the classic AllPairs/PPJoin prefix lemma: order
     all shingles by a global total order; if J(A,B) >= t, the prefixes
@@ -446,7 +448,12 @@ def _candidates_jaccard(docs_g: DataFrame, t: float) -> DataFrame:
     and it cuts candidate volume BEFORE the distinct: measured at
     sf0.1 (fixture corpus, ~30-word vocabulary, t=0.5) 309,409
     candidates -> 124,804, identical output (oracle-exact on all three
-    consuming keys re-proven at sf0.01)."""
+    consuming keys re-proven at sf0.01).
+
+    ``positional=False`` disables the r8 positional filter — a
+    MEASUREMENT hook only (scripts/ppjoin_ab.py's paired A/B; the
+    result set is identical either way, the filter is recall-lossless
+    and the verify stage re-checks every candidate exactly)."""
     plen = _prefix_len(t)
     pre = docs_g.select(
         "doc_id",
@@ -461,20 +468,22 @@ def _candidates_jaccard(docs_g: DataFrame, t: float) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"),
         F.col("p").alias("_pb"), "g",
     )
+    cond = (
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("n_b") >= F.ceil(F.lit(t) * F.col("n_a")))
+        & (F.col("n_a") >= F.ceil(F.lit(t) * F.col("n_b")))
+    )
+    if positional:
+        # positional overlap upper bound vs the Jaccard overlap
+        # requirement (real-valued comparison: an integer bound
+        # >= the real requirement iff >= its ceiling)
+        cond = cond & (
+            F.least(F.col("n_a") - F.col("_pa"), F.col("n_b") - F.col("_pb"))
+            >= F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b"))
+        )
     return (
         a.join(b, "g")
-        .where(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("n_b") >= F.ceil(F.lit(t) * F.col("n_a")))
-            & (F.col("n_a") >= F.ceil(F.lit(t) * F.col("n_b")))
-            # positional overlap upper bound vs the Jaccard overlap
-            # requirement (real-valued comparison: an integer bound
-            # >= the real requirement iff >= its ceiling)
-            & (
-                F.least(F.col("n_a") - F.col("_pa"), F.col("n_b") - F.col("_pb"))
-                >= F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b"))
-            )
-        )
+        .where(cond)
         # sizes ride along (functionally dependent on the ids): the
         # verify stage then never joins a doc-scale size table
         .select("doc_a", "doc_b", "n_a", "n_b")
@@ -482,7 +491,9 @@ def _candidates_jaccard(docs_g: DataFrame, t: float) -> DataFrame:
     )
 
 
-def _candidates_containment(docs_g: DataFrame, c: float) -> DataFrame:
+def _candidates_containment(
+    docs_g: DataFrame, c: float, positional: bool = True
+) -> DataFrame:
     """Small-side-prefix candidates for containment >= c — EXACT. The
     min-size semantics break the two-sided lemma (the larger doc's
     own-size prefix can end before every common shingle), so the
@@ -505,20 +516,22 @@ def _candidates_containment(docs_g: DataFrame, c: float) -> DataFrame:
         F.posexplode("grams").alias("_fp", "g"),
     )
     swap = F.col("_fid") < F.col("doc_id")
-    return (
-        small.join(full, "g")
-        .where(
-            (F.col("_fn") > F.col("n"))
-            | ((F.col("_fn") == F.col("n")) & (F.col("_fid") > F.col("doc_id")))
-        )
-        # r8 PPJoin positional filter (exact — see _candidates_jaccard):
-        # C >= c needs o >= c*n (n = smaller side); the first common
-        # gram's positions bound o <= min(n - p, _fn - _fp), and a true
-        # pair always survives through its first-common-gram row.
-        .where(
+    joined = small.join(full, "g").where(
+        (F.col("_fn") > F.col("n"))
+        | ((F.col("_fn") == F.col("n")) & (F.col("_fid") > F.col("doc_id")))
+    )
+    if positional:
+        # r8 PPJoin positional filter (exact — see _candidates_jaccard;
+        # ``positional=False`` is the same measurement hook): C >= c
+        # needs o >= c*n (n = smaller side); the first common gram's
+        # positions bound o <= min(n - p, _fn - _fp), and a true pair
+        # always survives through its first-common-gram row.
+        joined = joined.where(
             F.least(F.col("n") - F.col("p"), F.col("_fn") - F.col("_fp"))
             >= F.lit(c) * F.col("n")
         )
+    return (
+        joined
         .select(
             F.least("doc_id", "_fid").alias("doc_a"),
             F.greatest("doc_id", "_fid").alias("doc_b"),

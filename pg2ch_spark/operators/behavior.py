@@ -656,15 +656,23 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("monetary"),
     )
     # The three quartiles are INDEPENDENT rankings of the same table.
-    # r8: MELT to (user_id, metric, value) rows — all three numeric
-    # columns are exactly representable as double (day counts, event
-    # counts, a 2-dp decimal-mediated sum), and long→double is
-    # order-preserving below 2^53, so each partition ranks identically
-    # to its typed column — and run ONE partition-aware
-    # ntile_distributed over 3N thin rows instead of three pipelines
-    # over N rows: same shuffled bytes, a third of the stages, one
-    # slim pivot+join back instead of three user_id joins (the r7 form
-    # ran the whole groupBy/window/join family three times).
+    # r8: MELT to (user_id, metric, value) rows and run ONE
+    # partition-aware ntile_distributed over 3N thin rows instead of
+    # three pipelines over N rows: same shuffled bytes, a third of the
+    # stages, one slim pivot+join back instead of three user_id joins
+    # (the r7 form ran the whole groupBy/window/join family three
+    # times). Exactness of the melt's double casts (ADVICE r8 raised
+    # the 2^53 bound on monetary): the monetary QUARTILE CONTRACT is
+    # itself double-ordered — the oracle computes `CAST(round(sum)
+    # AS DOUBLE) AS monetary` and then ntiles `ORDER BY monetary
+    # DESC`, and the r7 typed form ranked the same double column — so
+    # ranking the double here is exact at EVERY magnitude: two decimal
+    # sums that collapse to one double are a TIE in the declared
+    # semantics (broken by user_id), not a precision loss. An exact
+    # cents-scaled long ranking would DIVERGE from the contract in
+    # that regime. The long→double casts on recency_day (a day count)
+    # and frequency (a per-user event count) are exact below 2^53,
+    # which both satisfy by construction on any physical corpus.
     from pg2ch_spark.caching import eager_persist
 
     per_user = eager_persist(per_user)

@@ -62,11 +62,14 @@ def evidence_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue  # a malformed artifact must not break the registry
         for k, row in data.items():
-            # Only a row that was actually VERIFIED counts as evidence:
-            # a null rows_match (errored run, or a no-oracle key the
+            # Only a row that actually PASSED counts as evidence: a
+            # null rows_match (errored run, or a no-oracle key the
             # harness can only execute) must rotate back to the front of
-            # the window, not to the back as if freshly proven (ADVICE r7).
-            if not (isinstance(row, dict) and row.get("rows_match") is not None):
+            # the window, not to the back as if freshly proven (ADVICE
+            # r7) — and a rows_match=false (verified MISMATCH) must
+            # re-surface next round exactly like an errored one, not be
+            # rotated to the back as fresh evidence (ADVICE r8).
+            if not (isinstance(row, dict) and row.get("rows_match") is True):
                 continue
             ev[k] = max(ev.get(k, -1), rnd)
     return ev

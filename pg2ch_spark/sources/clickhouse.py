@@ -242,13 +242,16 @@ def insert_partition(
     token_salt: str = "",
 ) -> None:
     """POST each Arrow batch of one partition to ClickHouse. The dedup
-    token is md5(salt | body), so a Spark task retry (which re-POSTs
-    the identical bytes under the same salt) and an HTTP-level retry
-    both land exactly once under ClickHouse insert dedup, while two
-    legitimately DISTINCT batches whose bodies happen to be
-    byte-identical (same rows in two epochs of an append stream) get
-    distinct tokens and are never dropped — the caller must salt with
-    the batch identity (epoch id / partition id) for that guarantee.
+    token is md5(salt | chunk ordinal | body), so a Spark task retry
+    (which re-POSTs the identical bytes under the same salt and the
+    same chunk order) and an HTTP-level retry both land exactly once
+    under ClickHouse insert dedup, while two legitimately DISTINCT
+    batches whose bodies happen to be byte-identical get distinct
+    tokens and are never dropped — across epochs/partitions via the
+    caller's salt (epoch id / partition id), and across chunks WITHIN
+    one partition via the ordinal (ADVICE r8: without it, two
+    identical Arrow chunks of one partition shared a token and the
+    second silently vanished).
 
     Server requirement: ``insert_deduplication_token`` is honored on
     Replicated* engines by default; on non-replicated MergeTree the
@@ -259,9 +262,17 @@ def insert_partition(
     examples/replication_live.yaml)."""
     import hashlib
 
-    for pdf in rows:
+    for i, pdf in enumerate(rows):
         body = encode_tsv(pdf[columns])
-        token = hashlib.md5(token_salt.encode() + body).hexdigest()
+        # Per-partition chunk ordinal in the salt (ADVICE r8): two
+        # byte-identical Arrow chunks WITHIN the same (epoch, partition)
+        # must still get distinct tokens or CH insert dedup silently
+        # drops the second one's rows. Chunk order is deterministic on
+        # replay of the same partition, so task/HTTP retries keep
+        # stable tokens.
+        token = hashlib.md5(
+            f"{token_salt}{i}:".encode() + body
+        ).hexdigest()
         _post(insert_url(endpoint, table, columns, token), body, http)
 
 

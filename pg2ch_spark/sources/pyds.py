@@ -136,18 +136,64 @@ class _TsvReader(DataSourceReader):
         # parts, the re-read fans out the same way (native-source shape)
         return [_FilePartition(p) for p in self._files]
 
+    def _col_array(self, vals: list, i: int, atype):
+        """One buffered column of raw unescaped strings → a typed Arrow
+        array, converted COLUMN-WISE by Arrow's native string casts
+        (r9, VERDICT r8 item 5) instead of one Python ``convs[i](u)``
+        call per cell. Semantics per type vs the old per-value path:
+        int/float/date/bool parse the identical literal grammar the
+        sink emits (floats incl. nan/inf, bools are '1'/'0'); 0- and
+        6-digit-fraction timestamps cast exactly; ONLY a 9-digit (ns)
+        fraction makes Arrow's us-cast raise, and that column batch
+        falls back to the old per-value parser so ns truncation
+        semantics stay bit-identical (Arrow's ns->us safe=False cast
+        truncates toward zero, which differs by 1µs pre-epoch)."""
+        import pyarrow as pa
+
+        type_name = self._types[i]
+        if type_name == "string":
+            return pa.array(vals, type=atype)
+        s = pa.array(vals, type=pa.string())
+        try:
+            return s.cast(atype)
+        except pa.ArrowInvalid:
+            if type_name.startswith("timestamp"):
+                conv = self._convs[i]
+                return pa.array(
+                    [None if v is None else conv(v) for v in vals], type=atype
+                )
+            raise
+
     def read(self, partition):
         """Parse the dialect line by line (escapes force that), but hand
         rows to the engine as Arrow RecordBatches: the Python→JVM hop is
         columnar instead of one pickled tuple per row (same parse, far
-        cheaper transfer)."""
+        cheaper transfer).
+
+        Fast path (r9): a line with no backslash has no escapes and no
+        nulls (``\\N`` contains one), so its fields ARE the values —
+        buffered raw, no per-field ``unescape_field`` call; typed
+        conversion then happens per COLUMN via Arrow casts
+        (``_col_array``) instead of per cell in Python. Escaped lines
+        (the rare case on real payloads) unescape per field into the
+        same raw-string buffers, so both paths share one columnar
+        conversion."""
         import pyarrow as pa
 
-        convs = self._convs
-        ncols = len(convs)
+        ncols = len(self._convs)
         pa_schema = pa.schema(
             [(n, _arrow_type(t)) for n, t in zip(self._names, self._types)]
         )
+
+        def flush(cols):
+            return pa.RecordBatch.from_arrays(
+                [
+                    self._col_array(c, i, pa_schema.field(i).type)
+                    for i, c in enumerate(cols)
+                ],
+                schema=pa_schema,
+            )
+
         cols: list[list] = [[] for _ in range(ncols)]
         n_buf = 0
         with open(partition.path, encoding="utf-8") as fh:
@@ -160,22 +206,19 @@ class _TsvReader(DataSourceReader):
                         f"{partition.path}: row has {len(fields)} fields, "
                         f"schema declares {ncols}"
                     )
-                for i in range(ncols):
-                    u = unescape_field(fields[i])
-                    cols[i].append(None if u is None else convs[i](u))
+                if "\\" in line:
+                    for c, f in zip(cols, fields):
+                        c.append(unescape_field(f))
+                else:
+                    for c, f in zip(cols, fields):
+                        c.append(f)
                 n_buf += 1
                 if n_buf >= _TSV_BATCH_ROWS:
-                    yield pa.RecordBatch.from_arrays(
-                        [pa.array(c, type=f.type) for c, f in zip(cols, pa_schema)],
-                        schema=pa_schema,
-                    )
+                    yield flush(cols)
                     cols = [[] for _ in range(ncols)]
                     n_buf = 0
         if n_buf:
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(c, type=f.type) for c, f in zip(cols, pa_schema)],
-                schema=pa_schema,
-            )
+            yield flush(cols)
 
 
 class TabSeparatedDataSource(DataSource):

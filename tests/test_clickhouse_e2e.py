@@ -157,7 +157,9 @@ def test_retry_lands_batch_exactly_once_with_stable_dedup_token(flaky_stub):
     assert auth == "Basic " + base64.b64encode(b"loader:s3cret").decode()
     token = up.parse_qs(up.urlparse(path).query)["insert_deduplication_token"][0]
     import hashlib
-    assert token == hashlib.md5(body).hexdigest()
+    # salt is "<caller salt><chunk ordinal>:" — empty caller salt and
+    # the partition's first (only) chunk here
+    assert token == hashlib.md5(b"0:" + body).hexdigest()
 
 
 def test_token_salt_distinguishes_identical_bodies(http_stub):
@@ -185,7 +187,36 @@ def test_token_salt_distinguishes_identical_bodies(http_stub):
     assert tokens[0] == tokens[1]  # retry of the same batch: stable
     assert tokens[0] != tokens[2]  # distinct epoch, same bytes: distinct
     body = received[-1][1]
-    assert tokens[2] == hashlib.md5(b"8:0:" + body).hexdigest()
+    assert tokens[2] == hashlib.md5(b"8:0:0:" + body).hexdigest()
+
+
+def test_token_chunk_ordinal_distinguishes_identical_chunks(http_stub):
+    """ADVICE r8: two byte-identical Arrow chunks WITHIN one (epoch,
+    partition) must carry distinct tokens — the per-partition chunk
+    ordinal in the salt is what prevents CH insert dedup from silently
+    dropping the second chunk's rows. Replay of the same partition
+    enumerates chunks in the same order, so tokens stay retry-stable."""
+    import hashlib
+    import urllib.parse as up
+
+    import pandas as pd
+
+    endpoint, received = http_stub
+    pdf = pd.DataFrame({"k": [1, 2], "v": ["a", "b"]})
+    ch.insert_partition(
+        iter([pdf.copy(), pdf.copy()]), endpoint, "db.t", ["k", "v"],
+        token_salt="7:0:",
+    )
+    assert len(received) >= 2
+    tokens = [
+        up.parse_qs(up.urlparse(path).query)["insert_deduplication_token"][0]
+        for path, _body in received[-2:]
+    ]
+    bodies = [body for _path, body in received[-2:]]
+    assert bodies[0] == bodies[1]  # identical bytes...
+    assert tokens[0] != tokens[1]  # ...distinct tokens
+    assert tokens[0] == hashlib.md5(b"7:0:0:" + bodies[0]).hexdigest()
+    assert tokens[1] == hashlib.md5(b"7:0:1:" + bodies[1]).hexdigest()
 
 
 def test_4xx_is_permanent_no_retry(http_stub):
