@@ -453,7 +453,18 @@ def _candidates_jaccard(
     ``positional=False`` disables the r8 positional filter — a
     MEASUREMENT hook only (scripts/ppjoin_ab.py's paired A/B; the
     result set is identical either way, the filter is recall-lossless
-    and the verify stage re-checks every candidate exactly)."""
+    and the verify stage re-checks every candidate exactly).
+
+    r9 paired A/B (VERDICT r8 item 1 — the r8 driver bench showed the
+    three consuming keys 2.3-3.1x slower and asked whether the filter
+    was the cause; it is not, that was the host): interleaved
+    same-session runs at sf0.1 put the filter at +5% on minimums and
+    -3% on medians (within the window's own noise); at the 10x-unique
+    probe the filter wins 2.7x on the candidate stage (7.6 s vs
+    20.6 s, 12.0M vs 30.8M candidates); at 100x-unique the filtered
+    stage COMPLETES (537 s, 1.197B candidates) where the unfiltered
+    arm fills >80 GB of shuffle spill and dies. Kept unconditionally —
+    no corpus-size gate needed at a <=5% sf0.1 cost."""
     plen = _prefix_len(t)
     pre = docs_g.select(
         "doc_id",
@@ -492,7 +503,7 @@ def _candidates_jaccard(
 
 
 def _candidates_containment(
-    docs_g: DataFrame, c: float, positional: bool = True
+    docs_g: DataFrame, c: float, positional: bool = False
 ) -> DataFrame:
     """Small-side-prefix candidates for containment >= c — EXACT. The
     min-size semantics break the two-sided lemma (the larger doc's
@@ -504,7 +515,22 @@ def _candidates_containment(
     common shingle sits in the smaller side's prefix — where the
     larger side's full set must meet it. Rarest-first ordering keeps
     hot shingles out of prefixes, so inverted lists of stopword-grams
-    never pair cold docs."""
+    never pair cold docs.
+
+    r9: the r8 POSITIONAL filter now defaults OFF here (it stays ON in
+    `_candidates_jaccard`, where it is the difference between
+    completing and filling the disk at 100x — see that docstring). For
+    containment it is structurally weak: at c=0.9 the prefix is the
+    ~10% rarest-first head, so the first-common-gram positions almost
+    always satisfy min(n-p, _fn-_fp) >= c*n and the bound prunes
+    almost nothing — measured (paired interleaved A/B, r9): candidate
+    cut 2.5% at sf0.1 (67,160 vs 68,877) and 2.6% at the 100x-unique
+    probe (5.48M vs 5.62M at 10xu), while the per-join-row predicate
+    evaluation costs 5% at sf0.1 and 2.9x wall at 10xu (15.4 s vs
+    5.3 s, stable across interleaved rounds). Same result set either
+    way — the filter is recall-lossless and the verify stage re-checks
+    every candidate exactly; the flag remains a measurement hook
+    (scripts/ppjoin_ab.py)."""
     small = docs_g.select(
         "doc_id",
         "n",

@@ -625,13 +625,20 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = rep_pairs.select("doc_a", "doc_b").unionByName(ident)
     # r9 (VERDICT item 4): hash-partition edges on the loop's join key
-    # ONCE, before the checkpoint. localCheckpoint's LogicalRDD keeps
-    # the physical plan's outputPartitioning, so every round's
-    # edges⋈labels join sees edges already distributed by doc_b and
-    # exchanges only the (small) label table — the edge table, the
-    # loop's big side, is shuffled once per QUERY instead of once per
-    # round. numPartitions must equal the session's shuffle width or
-    # the join's requirement re-shuffles anyway.
+    # ONCE, before the checkpoint. Measured mechanism (paired 3-variant
+    # probe, scripts/dedup_loop_probe.py, plans in plans/r09): under
+    # AQE the checkpointed RDD reports UnknownPartitioning, so the
+    # per-round edges-side Exchange is NOT planned away — the win is
+    # PARTITION BALANCE: without the repartition the loop inherits the
+    # pair pipeline's skewed output partitions and every round pays a
+    # straggler (10x-unique probe: full fixpoint 6.4-15.3 s plain vs
+    # 1.93-1.99 s repartitioned, 3.3x; sf0.1 0.94 vs 0.82 s). The
+    # exchange-ELIMINATING variant (repartition + sortWithinPartitions
+    # + columnar eager_persist — InMemoryRelation does keep
+    # partitioning+ordering, its round plan has no edges-side Exchange
+    # or Sort) measured 3.4-4.3 s at 10xu: the per-round columnar
+    # decode of the edge cache costs more than the exchange it saves,
+    # so it was rejected on evidence.
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         pairs.unionByName(
